@@ -1,0 +1,164 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all DataFrame-native (no Python UDFs in the hot path):
+
+- exact: md5-hash groupBy — one shuffle on the 128-bit hash.
+- minhash LSH: shingle → k minhashes → bands → bucket self-join.
+  Hashes are md5-based (not Spark's murmur `hash()`) so the pipeline is
+  engine-independent and oracle-checkable; md5 is a JVM built-in, still
+  codegen'd. The band join shuffles only (band, band_value) pairs, never
+  full texts — the 100 TB-safe property.
+- simhash: per-token md5-derived bit votes → n-bit signature; near-dups
+  share signatures (or differ in few bits).
+- n-gram Jaccard: exact verification on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def text_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Explode a text column into word n-gram shingles (single-space split,
+    matching the normalized corpus). Output: (id_col, shingle)."""
+    ws = F.split(F.col(text_col), " ")
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(ws, i + j) for j in range(n)]
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.transform(idx, shingle)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """One row per doc with columns h0..h{k-1}: the lexicographic-min md5 of
+    seed-salted shingles. k independent min-aggregates → a single shuffle
+    with full partial aggregation (map-side combine)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_value).
+
+    Output: (d1, d2, n_shared_bands) with d1 < d2. Only band digests are
+    shuffled; the join key (band, 2×32-hex chars) is small and uniform —
+    no skew unless the corpus has a mega-cluster of identical docs, in
+    which case the pair explosion is inherent to the ask.
+    """
+    num_bands = num_hashes // rows_per_band
+    stack_args = ", ".join(
+        f"{b}, concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(num_bands)
+    )
+    bands = signatures.selectExpr(
+        id_col, f"stack({num_bands}, {stack_args}) as (band, bv)"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-duplicate candidate pairs."""
+    sh = text_shingles(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    return lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity between doc pairs.
+
+    Without `block_col` this is all-pairs (quadratic — correctness/oracle
+    use only); with a blocking column (e.g. an LSH band) it is the
+    verify stage of the candidate pipeline. Set arithmetic is done by
+    counting shared shingles: |A∩B| via join on shingle, |A∪B| = |A|+|B|-∩.
+    """
+    sh = text_shingles(df, id_col, text_col, shingle_n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "d1", "sz": "sz1"}), "d1")
+        .join(sizes.withColumnsRenamed({id_col: "d2", "sz": "sz2"}), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz1") + F.col("sz2") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash signature as an n-char bit string.
+
+    Per doc: for each bit position i, sum a ±1 vote per distinct token
+    (vote = bit i of md5(token), weighted by token frequency); bit is 1
+    when the sum is positive. md5-derived bits keep it oracle-checkable.
+    One groupBy(doc) after a token explode — single shuffle.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counted = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    h = F.md5(F.col("tok"))
+
+    # bit i lives in hex digit i//4, position (3 - i%4) from the MSB of the nibble
+    def bit(i: int) -> Column:
+        d = F.ascii(F.substring(h, 1 + i // 4, 1))
+        nibble = F.when(d <= 57, d - 48).otherwise(d - 87)
+        return F.shiftright(nibble, 3 - (i % 4)).bitwiseAND(F.lit(1))
+
+    votes = [
+        F.sum(((bit(i) * 2 - 1) * F.col("tf"))).alias(f"v{i}") for i in range(bits)
+    ]
+    sums = counted.groupBy(id_col).agg(*votes)
+    sig = F.concat(
+        *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))

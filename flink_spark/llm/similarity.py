@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: broadcast the
+query set, cross-join against the corpus, rank per query. All math is
+JVM-side (`zip_with` + `aggregate` higher-order functions) — no Python
+in the hot path, and the corpus side is never shuffled.
+
+The scale path is LSH bucketing (random-hyperplane signs): corpus and
+queries hash to sign-pattern buckets; candidate generation is an
+equi-join on the bucket, so at 100 TB the cross-product never
+materializes. Hyperplanes are md5-derived (deterministic, engine-
+independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, neighbor_id, cosine_sim), k rows per query.
+
+    The query side is broadcast; ranking uses a per-query window with a
+    deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def hyperplane_bucket(vec_col: Column, dim: int, planes: int = 4) -> Column:
+    """Random-hyperplane LSH bucket: a `planes`-char sign-bit string.
+
+    Plane weights are deterministic md5-derived pseudo-randoms in
+    [-7.5, 7.5]: weight(p, d) = hexval(md5('p_d')[0]) - 7.5. The dot
+    product runs inside whole-stage codegen via higher-order functions.
+    """
+
+    def weight(p: int, d: int) -> Column:
+        a = F.ascii(F.substring(F.md5(F.lit(f"{p}_{d}")), 1, 1))
+        return (F.when(a <= 57, a - 48).otherwise(a - 87)).cast("double") - 7.5
+
+    bits = []
+    for p in range(planes):
+        s = None
+        for d in range(dim):
+            term = F.element_at(vec_col, d + 1).cast("double") * weight(p, d)
+            s = term if s is None else s + term
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    Recall is traded for a bucket equi-join; at scale, raise `planes`
+    and probe multiple buckets (multi-probe) rather than widening the
+    cross product.
+    """
+    bq = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    bc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    scored = (
+        bc.join(F.broadcast(bq), ["bucket"])
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cosine_sim")
+    )

@@ -1,0 +1,938 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each entry couples a Spark DataFrame builder (spark, sf_dir) -> DataFrame
+with an equivalent ANSI-SQL oracle string that DuckDB runs over the same
+parquet tables. The driver hash-compares the two at sf=0.01 — column
+names are aliased identically on both sides (the compare sorts columns
+by name before hashing).
+
+Organization mirrors SURVEY.md §2:
+  §2.2 calc/projection/filter        §2.3 joins (incl. interval/as-of)
+  §2.4 aggregations                  §2.5 OVER windows / rank / dedup
+  §2.6 sort/limit                    §2.7 set ops
+  §2.8 scalar functions              window TVFs (tumble/hop/cumulate/session)
+  M6   LLM-pipeline operators (dedup, similarity, text analysis)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_spark.catalog import Catalog
+from flink_spark.llm import dedup as lsh
+from flink_spark.llm import similarity as sim
+from flink_spark.llm import text as txt
+from flink_spark.operators import joins as J
+from flink_spark.operators import tvf_windows as TVF
+from flink_spark.operators import windows as W
+from flink_spark.functions import scalar as FS
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query builder and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Calc (projection + filter) — StreamExecCalc/BatchExecCalc analogue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "calc_project_filter",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           upper(l_returnflag) AS flag_uc
+    FROM lineitem
+    WHERE l_quantity > 25 AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def calc_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused project+filter; Catalyst pushes both into the parquet scan."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.where((F.col("l_quantity") > 25) & (F.col("l_shipdate") < "1998-01-01"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.upper("l_returnflag").alias("flag_uc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the reference's minimum end-to-end slice (SURVEY §7 M1).
+
+    Hash aggregate with partial/final phases; scan carries only the 7
+    referenced columns (check ReadSchema in .explain).
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_stats_family",
+    """
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           stddev_samp(l_extendedprice) AS sd_samp,
+           stddev_pop(l_extendedprice) AS sd_pop,
+           var_samp(l_extendedprice) AS v_samp,
+           var_pop(l_extendedprice) AS v_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV/VAR family (BuiltInFunctionDefinitions.java:378-496)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.stddev_samp("l_extendedprice").alias("sd_samp"),
+        F.stddev_pop("l_extendedprice").alias("sd_pop"),
+        F.var_samp("l_extendedprice").alias("v_samp"),
+        F.var_pop("l_extendedprice").alias("v_pop"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi distinct-agg — Catalyst plans the Expand-based split that the
+    reference gets from SplitAggregateRule.scala."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("agg_approx_count_distinct")  # approximate — no exact oracle by design
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_COUNT_DISTINCT (HLL++). Values are approximate, so the driver
+    records the weaker rows-only check."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name, sum(s_acctbal) AS total_bal, count(*) AS n,
+           CAST(grouping(r_name) AS BIGINT) AS g_r,
+           CAST(grouping(n_name) AS BIGINT) AS g_n
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP via Expand (DecomposeGroupingSetsRule analogue is built into
+    Catalyst). Dimension joins are broadcast — nation/region are tiny."""
+    c = Catalog(spark, sf_dir)
+    joined = c.supplier.join(
+        F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum("s_acctbal").alias("total_bal"),
+        F.count("*").alias("n"),
+        F.grouping("r_name").cast("long").alias("g_r"),
+        F.grouping("n_name").cast("long").alias("g_n"),
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_f,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_s
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping("l_returnflag").cast("long").alias("g_f"),
+        F.grouping("l_linestatus").cast("long").alias("g_s"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (FlinkSqlOperatorTable GROUPING support)."""
+    c = Catalog(spark, sf_dir)
+    c.register_all()
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               sum(o_totalprice) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_listagg",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink LISTAGG → deterministic collect_set/sort/join composition."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        FS.listagg(F.col("l_linestatus"), ",", distinct=True).alias("statuses")
+    )
+
+
+@query(
+    "pivot_event_values",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           sum(CASE WHEN event_type = 'click' THEN value END) AS evt_click,
+           sum(CASE WHEN event_type = 'purchase' THEN value END) AS evt_purchase,
+           sum(CASE WHEN event_type = 'view' THEN value END) AS evt_view,
+           sum(CASE WHEN event_type = 'signup' THEN value END) AS evt_signup,
+           sum(CASE WHEN event_type = 'error' THEN value END) AS evt_error
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — single-shuffle grouped agg with a fixed value list (never
+    let Spark infer pivot values at scale: that is an extra job)."""
+    ev = Catalog(spark, sf_dir).events
+    kinds = ["click", "purchase", "view", "signup", "error"]
+    piv = (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", kinds)
+        .sum("value")
+    )
+    return piv.select(
+        "user_bucket", *[F.col(k).alias(f"evt_{k}") for k in kinds]
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_groupby",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return (
+        c.orders.join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           coalesce(sum(o_totalprice), 0.0) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return (
+        c.customer.join(c.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT n_nationkey, n_name, c_custkey
+    FROM nation FULL JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) hc
+      ON n_nationkey = c_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    high = c.customer.where(F.col("c_acctbal") > 9000)
+    return (
+        c.nation.join(high, F.col("n_nationkey") == F.col("c_nationkey"), "full")
+        .select("n_nationkey", "n_name", "c_custkey")
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (Flink SEMI_JOIN_RULES analogue is
+    Catalyst's RewritePredicateSubquery)."""
+    c = Catalog(spark, sf_dir)
+    big = c.orders.where(F.col("o_totalprice") > 100000)
+    return c.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join; customers with no urgent orders."""
+    c = Catalog(spark, sf_dir)
+    urgent = c.orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return c.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    """
+    SELECT a.r_regionkey AS r1, b.r_regionkey AS r2
+    FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (DataSet.cross / BatchExecNestedLoopJoin)."""
+    r = Catalog(spark, sf_dir).region
+    return (
+        r.alias("a")
+        .crossJoin(r.alias("b"))
+        .select(F.col("a.r_regionkey").alias("r1"), F.col("b.r_regionkey").alias("r2"))
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k. Customer filter prunes before the join;
+    at scale customer(filtered) broadcasts into orders, and the orders→
+    lineitem join shuffles on orderkey once."""
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.where(F.col("c_mktsegment") == "BUILDING")
+    ords = c.orders.where(F.col("o_orderdate") < "1998-03-15")
+    li = c.lineitem.where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_regional_revenue",
+    """
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table star join; dims broadcast, facts shuffle on their keys."""
+    c = Catalog(spark, sf_dir)
+    ords = c.orders.where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return (
+        c.lineitem.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(c.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_interval_clicks_purchases",
+    """
+    SELECT l.user_id AS user_id, count(*) AS n_pairs
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    GROUP BY l.user_id
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (TimeIntervalJoin.java:51 semantics, batch): purchases
+    within 1h after a click by the same user."""
+    ev = Catalog(spark, sf_dir).events
+    clicks = ev.where(F.col("event_type") == "click")
+    purch = ev.where(F.col("event_type") == "purchase")
+    paired = J.interval_join(
+        clicks, purch, "user_id", "user_id", "ts", "ts", "0 SECOND", "1 HOUR"
+    )
+    return paired.groupBy(F.col("l.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+@query(
+    "join_asof_last_click",
+    """
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           c.value AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value FROM (
+            SELECT user_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) rn
+            FROM events WHERE event_type = 'click') WHERE rn = 1
+    ) c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal/as-of join (TemporalRowTimeJoinOperator.java:78 semantics):
+    each purchase sees the value of the user's latest click at-or-before
+    its time. Right side deduped to one row per (key, ts) — 'latest
+    version wins', matching the reference's versioned state."""
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.where(F.col("event_type") == "purchase")
+    # dedupe by (user_id, ts) keeping the max event_id row
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", "value", "event_id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return J.asof_join(
+        purchases.select("event_id", "user_id", "ts"),
+        clicks,
+        key="user_id",
+        ts_left="ts",
+        ts_right="ts",
+        payload={"value": "last_click_value"},
+    ).select("event_id", "user_id", "last_click_value")
+
+
+# ---------------------------------------------------------------------------
+# §2.5 OVER windows / rank / dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "over_topn_per_group",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn <= 3
+    """,
+)
+def over_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per key — the StreamExecRank.java:83 pattern in batch."""
+    c = Catalog(spark, sf_dir).customer
+    return W.top_n(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        3,
+    ).withColumn("rn", F.col("rn").cast("long"))
+
+
+@query(
+    "over_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_spend
+    FROM orders
+    """,
+)
+def over_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("running_spend")
+    )
+
+
+@query(
+    "over_lag_lead",
+    """
+    SELECT user_id, event_id,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def over_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "over_rank_family",
+    """
+    SELECT p_brand, p_partkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           ntile(4) OVER w AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def over_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "over_range_frame",
+    """
+    SELECT o_orderkey, o_totalprice,
+           count(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+    FROM orders
+    """,
+)
+def over_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a numeric offset (BatchExecOverAggregate frames)."""
+    o = Catalog(spark, sf_dir).orders
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 0)
+    return o.select(
+        "o_orderkey", "o_totalprice", F.count("*").over(w).alias("n_within_1k")
+    )
+
+
+@query(
+    "dedup_first_per_key",
+    """
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplication keep-first (StreamExecDeduplicate.java:85, batch).
+
+    Event time is emitted as epoch millis — the raw column is nanosecond
+    precision on disk and engines truncate differently past micros.
+    """
+    ev = Catalog(spark, sf_dir).events
+    return W.dedup_keep_first(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+    ).select("user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type")
+
+
+@query(
+    "dedup_last_per_key",
+    """
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def dedup_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return W.dedup_keep_last(
+        ev.select("user_id", "event_id", "ts", "event_type"),
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+    ).select("user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sort / limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit → TakeOrderedAndProject (BatchExecSortLimit analogue):
+    per-partition top-k then a driver merge of k*partitions rows — no
+    global sort even at 100 TB."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    """
+    SELECT k FROM (SELECT c_nationkey AS k FROM customer
+                   UNION ALL SELECT s_nationkey AS k FROM supplier)
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return c.customer.select(F.col("c_nationkey").alias("k")).unionAll(
+        c.supplier.select(F.col("s_nationkey").alias("k"))
+    )
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT SELECT s_nationkey AS k FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return c.customer.select(F.col("c_nationkey").alias("k")).intersect(
+        c.supplier.select(F.col("s_nationkey").alias("k"))
+    )
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT c_nationkey AS k FROM customer WHERE c_acctbal < -520
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): nations with no deeply-negative-balance customer."""
+    cust = Catalog(spark, sf_dir).customer
+    return cust.select(F.col("c_nationkey").alias("k")).subtract(
+        cust.where(F.col("c_acctbal") < -520).select(F.col("c_nationkey").alias("k"))
+    )
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT o_orderstatus AS s FROM orders WHERE o_totalprice > 50000
+    INTERSECT ALL
+    SELECT o_orderstatus AS s FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.where(F.col("o_totalprice") > 50000)
+        .select(F.col("o_orderstatus").alias("s"))
+        .intersectAll(
+            o.where(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_orderstatus").alias("s")
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNNEST / lateral (§2.2 Correlate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unnest_words",
+    """
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+    """,
+)
+def unnest_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST/explode (LogicalUnnestRule / INTERNAL_UNNEST_ROWS analogue)."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "unnest_with_ordinality",
+    """
+    SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE doc_id < 10)
+    """,
+)
+def unnest_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode = UNNEST WITH ORDINALITY."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.where(F.col("doc_id") < 10)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window TVFs: TUMBLE / HOP / CUMULATE / SESSION
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tvf_tumble_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n, sum(value) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tvf_tumble_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUMBLE TVF (SliceAssigners.java:61) — Spark window()."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        TVF.tumble(ev, "ts", "1 day")
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+
+
+@query(
+    "tvf_hop_2h_1h",
+    """
+    WITH hopped AS (
+      SELECT date_trunc('hour', ts) AS h0, unnest([0, 1]) AS k, value
+      FROM events
+    )
+    SELECT CAST(h0 - INTERVAL 1 HOUR * k AS TIMESTAMP) AS window_start,
+           count(*) AS n, sum(value) AS total
+    FROM hopped GROUP BY 1
+    """,
+)
+def tvf_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP TVF (SliceAssigners.java:77): size 2h, slide 1h — each row in 2
+    windows. Spark window(ts, '2 hours', '1 hour')."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        TVF.hop(ev, "ts", "2 hours", "1 hour")
+        .groupBy("window_start")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+
+
+@query(
+    "tvf_cumulate_6h_day",
+    """
+    WITH exploded AS (
+      SELECT value, ts, date_trunc('day', ts) AS base,
+             unnest([1, 2, 3, 4]) AS k
+      FROM events
+    )
+    SELECT CAST(base AS TIMESTAMP) AS window_start,
+           CAST(base + INTERVAL 6 HOUR * k AS TIMESTAMP) AS window_end,
+           count(*) AS n, sum(value) AS total
+    FROM exploded WHERE base + INTERVAL 6 HOUR * k > ts GROUP BY 1, 2
+    """,
+)
+def tvf_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE TVF (SliceAssigners.java:94): step 6h, max 1 day."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        TVF.cumulate(ev.select("ts", "value"), "ts", "6 hours", "1 day")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+
+
+@query(
+    "tvf_session_1h",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, sum(value) AS total
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def tvf_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows, batch sessionization (gap 1h) per user."""
+    ev = Catalog(spark, sf_dir).events
+    sessions = TVF.session(ev.select("user_id", "ts", "value"), "ts", "1 hour", "user_id")
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total"))
+        .withColumn("session_id", F.col("session_id").cast("long"))
+    )

@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from flink_spark.catalog import TABLES
+from flink_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="flink_spark_tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{round(v, 2):.2f}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Sort columns by name, normalize values, sort rows — the same
+    order-insensitive compare the driver applies."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out)
+
+
+def assert_matches_oracle(spark_df, ddb_con, oracle_sql: str, name: str = "?"):
+    import pandas as pd
+
+    sp = spark_df.toPandas()
+    du = ddb_con.execute(oracle_sql).df()
+    s_rows = normalize([tuple(r) for r in sp.itertuples(index=False)], list(sp.columns))
+    d_rows = normalize([tuple(r) for r in du.itertuples(index=False)], list(du.columns))
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"{name}: column mismatch {sorted(sp.columns)} vs {sorted(du.columns)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
+    )
+    if s_rows != d_rows:
+        diff_s = [r for r in s_rows if r not in set(d_rows)][:5]
+        diff_d = [r for r in d_rows if r not in set(s_rows)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch.\n spark-only: {diff_s}\n oracle-only: {diff_d}"
+        )
