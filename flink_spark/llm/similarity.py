@@ -73,23 +73,28 @@ def brute_force_topk(
     )
 
 
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic md5-derived pseudo-random weight in [-7.5, 7.5].
+
+    Computed driver-side (hashlib) so the hyperplanes are plain literals
+    in the plan — engine-independent and oracle-reproducible.
+    """
+    import hashlib
+
+    return float(int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16)) - 7.5
+
+
 def hyperplane_bucket(vec_col: Column, dim: int, planes: int = 4) -> Column:
     """Random-hyperplane LSH bucket: a `planes`-char sign-bit string.
-
-    Plane weights are deterministic md5-derived pseudo-randoms in
-    [-7.5, 7.5]: weight(p, d) = hexval(md5('p_d')[0]) - 7.5. The dot
-    product runs inside whole-stage codegen via higher-order functions.
-    """
-
-    def weight(p: int, d: int) -> Column:
-        a = F.ascii(F.substring(F.md5(F.lit(f"{p}_{d}")), 1, 1))
-        return (F.when(a <= 57, a - 48).otherwise(a - 87)).cast("double") - 7.5
-
+    The dot products are literal-weighted sums evaluated inside
+    whole-stage codegen."""
     bits = []
     for p in range(planes):
         s = None
         for d in range(dim):
-            term = F.element_at(vec_col, d + 1).cast("double") * weight(p, d)
+            term = F.element_at(vec_col, d + 1).cast("double") * F.lit(
+                plane_weight(p, d)
+            )
             s = term if s is None else s + term
         bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)

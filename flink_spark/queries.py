@@ -936,3 +936,530 @@ def tvf_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total"))
         .withColumn("session_id", F.col("session_id").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar function batteries (Flink surface → Spark expressions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_battery",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS s_upper,
+           lower(p_brand) AS s_lower,
+           substr(p_name, 1, 8) AS s_substr,
+           length(p_name) AS s_len,
+           concat_ws('-', p_brand, p_type) AS s_concat,
+           lpad(p_brand, 12, '*') AS s_lpad,
+           rpad(p_brand, 12, '*') AS s_rpad,
+           replace(p_type, 'a', '@') AS s_replace,
+           reverse(p_brand) AS s_reverse,
+           repeat(p_brand, 2) AS s_repeat,
+           trim(concat('  ', p_brand, '  ')) AS s_trim,
+           strpos(p_name, 'a') AS s_instr,
+           left(p_name, 3) AS s_left,
+           right(p_name, 3) AS s_right,
+           string_split(p_type, ' ')[2] AS s_split_idx,
+           md5(p_name) AS s_md5,
+           sha256(p_brand) AS s_sha256
+    FROM part
+    """,
+)
+def scalar_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (SURVEY §2.8; FlinkSqlOperatorTable.java:386-689).
+
+    SPLIT_INDEX maps to get(split(...)) — NULL out of range on both
+    engines; HASH functions map to md5/sha2.
+    """
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("s_upper"),
+        F.lower("p_brand").alias("s_lower"),
+        F.substring("p_name", 1, 8).alias("s_substr"),
+        F.length("p_name").cast("long").alias("s_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("s_concat"),
+        F.lpad("p_brand", 12, "*").alias("s_lpad"),
+        F.rpad("p_brand", 12, "*").alias("s_rpad"),
+        F.replace(F.col("p_type"), F.lit("a"), F.lit("@")).alias("s_replace"),
+        F.reverse("p_brand").alias("s_reverse"),
+        F.repeat("p_brand", 2).alias("s_repeat"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("s_trim"),
+        F.instr("p_name", "a").cast("long").alias("s_instr"),
+        F.substring("p_name", 1, 3).alias("s_left"),
+        F.substring(F.col("p_name"), -3, 3).alias("s_right"),
+        FS.split_index(F.col("p_type"), " ", 1).alias("s_split_idx"),
+        F.md5("p_name").alias("s_md5"),
+        F.sha2("p_brand", 256).alias("s_sha256"),
+    )
+
+
+@query(
+    "scalar_math_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS m_abs,
+           ceil(l_extendedprice) AS m_ceil,
+           floor(l_extendedprice) AS m_floor,
+           round(l_discount * 100) AS m_round,
+           sqrt(l_quantity) AS m_sqrt,
+           exp(l_discount) AS m_exp,
+           ln(l_extendedprice) AS m_ln,
+           log10(l_extendedprice) AS m_log10,
+           pow(l_quantity, 2) AS m_pow,
+           l_partkey % 7 AS m_mod,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS m_sign,
+           sin(l_quantity) AS m_sin,
+           cos(l_quantity) AS m_cos,
+           atan2(l_quantity, 10.0) AS m_atan2,
+           degrees(l_discount) AS m_degrees,
+           radians(l_quantity) AS m_radians,
+           pi() AS m_pi,
+           greatest(l_tax, l_discount) AS m_greatest,
+           least(l_tax, l_discount) AS m_least
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions (BuiltInFunctionDefinitions.java:966-1417)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.where(F.col("l_orderkey") < 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("m_abs"),
+        F.ceil("l_extendedprice").cast("double").alias("m_ceil"),
+        F.floor("l_extendedprice").cast("double").alias("m_floor"),
+        F.round(F.col("l_discount") * 100).alias("m_round"),
+        F.sqrt("l_quantity").alias("m_sqrt"),
+        F.exp("l_discount").alias("m_exp"),
+        F.log("l_extendedprice").alias("m_ln"),
+        F.log10("l_extendedprice").alias("m_log10"),
+        F.pow("l_quantity", F.lit(2)).alias("m_pow"),
+        (F.col("l_partkey") % 7).alias("m_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("m_sign"),
+        F.sin("l_quantity").alias("m_sin"),
+        F.cos("l_quantity").alias("m_cos"),
+        F.atan2(F.col("l_quantity"), F.lit(10.0)).alias("m_atan2"),
+        F.degrees("l_discount").alias("m_degrees"),
+        F.radians("l_quantity").alias("m_radians"),
+        F.lit(3.141592653589793).alias("m_pi"),
+        F.greatest("l_tax", "l_discount").alias("m_greatest"),
+        F.least("l_tax", "l_discount").alias("m_least"),
+    )
+
+
+@query(
+    "scalar_datetime_battery",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS d_year,
+           month(o_orderdate) AS d_month,
+           day(o_orderdate) AS d_day,
+           quarter(o_orderdate) AS d_quarter,
+           weekofyear(o_orderdate) AS d_week,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS d_trunc_month,
+           strftime(o_orderdate, '%Y-%m') AS d_fmt,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS d_last_day,
+           epoch_ms(o_orderdate) AS d_epoch_ms,
+           CAST(o_orderdate + INTERVAL 3 HOUR AS TIMESTAMP) AS d_plus_3h,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS d_diff_days
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal functions (SURVEY §2.8: EXTRACT/TRUNC/FORMAT/DIFF family)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.where(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("d_year"),
+        F.month("o_orderdate").cast("long").alias("d_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d_day"),
+        F.quarter("o_orderdate").cast("long").alias("d_quarter"),
+        F.weekofyear("o_orderdate").cast("long").alias("d_week"),
+        F.date_trunc("month", "o_orderdate").alias("d_trunc_month"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("d_fmt"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("d_last_day"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("d_epoch_ms"),
+        F.timestamp_add("HOUR", F.lit(3), F.col("o_orderdate")).alias("d_plus_3h"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("d_diff_days"),
+    )
+
+
+@query(
+    "scalar_conditional_battery",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS c_case,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS c_coalesce_nullif,
+           (o_orderstatus = 'F') AS c_bool,
+           (o_totalprice BETWEEN 50000 AND 150000) AS c_between,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS c_in
+    FROM orders
+    """,
+)
+def scalar_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/COALESCE/NULLIF/BETWEEN/IN (SURVEY §2.8 comparison row)."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("c_case"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "c_coalesce_nullif"
+        ),
+        (F.col("o_orderstatus") == "F").alias("c_bool"),
+        (F.col("o_totalprice").between(50000, 150000)).alias("c_between"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("c_in"),
+    )
+
+
+@query(
+    "scalar_json_battery",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def scalar_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_VALUE → get_json_object (SURVEY §2.8 JSON row)."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.select(
+            (FS.json_value(F.col("props"), "$.k").cast("bigint") % 10).alias("k_bucket")
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6: LLM-pipeline operators — deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id.
+
+    One shuffle on the 128-bit hash; at 100 TB the hash (not the text)
+    is the shuffle payload once you pre-project."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(f"min(md5('{s}|' || s)) AS h{s}" for s in range(8))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bv FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (SELECT doc_id,
+                   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    for i in range(1, len(ws) - 1)] AS shl
+            FROM words WHERE len(ws) >= 3),
+    sh AS (SELECT doc_id, unnest(shl) AS s FROM sh0),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands})
+    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("doc_minhash_lsh_pairs", _minhash_oracle())
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 md5 minhashes, 4 bands of 2."""
+    d = Catalog(spark, sf_dir).documents
+    return lsh.minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3, num_hashes=8, rows_per_band=2)
+
+
+@query(
+    "doc_ngram_jaccard",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (SELECT doc_id,
+                   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    for i in range(1, len(ws) - 1)] AS shl
+            FROM words WHERE len(ws) >= 3),
+    sh AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM sh0),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT d1, d2, ni * 1.0 / (s1.sz + s2.sz - ni) AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE ni * 1.0 / (s1.sz + s2.sz - ni) >= 0.1
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.1 (verification tier of the dedup
+    pipeline; the LSH candidates above are the scale tier)."""
+    d = Catalog(spark, sf_dir).documents
+    return lsh.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.1)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    votes = []
+    for i in range(bits):
+        pos, shft = 1 + i // 4, 3 - i % 4
+        a = f"ascii(substr(h, {pos}, 1))"
+        nib = f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+        votes.append(
+            f"sum(((({nib} >> {shft}) & 1) * 2 - 1) * tf) AS v{i}"
+        )
+    concat = ", ".join(
+        f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf, md5(tok) AS h
+           FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    votes AS (SELECT doc_id, {', '.join(votes)} FROM tf GROUP BY doc_id)
+    SELECT doc_id, concat({concat}) AS simhash FROM votes
+    """
+
+
+@query("doc_simhash", _simhash_oracle())
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (md5-derived bit votes, tf-weighted)."""
+    d = Catalog(spark, sf_dir).documents
+    return lsh.simhash(d, "doc_id", "text", bits=32)
+
+
+# ---------------------------------------------------------------------------
+# M6: text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it']"
+
+
+@query(
+    "doc_token_stats",
+    f"""
+    WITH t AS (SELECT lang,
+                      len(list_filter(string_split(text, ' '), x -> x <> ''))
+                        AS n_tok
+               FROM documents)
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           avg(n_tok * 1.0) AS avg_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document, aggregated per language."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("lang", txt.token_count(F.col("text")).cast("long").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.avg("n_tok").alias("avg_tokens"),
+        )
+    )
+
+
+@query(
+    "doc_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             length(regexp_replace(text, '[^\\.,;:!\\?''"\\(\\)\\[\\]\\{{\\}}-]', '', 'g'))
+               * 1.0 / length(text) AS punct_ratio
+      FROM documents),
+    r AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
+                       * 1.0 / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             punct_ratio
+      FROM t)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, stop_ratio,
+           (least(n_tok / 100.0, 1.0)
+            + least(stop_ratio * 5.0, 1.0)
+            + greatest(0.0, 1.0 - punct_ratio * 4.0)) / 3.0 AS quality
+    FROM r
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation heuristics."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        txt.token_count(F.col("text")).cast("long").alias("n_tok"),
+        txt.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        txt.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "doc_langid",
+    f"""
+    WITH t AS (
+      SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    g AS (
+      SELECT lang,
+             CASE WHEN len(toks) > 0 AND
+                       len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x))))
+                         * 1.0 / len(toks) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS lang_guess
+      FROM t)
+    SELECT lang, lang_guess, count(*) AS n FROM g GROUP BY 1, 2
+    """,
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("lang", txt.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    WITH f AS (
+      SELECT source,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_fingerprints
+    FROM f GROUP BY source
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprints per source."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select("source", txt.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+               WHERE vec_id < 5),
+    scored AS (SELECT q.q_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.q_vec, c.embedding) AS cosine_sim
+               FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT q_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors (ANN baseline)."""
+    e = Catalog(spark, sf_dir).embeddings
+    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@query(
+    "emb_centroid_per_label",
+    """
+    WITH ex AS (SELECT label, unnest(range(0, len(embedding))) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings)
+    SELECT label, pos, avg(v) AS avg_val FROM ex GROUP BY 1, 2
+    """,
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid via posexplode + grouped avg (the building block
+    for IVF coarse quantizers)."""
+    e = Catalog(spark, sf_dir).embeddings
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select("label", F.col("pos").cast("long").alias("pos"), F.col("v").cast("double").alias("v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("avg_val"))
+    )
+
+
+def _ann_lsh_oracle(dim: int = 64, planes: int = 4, k: int = 5) -> str:
+    from flink_spark.llm.similarity import plane_weight
+
+    buckets = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"embedding[{d + 1}] * ({plane_weight(p, d)})" for d in range(dim)
+        )
+        buckets.append(f"CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END")
+    bucket = "concat(" + ", ".join(buckets) + ")"
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 5),
+    scored AS (SELECT q.q_id, c.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.q_vec, c.embedding) AS cosine_sim
+               FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT q_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= {k}
+    """
+
+
+@query("emb_ann_lsh", _ann_lsh_oracle())
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets — the scale
+    path: candidate generation is a bucket equi-join, not a cross join."""
+    e = Catalog(spark, sf_dir).embeddings
+    return sim.lsh_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=5, planes=4)
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: treat content as opaque bytes + metadata
+    (the pattern for image/audio payload columns; see llm/multimodal.py)."""
+    d = Catalog(spark, sf_dir).documents
+    b = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(b).cast("long").alias("n_bytes"),
+        F.md5(b).alias("content_md5"),
+    )
