@@ -1,0 +1,119 @@
+"""Structured-Streaming building blocks: sources, watermarks, windows.
+
+Reference mapping (SURVEY.md §2.9):
+- WatermarkStrategy.forBoundedOutOfOrderness (WatermarkStrategy.java:225)
+  → df.withWatermark(col, delay)
+- tumbling/sliding window assigners (windowing/assigners/) → F.window
+- session windows (EventTimeSessionWindows.java) → F.session_window
+- late-data drop (WindowOperator.java:590 isWindowLate) → watermark
+  semantics; the late-data *side output* (WindowOperator.java:568) has no
+  Spark hook inside a query — capture_late_rows() below implements it as
+  a foreachBatch-style filter ahead of the windowed agg.
+
+Execution model note: Flink is continuous per-record; Spark is
+micro-batch. Event-time logic (watermark, window contents) produces the
+same results; only emission latency differs (SURVEY §3.2 conclusion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.catalog import TABLES
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Open a test-data table as an unbounded file stream.
+
+    Mirrors Flink's FileSource in streaming mode (FileSource.java);
+    Spark's file-stream source picks up files in the directory. The
+    events table needs the same nanos→micros conversion as the batch
+    catalog.
+    """
+    if name not in TABLES:
+        raise KeyError(name)
+    base = sf_dir.rstrip("/")
+    path = f"{base}/{name}.parquet"
+    schema = spark.read.parquet(path).schema
+    # The tables are single parquet files; the file-stream source needs a
+    # directory, so stream the sf dir filtered down to this one file.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(base)
+    )
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def with_bounded_out_of_orderness(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """WatermarkStrategy.forBoundedOutOfOrderness → withWatermark."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumble_agg(
+    df: DataFrame, ts_col: str, size: str, keys: list[str], aggs: list
+) -> DataFrame:
+    """Streaming tumbling-window aggregate in append mode (emits a window
+    once the watermark passes its end — Flink's default EventTimeTrigger).
+    """
+    return (
+        df.groupBy(F.window(ts_col, size).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def hop_agg(
+    df: DataFrame, ts_col: str, size: str, slide: str, keys: list[str], aggs: list
+) -> DataFrame:
+    return (
+        df.groupBy(F.window(ts_col, size, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], aggs: list
+) -> DataFrame:
+    """Session windows (EventTimeSessionWindows.java → session_window)."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def capture_late_rows(df: DataFrame, ts_col: str, watermark_ts) -> DataFrame:
+    """Late-data side output: rows older than the supplied watermark.
+
+    Flink routes these to a side output (WindowOperator.java:568);
+    Spark silently drops them, so pipelines that must quarantine late
+    data run this filter inside foreachBatch against the previous
+    batch's max event time.
+    """
+    return df.where(F.col(ts_col) < watermark_ts)
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion into an in-memory table
+    (test/driver harness; real sinks are writeStream.format(...))."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

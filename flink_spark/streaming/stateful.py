@@ -1,0 +1,211 @@
+"""Custom stateful streaming operators (SURVEY.md M3).
+
+Spark has no declarative equivalent for these Flink operators; each is
+built on applyInPandasWithState (GroupState + Arrow batches):
+
+- streaming Top-N       ← StreamExecRank.java:83 /
+                          AppendOnlyTopNFunction.java:52
+- dedup keep-last       ← StreamExecDeduplicate.java:85 /
+                          deduplicate/ keep-last functions
+- temporal (as-of) join ← StreamExecTemporalJoin.java:77 /
+                          TemporalRowTimeJoinOperator.java:78
+
+State layout: small per-key buffers serialized as JSON-string arrays —
+the per-key state is O(N) for Top-N, O(1) for dedup, O(versions) for
+the temporal join (the reference keeps the same asymptotics in its
+state backends). At scale the state store shards by the grouping key,
+exactly like Flink's keyed state.
+
+All emission is per-micro-batch in update semantics: each batch emits
+the keys whose result changed. Flink's continuous operator emits
+per-record retract/insert pairs instead; under the changelog layer
+(flink_spark/changelog.py) the update stream is equivalent.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def topn_stream(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    payload_cols: list[str],
+    n: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Continuous Top-N per key over an append stream.
+
+    Emits, per micro-batch, the full current Top-N for every key that
+    received input — the same contract as Flink's updatable rank with
+    row_number materialization.
+    """
+    out_fields = ", ".join(
+        [f"{key} long", "rn integer", f"{order_col} double"]
+        + [f"{c} string" for c in payload_cols]
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf: list[list] = (
+            [json.loads(r) for r in state.get[0]] if state.exists else []
+        )
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                buf.append(
+                    [float(row[order_col])] + [str(row[c]) for c in payload_cols]
+                )
+        buf.sort(key=lambda r: r[0], reverse=not ascending)
+        buf = buf[:n]
+        state.update(([json.dumps(r) for r in buf],))
+        out = pd.DataFrame(
+            {
+                key: [k[0]] * len(buf),
+                "rn": list(range(1, len(buf) + 1)),
+                order_col: [r[0] for r in buf],
+                **{
+                    c: [r[1 + i] for r in buf]
+                    for i, c in enumerate(payload_cols)
+                },
+            }
+        )
+        yield out
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType="buf array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_keep_last_stream(
+    df: DataFrame, key: str, ts_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Keep-last deduplication over an append stream: per key, the row
+    with the greatest event time seen so far (ties: later arrival wins,
+    matching Flink's proc-time tie-break)."""
+    out_fields = ", ".join(
+        [f"{key} long", "ts_ms long"] + [f"{c} string" for c in payload_cols]
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        best_ts, best_payload = (
+            (state.get[0], json.loads(state.get[1])) if state.exists else (None, None)
+        )
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                t = int(pd.Timestamp(row[ts_col]).value // 1_000_000)
+                if best_ts is None or t >= best_ts:
+                    best_ts = t
+                    best_payload = [str(row[c]) for c in payload_cols]
+        state.update((best_ts, json.dumps(best_payload)))
+        yield pd.DataFrame(
+            {
+                key: [k[0]],
+                "ts_ms": [best_ts],
+                **{c: [best_payload[i]] for i, c in enumerate(payload_cols)},
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType="ts_ms long, payload string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def temporal_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_payload: list[str],
+) -> DataFrame:
+    """Streaming temporal join: each left row joins the newest right-side
+    version with version.ts <= left.ts for its key.
+
+    Implementation: tag+union the two streams into one keyed stream
+    (Spark stateful ops take a single input); per key the state holds
+    the version history [(ts, payload)...]. Within a micro-batch rows
+    are processed in event-time order with right-before-left on ties —
+    identical to TemporalRowTimeJoinOperator's ordered emission.
+
+    Versions are never evicted here; production use should bound the
+    history with a watermark-driven cleanup (the reference cleans state
+    at watermark passage, TemporalRowTimeJoinOperator.java registers
+    timers per version).
+    """
+    lsel = left.select(
+        F.col(key), F.col(ts_col), F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast("string").alias(f"__r_{c}") for c in right_payload],
+    )
+    rsel = right.select(
+        F.col(key), F.col(ts_col), F.lit(0).alias("__side"),
+        *[F.lit(None).cast("string").alias(c) for c in left_cols],
+        *[F.col(c).cast("string").alias(f"__r_{c}") for c in right_payload],
+    )
+    unioned = lsel.unionByName(rsel)
+
+    out_fields = ", ".join(
+        [f"{key} long", "ts_ms long"]
+        + [f"{c} string" for c in left_cols]
+        + [f"{c} string" for c in right_payload]
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        versions: list[list] = (
+            [json.loads(v) for v in state.get[0]] if state.exists else []
+        )
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf.to_dict("records"))
+        rows.sort(
+            key=lambda r: (pd.Timestamp(r[ts_col]).value, r["__side"])
+        )
+        out_rows = []
+        for r in rows:
+            t_ms = int(pd.Timestamp(r[ts_col]).value // 1_000_000)
+            if r["__side"] == 0:
+                versions.append([t_ms, [r[f"__r_{c}"] for c in right_payload]])
+            else:
+                match = None
+                for v in versions:
+                    if v[0] <= t_ms:
+                        match = v
+                    else:
+                        break
+                out_rows.append(
+                    [k[0], t_ms]
+                    + [str(r[c]) for c in left_cols]
+                    + (list(match[1]) if match else [None] * len(right_payload))
+                )
+        versions.sort(key=lambda v: v[0])
+        state.update(([json.dumps(v) for v in versions],))
+        cols = [key, "ts_ms"] + left_cols + right_payload
+        yield pd.DataFrame(out_rows, columns=cols)
+
+    return unioned.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType="versions array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
