@@ -1463,3 +1463,60 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(b).cast("long").alias("n_bytes"),
         F.md5(b).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M5: CEP / MATCH_RECOGNIZE (flink_spark/cep.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cep_click_to_purchase",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+               FROM events),
+    c AS (SELECT * FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, tms, min(event_id) AS p_id
+          FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+    first_p AS (
+      SELECT c.user_id, c.event_id AS a_id, c.tms AS a_ts,
+             (SELECT min(p.tms) FROM p
+              WHERE p.user_id = c.user_id AND p.tms > c.tms
+                AND p.tms <= c.tms + 3600000) AS b_ts
+      FROM c)
+    SELECT f.user_id, f.a_id, f.a_ts, p.p_id AS b_id, f.b_ts
+    FROM first_p f JOIN p ON p.user_id = f.user_id AND p.tms = f.b_ts
+    """,
+)
+def cep_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern (NO_SKIP): each click matched to the first strictly-later
+    purchase within 1h — Pattern.begin('a').followed_by('b').within(1h)
+    through the NFA engine, verified against a pure-SQL oracle."""
+    from flink_spark.cep import Pattern, pattern_match
+
+    ev = Catalog(spark, sf_dir).events
+    pat = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "click")
+        .followed_by("b").where(
+            lambda e, b: e["event_type"] == "purchase"
+            and e["__ts_ms"] > b["a"][0]["__ts_ms"]
+        )
+        .within(3_600_000)
+    )
+    out = pattern_match(
+        ev, pat, key="user_id", ts_col="ts",
+        order_cols=["event_id"], payload_cols=["event_type", "event_id"],
+    )
+    a = out.where(F.col("step") == "a").select(
+        "user_id", "match_id",
+        F.col("event_id").cast("long").alias("a_id"),
+        F.col("ts_ms").alias("a_ts"),
+    )
+    b = out.where(F.col("step") == "b").select(
+        "user_id", "match_id",
+        F.col("event_id").cast("long").alias("b_id"),
+        F.col("ts_ms").alias("b_ts"),
+    )
+    return a.join(b, ["user_id", "match_id"]).select(
+        "user_id", "a_id", "a_ts", "b_id", "b_ts"
+    )
