@@ -1520,3 +1520,78 @@ def cep_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, ["user_id", "match_id"]).select(
         "user_id", "a_id", "a_ts", "b_id", "b_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# M4: changelog / retraction layer (flink_spark/changelog.py)
+# ---------------------------------------------------------------------------
+
+_CDC_KIND_SQL = """CASE event_type WHEN 'signup' THEN '+I'
+                                   WHEN 'error' THEN '-D'
+                                   ELSE '+U' END"""
+
+
+def _cdc_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC stream derived from events: signup=+I, error=-D,
+    others=+U, keyed by user_id and ordered by (ts, event_id)."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "value",
+        F.when(F.col("event_type") == "signup", "+I")
+        .when(F.col("event_type") == "error", "-D")
+        .otherwise("+U")
+        .alias("row_kind"),
+    )
+
+
+@query(
+    "changelog_normalize_state",
+    f"""
+    WITH cdc AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+             {_CDC_KIND_SQL} AS row_kind
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms DESC, event_id DESC) AS rn
+      FROM cdc WHERE row_kind <> '-U')
+    SELECT user_id, event_id, ts_ms, value
+    FROM ranked WHERE rn = 1 AND row_kind <> '-D'
+    """,
+)
+def changelog_normalize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangelogNormalize (StreamExecChangelogNormalize.java:74): the
+    current state of a CDC stream — newest row per key, deletes drop."""
+    from flink_spark import changelog as CL
+
+    cdc = _cdc_from_events(spark, sf_dir)
+    return CL.changelog_normalize(
+        cdc, ["user_id"], [F.col("ts_ms"), F.col("event_id")]
+    ).select("user_id", "event_id", "ts_ms", "value")
+
+
+@query(
+    "changelog_retract_sum",
+    f"""
+    WITH cdc AS (
+      SELECT user_id, value, {_CDC_KIND_SQL} AS row_kind FROM events)
+    SELECT user_id % 10 AS user_bucket,
+           sum(CASE WHEN row_kind IN ('+I', '+U') THEN value ELSE -value END)
+             AS sum_value,
+           CAST(sum(CASE WHEN row_kind IN ('+I', '+U') THEN 1 ELSE -1 END)
+             AS BIGINT) AS net_count
+    FROM cdc GROUP BY 1
+    """,
+)
+def changelog_retract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable SUM/COUNT over a changelog (GroupAggFunction.java:43
+    retract path): +I/+U accumulate, -U/-D retract."""
+    from flink_spark import changelog as CL
+
+    cdc = _cdc_from_events(spark, sf_dir).withColumn(
+        "user_bucket", F.col("user_id") % 10
+    )
+    return CL.retracting_sum(cdc, ["user_bucket"], "value")
