@@ -73,6 +73,30 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (d1, d2, cos_sim) with
+    d1 < d2 and cosine >= threshold.
+
+    This is the exact tier; at corpus scale, bucket first with
+    `hyperplane_bucket` (turning the self-join into a per-bucket join)
+    and run this inside each bucket — identical output for any
+    threshold the bucketing preserves.
+    """
+    a = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("a_vec"))
+    b = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .withColumn("cos_sim", cosine(F.col("a_vec"), F.col("b_vec")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", "cos_sim")
+    )
+
+
 def plane_weight(p: int, d: int) -> float:
     """Deterministic md5-derived pseudo-random weight in [-7.5, 7.5].
 

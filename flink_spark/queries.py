@@ -1595,3 +1595,12 @@ def changelog_retract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_bucket", F.col("user_id") % 10
     )
     return CL.retracting_sum(cdc, ["user_bucket"], "value")
+
+
+# ---------------------------------------------------------------------------
+# Extended query families — imported last so their @query decorators run
+# against the registry above.
+# ---------------------------------------------------------------------------
+
+from flink_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
+from flink_spark import queries_ext as _queries_ext  # noqa: E402,F401
