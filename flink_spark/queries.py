@@ -1603,5 +1603,6 @@ def changelog_retract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from flink_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
+from flink_spark import queries_tpch2 as _queries_tpch2  # noqa: E402,F401
 from flink_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from flink_spark import queries_ext2 as _queries_ext2  # noqa: E402,F401

@@ -1,0 +1,265 @@
+"""TPC-H plan shapes, part 2: the nine queries not covered by queries_tpch.py.
+
+The reference's batch gate runs the full TPC-H set
+(flink-end-to-end-tests/test-scripts/test_tpch.sh:22, schemas in
+test-scripts/test-data/tpch/source.sql). The driver schema has no
+``partsupp`` table and no ship-mode/commit-date columns, so queries that
+need them are adapted while preserving the *optimizer shape* the original
+exercises — that shape (decorrelation, nested semi joins, OR-of-ANDs
+pushdown, double aggregation) is what Flink's planner (and Catalyst) must
+handle, regardless of the literal predicates:
+
+  q2  correlated min() subquery over a multi-join (part/supplier/region)
+  q8  market-share ratio: 8-way join, conditional agg over a derived table
+  q11 group-agg filtered by a scalar-subquery threshold (HAVING > scalar)
+  q12 join + two-branch conditional counts
+  q13 left outer join with ON-clause filter + double aggregation
+  q16 count(DISTINCT) with NOT IN subquery
+  q19 OR-of-ANDs multi-range predicate join (pushdown stress)
+  q20 nested IN subqueries with an aggregated HAVING inner
+  q21 EXISTS + NOT EXISTS self-joins on the fact table
+
+``partsupp`` is emulated where needed as the distinct (l_partkey,
+l_suppkey) pairs of lineitem with min(l_extendedprice/l_quantity) as the
+supply-cost proxy; exact-decimal arithmetic is used wherever an aggregate
+feeds a comparison, so Spark and the DuckDB oracle agree bit-for-bit.
+
+Scale notes (100 TB): every dimension join below is broadcast; the only
+shuffles are on the fact table's join/agg keys, and the q2/q11 partsupp
+emulation is a single map-side-combinable groupBy of lineitem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_spark.catalog import Catalog
+from flink_spark.queries import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql(text)
+
+
+_Q2 = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,6)) / CAST(l_quantity AS DECIMAL(18,6)))
+           AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part
+JOIN ps ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+
+@query("tpch_q2_min_cost_supplier", _Q2)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: min-cost supplier per part. The correlated min() subquery
+    decorrelates into an aggregate + join (FlinkDecorrelateProgram.scala,
+    SURVEY §4.1); supply cost is exact decimal so the equality filter is
+    engine-stable. partsupp emulated from lineitem (no partsupp table in
+    the driver schema)."""
+    return _sql(spark, sf_dir, _Q2)
+
+
+_Q8 = """
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+            / sum(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", _Q8)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: national market share. 8-way join where every dimension
+    broadcasts; the fact shuffles only on orderkey→custkey. The ratio's
+    numerator/denominator are decimal-exact before the final cast."""
+    df = _sql(spark, sf_dir, _Q8)
+    return df.selectExpr("CAST(o_year AS BIGINT) AS o_year", "mkt_share")
+
+
+_Q11 = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+  FROM lineitem GROUP BY 1, 2),
+national AS (
+  SELECT ps_partkey, value
+  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7'))
+SELECT ps_partkey, CAST(sum(value) AS DOUBLE) AS part_value
+FROM national
+GROUP BY ps_partkey
+HAVING sum(value) > (SELECT sum(value) * 0.001 FROM national)
+"""
+
+
+@query("tpch_q11_important_stock", _Q11)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts holding an outsized share of national supply value.
+    HAVING > (scalar subquery) plans as a one-row broadcast against the
+    aggregate; decimal sums keep the threshold comparison exact."""
+    return _sql(spark, sf_dir, _Q11)
+
+
+_Q12 = """
+SELECT l_linestatus AS linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@query("tpch_q12_late_lines_by_priority", _Q12)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (ship-mode → linestatus adaptation): late lineitems classified
+    by order priority. Join carries a non-equi residual
+    (l_shipdate > o_orderdate) over the equi orderkey shuffle."""
+    return _sql(spark, sf_dir, _Q12)
+
+
+_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+@query("tpch_q13_customer_distribution", _Q13)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: order-count distribution. The ON-clause extra predicate must
+    stay in the join (not become a WHERE, which would turn the left join
+    inner); then a second aggregation over the first's output."""
+    return _sql(spark, sf_dir, _Q13)
+
+
+_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_supplier_part_counts", _Q16)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: distinct-supplier counts per part class, excluding
+    "complaint" suppliers. NOT IN → null-aware anti join; the distinct
+    agg plans via Expand (SplitAggregateRule analogue is built into
+    Catalyst, SURVEY §2.4)."""
+    return _sql(spark, sf_dir, _Q16)
+
+
+_Q19 = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19_discounted_revenue", _Q19)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: OR-of-ANDs predicate spanning both join sides. Catalyst
+    extracts the common single-side conjuncts (p_brand/p_size on part,
+    l_quantity on lineitem) and pushes them below the join — the same
+    CNF-extraction Flink's PREDICATE_PUSHDOWN phase does (SURVEY §4.1)."""
+    return _sql(spark, sf_dir, _Q19)
+
+
+_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_12')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100)
+"""
+
+
+@query("tpch_q20_promotion_suppliers", _Q20)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers with heavy shipments of a part class — IN over an
+    aggregated-with-HAVING subquery → left-semi join against the agg."""
+    return _sql(spark, sf_dir, _Q20)
+
+
+_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND n_name IN ('NATION_4', 'NATION_14')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+GROUP BY s_name
+"""
+
+
+@query("tpch_q21_waiting_suppliers", _Q21)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21: the sole late supplier in multi-supplier orders. EXISTS +
+    NOT EXISTS over the fact table itself → semi then anti join, both
+    shuffling on orderkey (the NOT EXISTS carries a non-equi correlated
+    residual referencing o_orderdate)."""
+    return _sql(spark, sf_dir, _Q21)
