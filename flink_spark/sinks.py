@@ -1,0 +1,135 @@
+"""Sinks: §2.1's sink surface, including an exactly-once file sink.
+
+Reference analogues:
+- DataStream sinks print:934 / writeAsText:1002 / writeAsCsv:1041 /
+  addSink:1232 / sinkTo:1285 / executeAndCollect:1319
+  (flink-streaming-java/.../datastream/DataStream.java) → ``df.show`` /
+  ``df.write`` / ``writeStream``.
+- Sink V2 two-phase commit (flink-core/src/main/java/org/apache/flink/
+  api/connector/sink2/Sink.java, TwoPhaseCommittingSink.java): Flink
+  stages writes per checkpoint and commits on checkpoint-complete. The
+  Spark-native equivalent is ``foreachBatch`` + an idempotent commit
+  keyed by ``batchId`` — the streaming checkpoint replays a batch with
+  the SAME id after failure, so a batch-id ledger makes the sink
+  effectively exactly-once (same contract as Flink's
+  GlobalCommitter dedup).
+
+Scale note: `exactly_once_file_sink` writes each micro-batch as its own
+subdirectory (parallel executor writes, no driver data movement) and the
+ledger holds one tiny marker file per batch.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def print_sink(df: DataFrame, n: int = 20) -> None:
+    """DataStream.print:934."""
+    df.show(n, truncate=False)
+
+
+def write_as_text(df: DataFrame, path: str, mode: str = "error") -> None:
+    """writeAsText:1002 — single string column per row."""
+    cols = df.columns
+    out = df if cols == ["value"] else df.selectExpr(
+        "concat_ws(',', " + ", ".join(f"cast({c} as string)" for c in cols) + ") AS value"
+    )
+    out.write.mode(mode).text(path)
+
+
+def write_as_csv(df: DataFrame, path: str, mode: str = "error", **options: str) -> None:
+    """writeAsCsv:1041 → csv writer (header on by default here)."""
+    df.write.mode(mode).options(header="true", **options).csv(path)
+
+
+def write_file(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "error",
+               partition_by: list[str] | None = None, **options: str) -> None:
+    """FileSink bulk/row formats → ``df.write.format(fmt)``.
+
+    ``partition_by`` maps Flink's bucket assigner (date/hour directory
+    layout) to Spark partitioned layout — the thing that makes 100 TB
+    re-reads prunable."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if options:
+        writer = writer.options(**options)
+    writer.save(path)
+
+
+def memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """executeAndCollect:1319 for streams — results land in an in-memory
+    table ``name`` (test harness only, like Flink's TestSink)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    fn: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """addSink:1232 / sinkTo:1285 → foreachBatch with checkpointing.
+
+    ``fn(batch_df, batch_id)`` runs once per micro-batch; exactly-once
+    requires fn to be idempotent in ``batch_id`` (see
+    exactly_once_file_sink)."""
+    writer = (
+        df.writeStream.foreachBatch(fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def exactly_once_file_sink(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Two-phase-commit file sink (TwoPhaseCommittingSink.java analogue).
+
+    Stage: write batch ``i`` to ``out_dir/batch_id=i`` (executors write in
+    parallel). Commit: create ``_ledger/i`` marker. On failure-replay the
+    batch id repeats → the marker short-circuits the write, so downstream
+    readers of committed markers see each batch exactly once.
+    """
+    ledger = os.path.join(out_dir, "_ledger")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        os.makedirs(ledger, exist_ok=True)
+        marker = os.path.join(ledger, str(batch_id))
+        if os.path.exists(marker):  # replayed batch — already committed
+            return
+        batch_df.write.mode("overwrite").format(fmt).save(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        with open(marker, "w") as fh:
+            fh.write("committed")
+
+    return foreach_batch_sink(
+        df,
+        commit_batch,
+        checkpoint_dir=checkpoint_dir,
+        output_mode="append",
+        available_now=available_now,
+    )

@@ -1,0 +1,151 @@
+"""§2.1 sources/sinks: format roundtrips, inline sources, streaming
+file monitoring, and the exactly-once two-phase-commit file sink."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_spark import sinks, sources
+
+SCHEMA = StructType(
+    [
+        StructField("k", IntegerType()),
+        StructField("name", StringType()),
+        StructField("amount", LongType()),
+    ]
+)
+ROWS = [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)]
+
+
+def test_from_elements_and_collection(spark):
+    df = sources.from_elements(spark, ROWS, SCHEMA)
+    assert df.count() == 4
+    assert sources.from_collection(spark, ROWS, SCHEMA).schema == SCHEMA
+
+
+def test_from_sequence_inclusive(spark):
+    df = sources.from_sequence(spark, 1, 100)
+    got = df.agg(F.min("id"), F.max("id"), F.count("*")).first()
+    assert tuple(got) == (1, 100, 100)
+
+
+def test_datagen_deterministic_distributed(spark):
+    df = sources.datagen(
+        spark,
+        1000,
+        {
+            "user": "concat('u', cast(id % 7 as string))",
+            "amount": "(id * 31) % 100",
+        },
+        num_partitions=8,
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.where("user = 'u3'").count() == 143  # ids 3,10,...,997
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_file_roundtrip(spark, tmp_path, fmt):
+    src = sources.from_elements(spark, ROWS, SCHEMA)
+    path = str(tmp_path / fmt)
+    opts = {"header": "true"} if fmt == "csv" else {}
+    sinks.write_file(src, path, fmt=fmt, **opts)
+    back = sources.read_file(spark, path, fmt=fmt, schema=SCHEMA, **opts)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+
+
+def test_text_roundtrip(spark, tmp_path):
+    src = sources.from_elements(spark, ROWS, SCHEMA)
+    path = str(tmp_path / "text")
+    sinks.write_as_text(src, path)
+    back = sources.read_text_file(spark, path)
+    assert back.columns == ["value"]
+    assert sorted(r.value for r in back.collect())[0] == "1,a,10"
+
+
+def test_write_as_csv_partitioned_layout(spark, tmp_path):
+    src = sources.from_elements(spark, ROWS, SCHEMA)
+    path = str(tmp_path / "bucketed")
+    sinks.write_file(src, path, fmt="parquet", partition_by=["k"])
+    assert os.path.isdir(os.path.join(path, "k=1"))
+    # partition pruning: reading one bucket touches one directory
+    one = sources.read_file(spark, path, fmt="parquet").where("k = 2")
+    assert one.count() == 1
+
+
+def test_file_stream_directory_monitoring(spark, tmp_path):
+    """FileSource streaming mode: rows dropped into the dir are
+    discovered by the next micro-batch (availableNow drains all)."""
+    data_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    src = sources.from_elements(spark, ROWS, SCHEMA)
+    src.write.parquet(data_dir)
+    stream = sources.file_stream(
+        spark, data_dir, "parquet", SCHEMA, max_files_per_trigger=2
+    )
+    assert stream.isStreaming
+    seen: list[int] = []
+    q = sinks.foreach_batch_sink(
+        stream,
+        lambda bdf, bid: seen.append(bdf.count()),
+        checkpoint_dir=ckpt,
+        output_mode="append",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert sum(seen) == 4
+
+
+def test_rate_stream_is_streaming(spark):
+    df = sources.rate_stream(spark, rows_per_second=5)
+    assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
+
+
+def test_socket_kafka_jdbc_construct_only(spark):
+    """No broker/db in the container: the wrappers must still build the
+    right unresolved plan (option mapping is the product surface)."""
+    sock = sources.socket_text_stream(spark, "localhost", 19999)
+    assert sock.isStreaming and sock.columns == ["value"]
+    # kafka/jdbc readers validate connectivity at load(); construct the
+    # reader path only when the connector jar is absent.
+    with pytest.raises(Exception):
+        sources.jdbc_source(spark, "jdbc:invalid://nope", "t").collect()
+
+
+def test_exactly_once_file_sink_replay_dedup(spark, tmp_path):
+    """Two-phase commit: re-delivering the same batch id must not
+    duplicate output (Sink V2 / GlobalCommitter contract)."""
+    data_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sources.from_elements(spark, ROWS, SCHEMA).write.parquet(data_dir)
+
+    stream = sources.file_stream(spark, data_dir, "parquet", SCHEMA)
+    q = sinks.exactly_once_file_sink(
+        stream, out_dir, checkpoint_dir=ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    committed = sources.read_file(
+        spark, os.path.join(out_dir, "batch_id=0"), fmt="parquet"
+    )
+    assert committed.count() == 4
+
+    # simulate failure replay of batch 0: the ledger marker short-circuits
+    before = committed.collect()
+    stream2 = sources.file_stream(spark, data_dir, "parquet", SCHEMA)
+    q2 = sinks.exactly_once_file_sink(
+        stream2, out_dir, checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True
+    )
+    q2.awaitTermination(120)
+    after = sources.read_file(
+        spark, os.path.join(out_dir, "batch_id=0"), fmt="parquet"
+    ).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
