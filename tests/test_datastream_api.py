@@ -1,0 +1,133 @@
+"""DataStream-compat layer: rolling keyed aggregates must reproduce
+Flink's per-record emission; connect/side-output/partitioning wrappers
+must preserve rows."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.datastream import StreamExecutionEnvironment
+
+ROWS = [
+    ("u1", 1, 10.0),
+    ("u1", 2, 5.0),
+    ("u1", 3, 20.0),
+    ("u2", 1, 7.0),
+    ("u2", 2, 3.0),
+]
+SCHEMA = "user string, seq int, v double"
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+@pytest.fixture(scope="module")
+def ds(env):
+    return env.from_collection(ROWS, SCHEMA)
+
+
+def test_map_expr_and_filter(ds):
+    got = (
+        ds.map(["user", "v * 2 as v2"]).filter("v2 > 10").execute_and_collect()
+    )
+    assert sorted((r.user, r.v2) for r in got) == [("u1", 20.0), ("u1", 40.0), ("u2", 14.0)]
+
+
+def test_map_python_callable_arrow_batch(ds):
+    got = ds.map(
+        lambda pdf: pdf.assign(tag=pdf.user.str.upper()),
+        output_type="user string, seq int, v double, tag string",
+    ).execute_and_collect()
+    assert {r.tag for r in got} == {"U1", "U2"}
+
+
+def test_flat_map_explode(env):
+    ds = env.from_collection([("a b",), ("c",)], "line string")
+    got = ds.flat_map("split(line, ' ')").execute_and_collect()
+    assert sorted(r.value for r in got) == ["a", "b", "c"]
+
+
+def test_rolling_sum_per_record_emission(ds):
+    got = ds.key_by("user").sum("v", order_col="seq").execute_and_collect()
+    u1 = sorted((r.seq, r.sum_v) for r in got if r.user == "u1")
+    assert u1 == [(1, 10.0), (2, 15.0), (3, 35.0)]
+
+
+def test_rolling_min_by_keeps_record(ds):
+    got = ds.key_by("user").min_by("v", order_col="seq").execute_and_collect()
+    # after seq=3 for u1 the running-min record is still seq=2 (v=5)
+    u1 = [(r.seq, r.v) for r in got if r.user == "u1"]
+    assert (2, 5.0) in u1 and u1.count((2, 5.0)) == 2  # held at seq 2 and 3
+
+
+def test_keyed_reduce_arbitrary_fn(ds):
+    def plus(acc, row):
+        acc = acc.copy()
+        acc.v = acc.v + row.v
+        acc.seq = row.seq
+        return acc
+
+    got = ds.key_by("user").reduce(plus, order_col="seq").execute_and_collect()
+    final = {r.user: r.v for r in got if r.seq == max(x.seq for x in got if x.user == r.user)}
+    assert final == {"u1": 35.0, "u2": 10.0}
+
+
+def test_connect_co_map(env, ds):
+    other = env.from_collection([("u9", 99)], "name string, n int")
+    got = ds.connect(other).co_map(
+        ["user as id", "v as val"], ["name as id", "cast(n as double) as val"]
+    ).execute_and_collect()
+    assert ("u9", 99.0, "right") in {(r.id, r.val, r._origin) for r in got}
+    assert len(got) == 6
+
+
+def test_side_outputs_single_pass(ds):
+    main, sides = ds.split_by_tags(
+        {"big": "v >= 10", "tiny": "v < 5"}, keep_main="v >= 5 and v < 10"
+    )
+    assert sorted(r.v for r in sides["big"].execute_and_collect()) == [10.0, 20.0]
+    assert sorted(r.v for r in sides["tiny"].execute_and_collect()) == [3.0]
+    assert sorted(r.v for r in main.execute_and_collect()) == [5.0, 7.0]
+
+
+def test_partitioning_ops(ds):
+    assert ds.shuffle(4).df.rdd.getNumPartitions() == 4
+    assert ds.global_().df.rdd.getNumPartitions() == 1
+    assert ds.partition_custom("user").df.rdd.getNumPartitions() > 0
+    assert ds.project(0, 2).df.columns == ["user", "v"]
+
+
+def test_keyed_process_function(ds):
+    def spread(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user": [key[0]], "spread": [pdf.v.max() - pdf.v.min()]}
+        )
+
+    got = ds.key_by("user").process(spread, "user string, spread double").execute_and_collect()
+    assert {(r.user, r.spread) for r in got} == {("u1", 15.0), ("u2", 4.0)}
+
+
+def test_windowed_keyed_agg(env):
+    rows = [("u1", "2024-01-01 00:10:00", 1.0), ("u1", "2024-01-01 00:50:00", 2.0),
+            ("u1", "2024-01-01 01:10:00", 4.0)]
+    ds = env.from_collection(rows, "user string, ts_s string, v double").map(
+        ["user", "cast(ts_s as timestamp) as ts", "v"]
+    )
+    got = (
+        ds.key_by("user")
+        .window_tumble("ts", "1 hour")
+        .agg(F.sum("v").alias("total"))
+        .orderBy("window.start")
+        .collect()
+    )
+    assert [r.total for r in got] == [3.0, 4.0]
+
+
+def test_union_and_broadcast(env, ds):
+    extra = env.from_collection([("u3", 1, 1.0)], SCHEMA)
+    assert ds.union(extra).df.count() == 6
+    assert ds.broadcast().df.count() == 5  # hint preserves rows

@@ -1,0 +1,162 @@
+"""PyFlink-compat Table API: every method must produce the same rows as
+the equivalent native DataFrame program (the compat layer is pure
+delegation — these tests pin that no semantics drift in translation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.table_api import (
+    Over,
+    Session,
+    Slide,
+    TableEnvironment,
+    Tumble,
+)
+
+ROWS = [
+    (1, "a", 10.0, "2024-01-01 00:05:00"),
+    (1, "b", 20.0, "2024-01-01 00:20:00"),
+    (2, "a", 5.0, "2024-01-01 01:05:00"),
+    (2, "c", 15.0, "2024-01-01 01:40:00"),
+    (3, "a", 7.0, "2024-01-01 03:00:00"),
+]
+SCHEMA = "k int, name string, amount double, ts_s string"
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    return TableEnvironment.create(spark)
+
+
+@pytest.fixture(scope="module")
+def t(env):
+    return (
+        env.from_elements(ROWS, SCHEMA)
+        .add_columns("cast(ts_s as timestamp) as ts")
+        .drop_columns("ts_s")
+    )
+
+
+def test_select_filter_attribute_agg(t):
+    got = (
+        t.filter("amount > 6")
+        .group_by("k")
+        .select("k, amount.sum as total, amount.count as cnt")
+        .to_pandas()
+    )
+    assert sorted(map(tuple, got.itertuples(index=False))) == [
+        (1, 30.0, 2),
+        (2, 15.0, 1),
+        (3, 7.0, 1),
+    ]
+
+
+def test_add_rename_drop_columns(t):
+    got = (
+        t.add_columns("amount * 2 as doubled")
+        .rename_columns("doubled as d2")
+        .drop_columns("ts")
+        .select("k, d2")
+        .order_by("d2")
+        .fetch(1)
+        .to_pandas()
+    )
+    assert tuple(got.iloc[0]) == (2, 10.0)
+
+
+def test_joins_and_setops(env, t):
+    dim = env.from_elements([(1, "one"), (2, "two")], "k int, label string")
+    j = t.join(dim.rename_columns("k as dk"), "k = dk").select("k, label")
+    assert j.to_pandas().shape[0] == 4
+    lo = t.left_outer_join(dim.rename_columns("k as dk"), "k = dk")
+    assert lo.filter("dk is null").select("k").distinct().to_pandas().k.tolist() == [3]
+
+    a = t.select("k")
+    b = env.from_elements([(1,), (9,)], "k int")
+    assert sorted(a.union(b).to_pandas().k) == [1, 2, 3, 9]
+    assert sorted(a.intersect(b).to_pandas().k) == [1]
+    assert sorted(b.minus(a).to_pandas().k) == [9]
+
+
+def test_order_offset_fetch(t):
+    got = t.select("amount").order_by("amount.desc").offset(1).fetch(2).to_pandas()
+    assert got.amount.tolist() == [15.0, 10.0]
+
+
+def test_tumble_window(t):
+    got = (
+        t.window(Tumble.over("1 hour").on("ts").alias("w"))
+        .group_by("w, k")
+        .select("k, w.start as ws, amount.sum as total")
+        .to_pandas()
+    )
+    by_key = {(r.k, str(r.ws)): r.total for r in got.itertuples(index=False)}
+    assert by_key[(1, "2024-01-01 00:00:00")] == 30.0
+    assert by_key[(2, "2024-01-01 01:00:00")] == 20.0
+
+
+def test_slide_window_counts(t):
+    got = (
+        t.window(Slide.over("2 hours").every("1 hour").on("ts").alias("w"))
+        .group_by("w")
+        .select("w.start as ws, amount.count as cnt")
+        .to_pandas()
+    )
+    # row at 00:05 appears in windows starting 23:00 and 00:00
+    assert got.cnt.sum() == 2 * len(ROWS)
+
+
+def test_session_window_gap(t):
+    got = (
+        t.window(Session.with_gap("30 minutes").on("ts").alias("w"))
+        .group_by("w, k")
+        .select("k, amount.count as cnt")
+        .to_pandas()
+    )
+    # k=2 rows are 35 min apart → two sessions
+    assert got[got.k == 2].cnt.tolist() == [1, 1]
+
+
+def test_over_window(t):
+    got = (
+        t.over_column(
+            "running",
+            F.sum("amount"),
+            Over.partition_by("k").order_by("ts").preceding("unbounded"),
+        )
+        .select("k, amount, running")
+        .to_pandas()
+    )
+    k1 = got[got.k == 1].sort_values("amount")
+    assert k1.running.tolist() == [10.0, 30.0]
+
+
+def test_sql_roundtrip(env, t):
+    env.create_temporary_view("t_api", t)
+    got = env.sql_query(
+        "SELECT k, sum(amount) AS total FROM t_api GROUP BY k"
+    ).to_pandas()
+    assert dict(zip(got.k, got.total)) == {1: 30.0, 2: 20.0, 3: 7.0}
+    assert "t_api" in env.list_tables()
+    env.drop_temporary_view("t_api")
+
+
+def test_join_lateral_udtf(env):
+    docs = env.from_elements([(1, "a b"), (2, "c")], "id int, txt string")
+    got = (
+        docs.join_lateral("explode(split(txt, ' ')) as word")
+        .select("id, word")
+        .to_pandas()
+    )
+    assert sorted(map(tuple, got.itertuples(index=False))) == [
+        (1, "a"),
+        (1, "b"),
+        (2, "c"),
+    ]
+
+
+def test_explain_returns_plan(t):
+    plan = t.group_by("k").select("k, amount.sum").explain()
+    assert "HashAggregate" in plan or "AdaptiveSparkPlan" in plan
