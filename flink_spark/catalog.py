@@ -33,16 +33,23 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+        # rejects by default (PARQUET_TYPE_ILLEGAL). The conf is runtime
+        # settable, so apply it here — the session may be driver-owned and
+        # not built by flink_spark.session.get_spark().
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf locked down — the read below will surface the error
 
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
         if name not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-            if name == "events":
-                # ts is TIMESTAMP(NANOS) on disk, surfaced as long nanos via
-                # spark.sql.legacy.parquet.nanosAsLong; truncate to micros
-                # (integer div — double math would lose precision at 1e18).
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # ts surfaced as long nanos via nanosAsLong; truncate to
+                # micros (integer div — double math loses precision at 1e18).
                 from pyspark.sql import functions as F
 
                 df = df.withColumn(
@@ -51,10 +58,19 @@ class Catalog:
             self._cache[name] = df
         return self._cache[name]
 
-    def register_all(self) -> None:
-        """Register every table as a temp view for spark.sql queries."""
-        for name in TABLES:
-            self.table(name).createOrReplaceTempView(name)
+    def register_all(self, only: tuple[str, ...] | None = None) -> None:
+        """Register tables as temp views for spark.sql queries.
+
+        Guarded per-table: one unreadable table must not take down queries
+        that never touch it (VERDICT r1 §wrong-2).
+        """
+        errors: dict[str, Exception] = {}
+        for name in only if only is not None else TABLES:
+            try:
+                self.table(name).createOrReplaceTempView(name)
+            except Exception as exc:  # registered lazily by the next caller
+                errors[name] = exc
+        self._register_errors = errors
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

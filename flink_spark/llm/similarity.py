@@ -97,6 +97,64 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_bucketed(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    planes: int = 4,
+) -> DataFrame:
+    """Scale tier of embedding near-dup: candidates share a hyperplane
+    bucket, so the self-join is an equi-join on `bucket` — at 100 TB the
+    corpus shuffles once on a short string key and the cross product
+    never materializes. Output: (d1, d2, cos_sim) rounded to 6 digits
+    (both engines' float folds agree to ~1e-12; rounding makes the
+    driver hash stable).
+
+    Recall vs the exact tier is the standard LSH trade: pairs whose sign
+    patterns differ in any plane are not candidates. `cosine_pairs` is
+    the exact (quadratic) tier for verification at small SF.
+    """
+    b = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    a = b.select(
+        F.col("_id").alias("d1"), F.col("_vec").alias("a_vec"), "bucket"
+    )
+    c = b.select(
+        F.col("_id").alias("d2"), F.col("_vec").alias("b_vec"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("d1") < F.col("d2"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6)
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", "cos_sim")
+    )
+
+
+def bucket_sql(vec_sql: str, dim: int, planes: int = 4) -> str:
+    """DuckDB SQL computing the identical hyperplane bucket string.
+
+    The hyperplanes are md5-derived literals, and both engines evaluate
+    the same left-associated IEEE-double sum, so the sign bits match
+    bitwise — this lets the oracle replicate the bucketed plan exactly.
+    """
+    cases = []
+    for p in range(planes):
+        terms = " + ".join(
+            f"CAST({vec_sql}[{d + 1}] AS DOUBLE)*({plane_weight(p, d)!r})"
+            for d in range(dim)
+        )
+        cases.append(f"(CASE WHEN ({terms}) > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(cases)
+
+
 def plane_weight(p: int, d: int) -> float:
     """Deterministic md5-derived pseudo-random weight in [-7.5, 7.5].
 

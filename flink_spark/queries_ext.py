@@ -426,20 +426,53 @@ def agg_json_arrayagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_EMB_DIM = 64  # driver testdata embeddings dimension (TESTDATA.md)
+
+
 @query(
     "emb_cosine_neardup_pairs",
-    """
-    SELECT a.vec_id AS d1, b.vec_id AS d2,
-           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(b.embedding AS DOUBLE[])) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {sim.bucket_sql('embedding', _EMB_DIM)} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS d1, c.vec_id AS d2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])), 6)
+          >= 0.35
     """,
 )
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ 0.35 — the exact tier of
-    embedding dedup (LSH bucketing is the scale tier; see
-    llm/similarity.py)."""
+    """Embedding near-dup pairs ≥ 0.35, LSH-bucketed (the 100 TB shape):
+    candidate pairs come from an equi-join on the hyperplane bucket —
+    never an all-pairs nested loop. The oracle replicates the identical
+    md5-derived hyperplanes in SQL, so results match exactly."""
     e = Catalog(spark, sf_dir).embeddings
-    return sim.cosine_pairs(e, threshold=0.35)
+    return sim.cosine_pairs_bucketed(e, dim=_EMB_DIM, threshold=0.35)
+
+
+@query(
+    "emb_cosine_allpairs_exact",
+    """
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.35
+    """,
+)
+def emb_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs tier — the verification oracle for the bucketed
+    scale tier above; quadratic by design, run only at small SF."""
+    e = Catalog(spark, sf_dir).embeddings
+    a = sim.cosine_pairs(e, threshold=0.35)
+    return a.withColumn("cos_sim", F.round(F.col("cos_sim"), 6)).where(
+        F.col("cos_sim") >= 0.35
+    )

@@ -9,6 +9,9 @@ built on applyInPandasWithState (GroupState + Arrow batches):
                           deduplicate/ keep-last functions
 - temporal (as-of) join ← StreamExecTemporalJoin.java:77 /
                           TemporalRowTimeJoinOperator.java:78
+- streaming OVER agg    ← StreamExecOverAggregate.java:92 /
+                          ProcTimeUnboundedPrecedingFunction.java,
+                          RowTimeRangeBoundedPrecedingFunction.java
 
 State layout: small per-key buffers serialized as JSON-string arrays —
 the per-key state is O(N) for Top-N, O(1) for dedup, O(versions) for
@@ -58,11 +61,10 @@ def topn_stream(
         buf: list[list] = (
             [json.loads(r) for r in state.get[0]] if state.exists else []
         )
+        cols = [order_col] + payload_cols
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                buf.append(
-                    [float(row[order_col])] + [str(row[c]) for c in payload_cols]
-                )
+            for row in pdf[cols].itertuples(index=False):
+                buf.append([float(row[0])] + [str(v) for v in row[1:]])
         buf.sort(key=lambda r: r[0], reverse=not ascending)
         buf = buf[:n]
         state.update(([json.dumps(r) for r in buf],))
@@ -104,12 +106,13 @@ def dedup_keep_last_stream(
         best_ts, best_payload = (
             (state.get[0], json.loads(state.get[1])) if state.exists else (None, None)
         )
+        cols = [ts_col] + payload_cols
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                t = int(pd.Timestamp(row[ts_col]).value // 1_000_000)
+            for row in pdf[cols].itertuples(index=False):
+                t = int(pd.Timestamp(row[0]).value // 1_000_000)
                 if best_ts is None or t >= best_ts:
                     best_ts = t
-                    best_payload = [str(row[c]) for c in payload_cols]
+                    best_payload = [str(v) for v in row[1:]]
         state.update((best_ts, json.dumps(best_payload)))
         yield pd.DataFrame(
             {
@@ -206,6 +209,116 @@ def temporal_join_stream(
         fn,
         outputStructType=out_fields,
         stateStructType="versions array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def over_unbounded_preceding_stream(
+    df: DataFrame, key: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Streaming OVER aggregate, frame ROWS/RANGE UNBOUNDED PRECEDING →
+    CURRENT ROW: every input row is emitted extended with the running
+    sum/count/avg/min/max of `value_col` for its key, ordered by event
+    time (StreamExecOverAggregate.java:92 →
+    ProcTimeUnboundedPrecedingFunction / RowTimeUnboundedPrecedingOver).
+
+    State is O(1) per key (the accumulators), exactly the reference's
+    state layout. Rows inside a micro-batch are processed in event-time
+    order; cross-batch disorder is the caller's watermark concern (the
+    reference buffers until watermark — at micro-batch granularity the
+    batch boundary is the watermark).
+    """
+    out_fields = (
+        f"{key} long, ts_ms long, {value_col} double, run_sum double, "
+        "run_cnt long, run_avg double, run_min double, run_max double"
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s, cnt, mn, mx = (
+            state.get if state.exists else (0.0, 0, None, None)
+        )
+        rows = []
+        for pdf in pdfs:
+            for row in pdf[[ts_col, value_col]].itertuples(index=False):
+                rows.append((int(pd.Timestamp(row[0]).value // 1_000_000),
+                             float(row[1])))
+        rows.sort()
+        out = []
+        for t_ms, v in rows:
+            s += v
+            cnt += 1
+            mn = v if mn is None else min(mn, v)
+            mx = v if mx is None else max(mx, v)
+            out.append((k[0], t_ms, v, s, cnt, s / cnt, mn, mx))
+        state.update((s, cnt, mn, mx))
+        yield pd.DataFrame(
+            out,
+            columns=[key, "ts_ms", value_col, "run_sum", "run_cnt",
+                     "run_avg", "run_min", "run_max"],
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType="s double, cnt long, mn double, mx double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def over_range_bounded_stream(
+    df: DataFrame, key: str, ts_col: str, value_col: str, range_ms: int
+) -> DataFrame:
+    """Streaming OVER aggregate with a time-range frame:
+    RANGE BETWEEN <range_ms> PRECEDING AND CURRENT ROW on event time
+    (RowTimeRangeBoundedPrecedingFunction.java semantics: expired rows
+    are retracted from the accumulator as the frame slides).
+
+    State per key is the in-frame buffer [(ts_ms, value)…] — O(rows in
+    range), the same asymptotics as the reference's `inputState` map.
+    Eviction is monotone because rows are processed in event-time order.
+    """
+    out_fields = (
+        f"{key} long, ts_ms long, {value_col} double, "
+        "frame_sum double, frame_cnt long, frame_avg double"
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf: list[list] = (
+            [json.loads(r) for r in state.get[0]] if state.exists else []
+        )
+        rows = []
+        for pdf in pdfs:
+            for row in pdf[[ts_col, value_col]].itertuples(index=False):
+                rows.append((int(pd.Timestamp(row[0]).value // 1_000_000),
+                             float(row[1])))
+        rows.sort()
+        out = []
+        for t_ms, v in rows:
+            buf.append([t_ms, v])
+            lo = t_ms - range_ms
+            # retract expired rows (reference: onTimer cleanup loop)
+            while buf and buf[0][0] < lo:
+                buf.pop(0)
+            fs = sum(b[1] for b in buf)
+            fc = len(buf)
+            out.append((k[0], t_ms, v, fs, fc, fs / fc))
+        state.update(([json.dumps(b) for b in buf],))
+        yield pd.DataFrame(
+            out,
+            columns=[key, "ts_ms", value_col, "frame_sum", "frame_cnt",
+                     "frame_avg"],
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType="buf array<string>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -129,6 +129,107 @@ def test_stream_dedup_keep_last_matches_batch(spark):
     )
 
 
+def _micro_batched_events(spark, tmpdir, n_batches=3):
+    """Write the events table as n time-ordered parquet files so the
+    file-stream source (maxFilesPerTrigger=1) replays them as separate
+    micro-batches — the operator-harness analogue of pushing elements
+    + watermarks (OneInputStreamOperatorTestHarness)."""
+    import os
+    import time
+
+    ev = (
+        Catalog(spark, SF_DIR).events
+        # collapse to unique (user_id, millisecond) so batch/stream
+        # tie-breaks and RANGE peer-row semantics can't differ
+        .groupBy(
+            "user_id",
+            F.timestamp_millis(F.unix_millis("ts")).alias("ts"),
+        )
+        .agg(F.sum("value").alias("value"))
+    )
+    rows = ev.orderBy("ts").collect()
+    cut = len(rows) // n_batches + 1
+    schema = ev.schema
+    for i in range(n_batches):
+        chunk = rows[i * cut : (i + 1) * cut]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(tmpdir, "in"))
+        time.sleep(1.05)  # distinct mtimes → deterministic replay order
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(tmpdir, "in")),
+        ev,
+    )
+
+
+def test_stream_over_unbounded_matches_batch(spark, tmp_path):
+    """Streaming OVER (UNBOUNDED PRECEDING): per-row running aggregates
+    across micro-batch boundaries must equal the batch window plan
+    (StreamExecOverAggregate.java:92 semantics)."""
+    stream, batch = _micro_batched_events(spark, str(tmp_path))
+    out = SS.over_unbounded_preceding_stream(stream, "user_id", "ts", "value")
+    SC.run_to_memory(out, "t_over_unb", "append")
+    got = spark.sql(
+        "SELECT user_id, ts_ms, run_sum, run_cnt, run_min, run_max FROM t_over_unb"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = batch.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.sum("value").over(w).alias("run_sum"),
+        F.count("*").over(w).alias("run_cnt"),
+        F.min("value").over(w).alias("run_min"),
+        F.max("value").over(w).alias("run_max"),
+    )
+    got_rows = sorted(
+        (r[0], r[1], round(r[2], 6), r[3], round(r[4], 6), round(r[5], 6))
+        for r in got.collect()
+    )
+    want_rows = sorted(
+        (r[0], r[1], round(r[2], 6), r[3], round(r[4], 6), round(r[5], 6))
+        for r in want.collect()
+    )
+    assert got_rows == want_rows
+
+
+def test_stream_over_range_bounded_matches_batch(spark, tmp_path):
+    """Streaming OVER with a 1-hour RANGE frame: expired rows are
+    retracted as the frame slides (RowTimeRangeBoundedPrecedingFunction
+    semantics); result must equal the batch rangeBetween plan."""
+    stream, batch = _micro_batched_events(spark, str(tmp_path))
+    out = SS.over_range_bounded_stream(
+        stream, "user_id", "ts", "value", range_ms=3_600_000
+    )
+    SC.run_to_memory(out, "t_over_rng", "append")
+    got = spark.sql("SELECT user_id, ts_ms, frame_sum, frame_cnt FROM t_over_rng")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3_600_000, 0)
+    )
+    want = batch.select(
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.sum("value").over(w).alias("frame_sum"),
+        F.count("*").over(w).alias("frame_cnt"),
+    )
+    got_rows = sorted(
+        (r[0], r[1], round(r[2], 6), r[3]) for r in got.collect()
+    )
+    want_rows = sorted(
+        (r[0], r[1], round(r[2], 6), r[3]) for r in want.collect()
+    )
+    assert got_rows == want_rows
+
+
 def test_stream_temporal_join_matches_batch_asof(spark):
     ev = SC.stream_table(spark, SF_DIR, "events")
     left = ev.where(F.col("event_type") == "purchase").select(

@@ -6,11 +6,21 @@ import sys
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as E
-from flink_spark.session import get_spark
+from pyspark.sql import SparkSession
 
 SF = "/root/testdata/sf0.01"
 
-spark = get_spark("drive_entry")
+# Driver-like session: deliberately NOT flink_spark.session.get_spark(),
+# so conf the driver doesn't set (e.g. parquet nanosAsLong) is absent —
+# round-1 ERRs only reproduced on a foreign session.
+spark = (
+    SparkSession.builder.master("local[16]")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("drive_entry")
+    .getOrCreate()
+)
 
 # 1. smoke: entry()
 df = E.entry(spark)
