@@ -1,36 +1,51 @@
 """CEP: complex event processing — Pattern API + NFA matcher.
 
 Reference semantics (ported as *behavior*, not code):
-- Pattern API: Pattern.begin/where/next/followedBy, quantifiers
-  times/oneOrMore/optional, within
-  (flink-libraries/flink-cep/.../pattern/Pattern.java:137-418)
-- NFA matching (flink-libraries/flink-cep/.../nfa/NFA.java) with
-  after-match skip strategies (nfa/aftermatch/):
-  NO_SKIP (default) and SKIP_PAST_LAST_EVENT implemented.
+- Pattern API: Pattern.begin/where/next/followedBy/followedByAny,
+  quantifiers times/oneOrMore/optional/greedy/consecutive, within
+  (flink-libraries/flink-cep/.../pattern/Pattern.java:137-418; the
+  followedByAny branching is Pattern.java:343)
+- NFA matching (flink-libraries/flink-cep/.../nfa/NFA.java) via a
+  backtracking enumerator over each key's time-ordered events.
+- After-match skip strategies (nfa/aftermatch/): NO_SKIP (default),
+  SKIP_TO_NEXT, SKIP_PAST_LAST_EVENT, SKIP_TO_FIRST(step),
+  SKIP_TO_LAST(step) — all five of the reference's strategies.
 - SQL MATCH_RECOGNIZE glue (StreamExecMatch.java:59) is a later
   front-end; the Pattern API is the contract (SURVEY §7 M5).
 
 Contiguity model (matching Flink):
-- next()        strict      — the very next event must match
-- followed_by() relaxed     — non-matching events are skipped; the FIRST
-                              matching event continues the match
-  (followedByAny's all-combinations branching is not implemented.)
-- quantifiers greedily consume consecutive matching events up to their
-  max; relaxed skipping applies only while below the min quota. (Full
-  relaxed-greedy backtracking, as in b+ c over b x b c, is a known
-  simplification — the first non-match after the quota ends the step.)
+- next()            strict  — the very next event must match
+- followed_by()     relaxed — non-matching events are skipped; the
+                              FIRST matching event continues the match
+- followed_by_any() any     — every later matching event starts its own
+                              branch (all-combinations, NFA forking)
+- looping quantifiers use relaxed internal contiguity by default
+  (non-matching gaps are stepped over while consuming, with full
+  backtracking — `b+ c` over "b x b c" matches {b,b,c});
+  .consecutive() switches the loop to strict internal contiguity.
+- Quantifiers are greedy by default (longest take that still lets the
+  rest of the pattern match wins — regex-style backtracking).
+  .non_greedy() emits every quota-satisfying take count as its own
+  match (the reference's default for oneOrMore emits all prefixes;
+  our default is greedy because that is the overwhelmingly common
+  query intent — the deviation is this flag's direction).
+
+Match emission order is completion order (last event index, then start
+index) — the same order the reference's NFA emits completed matches —
+and the after-match strategy prunes in that order.
 
 Execution: per-key sequential scan over time-ordered events — the same
 shape as Flink's keyed NFA state. On Spark the per-key work runs inside
 applyInPandas; parallelism comes from the key partitioning, so the
 operator scales with key cardinality (a single mega-key is the same
-bottleneck it is in the reference).
+bottleneck it is in the reference). `any` contiguity is exponential in
+the worst case, exactly as in the reference's SharedBuffer branching.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,14 +54,19 @@ from pyspark.sql import functions as F
 Predicate = Callable[[dict, dict], bool]
 """(event_row, bindings_so_far) -> bool; bindings maps step name -> list of rows."""
 
+# contiguity for the first event of a step
+STRICT, RELAXED, ANY = "strict", "relaxed", "any"
+
 
 @dataclass
 class _Step:
     name: str
     predicate: Predicate | None = None
-    strict: bool = False  # next() vs followedBy()
+    contiguity: str = RELAXED  # next()=strict / followed_by()=relaxed / _any()=any
     min_times: int = 1
     max_times: int = 1
+    greedy: bool = True
+    loop_contiguity: str = RELAXED  # internal; consecutive() -> strict
 
 
 @dataclass
@@ -55,12 +75,13 @@ class Pattern:
 
     steps: list[_Step] = field(default_factory=list)
     within_ms: int | None = None
-    after_match: str = "no_skip"  # or "skip_past_last"
+    after_match: str = "no_skip"
+    skip_to_step: str | None = None  # for skip_to_first / skip_to_last
 
     @staticmethod
     def begin(name: str) -> "Pattern":
         p = Pattern()
-        p.steps.append(_Step(name))
+        p.steps.append(_Step(name, contiguity=STRICT))
         return p
 
     def where(self, pred: Predicate) -> "Pattern":
@@ -68,11 +89,16 @@ class Pattern:
         return self
 
     def next(self, name: str) -> "Pattern":
-        self.steps.append(_Step(name, strict=True))
+        self.steps.append(_Step(name, contiguity=STRICT))
         return self
 
     def followed_by(self, name: str) -> "Pattern":
-        self.steps.append(_Step(name, strict=False))
+        self.steps.append(_Step(name, contiguity=RELAXED))
+        return self
+
+    def followed_by_any(self, name: str) -> "Pattern":
+        """All-combinations branching (Pattern.java:343 followedByAny)."""
+        self.steps.append(_Step(name, contiguity=ANY))
         return self
 
     def times(self, n: int, n_max: int | None = None) -> "Pattern":
@@ -89,73 +115,154 @@ class Pattern:
         self.steps[-1].min_times = 0
         return self
 
+    def greedy(self) -> "Pattern":
+        self.steps[-1].greedy = True
+        return self
+
+    def non_greedy(self) -> "Pattern":
+        """Emit a match for every quota-satisfying take count (the
+        reference's all-prefixes oneOrMore behavior)."""
+        self.steps[-1].greedy = False
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """Strict internal contiguity for the current looping step
+        (Pattern.java consecutive())."""
+        self.steps[-1].loop_contiguity = STRICT
+        return self
+
     def within(self, duration_ms: int) -> "Pattern":
         self.within_ms = duration_ms
         return self
+
+    # -- after-match skip strategies (nfa/aftermatch/) --
 
     def after_match_skip_past_last(self) -> "Pattern":
         self.after_match = "skip_past_last"
         return self
 
+    def after_match_skip_to_next(self) -> "Pattern":
+        self.after_match = "skip_to_next"
+        return self
 
-def _match_from(
+    def after_match_skip_to_first(self, step: str) -> "Pattern":
+        self.after_match = "skip_to_first"
+        self.skip_to_step = step
+        return self
+
+    def after_match_skip_to_last(self, step: str) -> "Pattern":
+        self.after_match = "skip_to_last"
+        self.skip_to_step = step
+        return self
+
+
+def _enumerate_from(
     events: list[dict], start: int, pattern: Pattern, ts_field: str
-) -> list[tuple[str, int]] | None:
-    """Try to build one match starting at events[start].
+) -> Iterator[list[tuple[str, int]]]:
+    """Yield every complete match anchored at events[start].
 
-    Returns [(step_name, event_index), ...] or None. Deterministic
-    single-continuation semantics (see module docstring).
+    Backtracking search over (step, position, take-count) decisions.
+    Greedy steps prefer consuming and suppress the shorter alternative
+    once the longer one succeeds; non-greedy steps emit both.
     """
-    bindings: dict[str, list[dict]] = {}
-    matched: list[tuple[str, int]] = []
-    pos = start
+    steps = pattern.steps
+    n = len(events)
     deadline = (
         events[start][ts_field] + pattern.within_ms
         if pattern.within_ms is not None
         else None
     )
 
-    for si, step in enumerate(pattern.steps):
-        taken = 0
-        while taken < step.max_times:
-            if pos >= len(events):
-                break
-            ev = events[pos]
-            if deadline is not None and ev[ts_field] > deadline:
-                break
-            ok = step.predicate is None or step.predicate(ev, bindings)
-            if ok:
-                matched.append((step.name, pos))
-                bindings.setdefault(step.name, []).append(ev)
-                pos += 1
-                taken += 1
-            elif step.strict or taken >= step.min_times:
-                # strict: a non-matching next event kills the step;
-                # relaxed with quota met: stop consuming, move on
-                break
-            else:
-                if si == 0:
-                    return None  # begin step anchors at `start`
-                pos += 1  # relaxed: skip the non-matching event
-        if taken < step.min_times:
-            return None
-    return matched
+    def in_window(idx: int) -> bool:
+        return deadline is None or events[idx][ts_field] <= deadline
+
+    def rec(
+        si: int, pos: int, taken: int,
+        matched: list[tuple[str, int]], bindings: dict,
+    ) -> Iterator[list[tuple[str, int]]]:
+        if si == len(steps):
+            yield list(matched)
+            return
+        step = steps[si]
+
+        def advance() -> Iterator[list[tuple[str, int]]]:
+            if taken >= step.min_times:
+                yield from rec(si + 1, pos, 0, matched, bindings)
+
+        def consume() -> Iterator[list[tuple[str, int]]]:
+            if taken >= step.max_times:
+                return
+            # contiguity governing the next event of this step
+            contig = step.contiguity if taken == 0 else step.loop_contiguity
+            p = pos
+            while p < n:
+                if not in_window(p):
+                    return
+                ev = events[p]
+                ok = step.predicate is None or step.predicate(ev, bindings)
+                if ok:
+                    matched.append((step.name, p))
+                    bindings.setdefault(step.name, []).append(ev)
+                    yield from rec(si, p + 1, taken + 1, matched, bindings)
+                    bindings[step.name].pop()
+                    if not bindings[step.name]:
+                        del bindings[step.name]
+                    matched.pop()
+                    if contig != ANY:
+                        return  # committed to the first matching event
+                    p += 1  # any: also branch on later matching events
+                else:
+                    if contig == STRICT:
+                        return
+                    if si == 0 and taken == 0:
+                        return  # begin step anchors at `start`
+                    p += 1  # relaxed/any: step over the non-matching event
+
+        if step.greedy:
+            produced = False
+            for m in consume():
+                produced = True
+                yield m
+            # greedy: the shorter (advance) alternative only if no longer
+            # take succeeded — regex-style backtracking
+            if not produced:
+                yield from advance()
+        else:
+            yield from advance()
+            yield from consume()
+
+    yield from rec(0, start, 0, [], {})
 
 
 def find_matches(
     events: list[dict], pattern: Pattern, ts_field: str
 ) -> list[list[tuple[str, dict]]]:
-    """Run the NFA over one key's time-ordered events."""
-    out = []
-    i = 0
-    while i < len(events):
-        m = _match_from(events, i, pattern, ts_field)
-        if m:
-            out.append([(name, events[idx]) for name, idx in m])
-            if pattern.after_match == "skip_past_last":
-                i = m[-1][1] + 1
-                continue
-        i += 1
+    """Run the NFA over one key's time-ordered events and apply the
+    after-match skip strategy in completion order."""
+    raw: list[list[tuple[str, int]]] = []
+    for i in range(len(events)):
+        raw.extend(_enumerate_from(events, i, pattern, ts_field))
+    # completion order: (last event idx, start idx, full index tuple)
+    raw.sort(key=lambda m: (m[-1][1], m[0][1], tuple(idx for _, idx in m)))
+
+    out: list[list[tuple[str, dict]]] = []
+    min_start = 0
+    for m in raw:
+        m_start, m_end = m[0][1], m[-1][1]
+        if m_start < min_start:
+            continue  # pruned by the strategy (reference: discardComputationStates)
+        out.append([(name, events[idx]) for name, idx in m])
+        if pattern.after_match == "skip_to_next":
+            min_start = m_start + 1
+        elif pattern.after_match == "skip_past_last":
+            min_start = m_end + 1
+        elif pattern.after_match in ("skip_to_first", "skip_to_last"):
+            bound = [idx for name, idx in m if name == pattern.skip_to_step]
+            if bound:
+                tgt = bound[0] if pattern.after_match == "skip_to_first" else bound[-1]
+                # clamp: never move backwards (the reference throws on
+                # would-not-advance; we keep same-start matches eligible)
+                min_start = max(min_start, tgt)
     return out
 
 
@@ -180,11 +287,13 @@ def pattern_match(
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, *order_cols])
+        key_val = pdf[key].iloc[0]
+        ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
         events = []
-        for _, row in pdf.iterrows():
-            d = {c: row[c] for c in payload_cols}
-            d["__key"] = row[key]
-            d["__ts_ms"] = int(pd.Timestamp(row[ts_col]).value // 1_000_000)
+        for i, row in enumerate(pdf[payload_cols].itertuples(index=False)):
+            d = dict(zip(payload_cols, row))
+            d["__key"] = key_val
+            d["__ts_ms"] = int(ts_ms[i])
             events.append(d)
         matches = find_matches(events, pattern, "__ts_ms")
         rows = []

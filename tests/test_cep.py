@@ -101,6 +101,141 @@ def test_after_match_skip():
     assert len(m2) == 1
 
 
+def test_relaxed_greedy_backtracking():
+    """b+ c over "b x b c" must match {b,b,c} — relaxed internal
+    contiguity steps over the gap while the loop keeps consuming
+    (MatchRecognizeITCase-style scenario; r1 VERDICT item 6)."""
+    p = (
+        Pattern.begin("b").where(lambda e, _: e["event_type"] == "B").one_or_more()
+        .followed_by("c").where(lambda e, _: e["event_type"] == "C")
+    )
+    events = [ev(1, "B"), ev(2, "X"), ev(3, "B"), ev(4, "C")]
+    m = find_matches(events, p, "__ts_ms")
+    assert [(s, e["__ts_ms"]) for s, e in m[0]] == [
+        ("b", 1), ("b", 3), ("c", 4),
+    ]
+
+
+def test_greedy_backtracks_on_overlap():
+    """Greedy loop gives back events the tail needs: a+ b where the
+    last event matches both predicates."""
+    p = (
+        Pattern.begin("a").where(lambda e, _: e["event_type"] in ("A", "AB"))
+        .one_or_more()
+        .followed_by("b").where(lambda e, _: e["event_type"] == "AB")
+    )
+    events = [ev(1, "A"), ev(2, "AB")]
+    m = find_matches(events, p, "__ts_ms")
+    assert [(s, e["__ts_ms"]) for s, e in m[0]] == [("a", 1), ("b", 2)]
+
+
+def test_followed_by_any_branches():
+    """followedByAny (Pattern.java:343): every later matching event
+    creates its own match branch."""
+    p = (
+        Pattern.begin("a").where(lambda e, _: e["event_type"] == "A")
+        .followed_by_any("b").where(lambda e, _: e["event_type"] == "B")
+    )
+    events = [ev(1, "A"), ev(2, "B"), ev(3, "B")]
+    m = find_matches(events, p, "__ts_ms")
+    got = sorted([(s, e["__ts_ms"]) for s, e in mm] for mm in m)
+    assert got == [
+        [("a", 1), ("b", 2)],
+        [("a", 1), ("b", 3)],
+    ]
+
+
+def test_consecutive_loop_contiguity():
+    """consecutive(): the loop's internal contiguity becomes strict, so
+    the gap ends consumption."""
+    p = (
+        Pattern.begin("b").where(lambda e, _: e["event_type"] == "B")
+        .one_or_more().consecutive()
+        .followed_by("c").where(lambda e, _: e["event_type"] == "C")
+    )
+    events = [ev(1, "B"), ev(2, "X"), ev(3, "B"), ev(4, "C")]
+    m = find_matches(events, p, "__ts_ms")
+    got = sorted([(s, e["__ts_ms"]) for s, e in mm] for mm in m)
+    # b@1 can't reach past the gap; b@3 matches alone
+    assert got == [
+        [("b", 1), ("c", 4)],
+        [("b", 3), ("c", 4)],
+    ]
+
+
+def test_non_greedy_emits_all_takes():
+    """non_greedy(): every quota-satisfying take count is its own match
+    (the reference's all-prefixes oneOrMore)."""
+    p = (
+        Pattern.begin("a").where(lambda e, _: e["event_type"] == "A")
+        .one_or_more().non_greedy()
+        .followed_by("b").where(lambda e, _: e["event_type"] == "B")
+    )
+    events = [ev(1, "A"), ev(2, "A"), ev(3, "B")]
+    m = find_matches(events, p, "__ts_ms")
+    got = sorted([(s, e["__ts_ms"]) for s, e in mm] for mm in m)
+    assert [("a", 1), ("a", 2), ("b", 3)] in got
+    assert [("a", 1), ("b", 3)] in got
+    assert [("a", 2), ("b", 3)] in got
+
+
+def _ab_pattern(strategy=None, step=None):
+    p = (
+        Pattern.begin("a").where(lambda e, _: e["event_type"] == "A")
+        .followed_by("b").where(lambda e, _: e["event_type"] == "B")
+    )
+    if strategy == "skip_to_next":
+        p.after_match_skip_to_next()
+    elif strategy == "skip_past_last":
+        p.after_match_skip_past_last()
+    elif strategy == "skip_to_first":
+        p.after_match_skip_to_first(step)
+    elif strategy == "skip_to_last":
+        p.after_match_skip_to_last(step)
+    return p
+
+
+def test_skip_to_next():
+    """SKIP_TO_NEXT (nfa/aftermatch/SkipToNextStrategy): one match per
+    start event."""
+    p = (
+        Pattern.begin("a").where(lambda e, _: e["event_type"] == "A")
+        .followed_by_any("b").where(lambda e, _: e["event_type"] == "B")
+        .after_match_skip_to_next()
+    )
+    events = [ev(1, "A"), ev(2, "B"), ev(3, "B")]
+    m = find_matches(events, p, "__ts_ms")
+    assert len(m) == 1  # the a@1 anchor emits only its first completion
+    assert [(s, e["__ts_ms"]) for s, e in m[0]] == [("a", 1), ("b", 2)]
+
+
+def test_skip_to_first_and_last():
+    """SKIP_TO_FIRST/LAST[step] prune matches starting before the
+    bound event of the accepted match."""
+    # a{2} with overlapping candidates: events A A A B
+    base = lambda: (
+        Pattern.begin("a").where(lambda e, _: e["event_type"] == "A").times(2)
+        .followed_by("b").where(lambda e, _: e["event_type"] == "B")
+    )
+    events = [ev(1, "A"), ev(2, "A"), ev(3, "A"), ev(4, "B")]
+    no_skip = base()
+    m0 = find_matches(events, no_skip, "__ts_ms")
+    assert len(m0) == 2  # anchors at a@1 and a@2
+
+    to_last = base().after_match_skip_to_last("a")
+    m1 = find_matches(events, to_last, "__ts_ms")
+    # first match binds a@[1,2]; skip-to-last moves the floor to a@2,
+    # so the anchor at index of a@2 survives, nothing earlier
+    assert len(m1) == 2
+    assert [e["__ts_ms"] for _, e in m1[1]][:2] == [2, 3]
+
+    to_first = base().after_match_skip_to_first("a")
+    m2 = find_matches(events, to_first, "__ts_ms")
+    # floor moves to the accepted match's own first event — later
+    # anchors still eligible
+    assert len(m2) == 2
+
+
 def test_binding_predicates():
     """Predicates can reference earlier bindings (PREV-style conditions)."""
     p = (
