@@ -28,69 +28,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries.
-# Round 1 checked the first 50 of the registry; round 2 front-loads
-# (a) the 13 rows that failed/ERR'd in round 1 (now fixed) and (b) the
-# previously-unchecked families (TPC-H q2-q22, CEP, changelog, UDAF/UDTF,
-# embeddings, window/lookup joins), deferring simple scalar batteries and
-# round-1 green rows to later rounds.
-_R1_FAILING = [
-    "agg_stats_family",
-    "agg_grouping_sets",
-    "pivot_event_values",
-    "join_interval_clicks_purchases",
-    "join_asof_last_click",
-    "over_lag_lead",
-    "dedup_first_per_key",
-    "dedup_last_per_key",
-    "tvf_tumble_daily",
-    "tvf_hop_2h_1h",
-    "tvf_cumulate_6h_day",
-    "tvf_session_1h",
-    "scalar_json_battery",
-]
-# Likely-green simple batteries: deferred past the 50-query window so the
-# high-value dark families get oracle signal this round.
-_DEFER = [
-    "doc_fingerprint",
-    "scalar_regexp_battery",
-    "scalar_bitwise_battery",
-    "scalar_encode_url_map",
-    "scalar_try_cast_typeof",
-    "set_union_distinct",
-    "set_except_all",
-    "values_inline_table",
-    "over_first_last_nth",
-    "agg_min_by_max_by",
-    "sort_offset_fetch",
-    "agg_json_objectagg",
-    "agg_json_arrayagg",
-    "emb_cosine_allpairs_exact",
-]
-# Green in round 1 (CORRECTNESS_r01.json) — re-checked last.
+# Round 3 front-loads (a) every registry entry that has never had a
+# driver CORRECTNESS row (not in r01 ∪ r02 — this automatically covers
+# queries added this round), and (b) the rows that failed in earlier
+# rounds and have since been fixed (emb_cosine_topk rounding, r2).
+# Previously-green rows fill the remaining window slots, oldest first.
 import json as _json
 
-_R1_CHECKED = set(
-    _json.load(open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "CORRECTNESS_r01.json")))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _load_checked(fname: str) -> set[str]:
+    try:
+        with open(os.path.join(_HERE, fname)) as f:
+            return set(_json.load(f))
+    except FileNotFoundError:
+        return set()
+
+
+_CHECKED = _load_checked("CORRECTNESS_r01.json") | _load_checked(
+    "CORRECTNESS_r02.json"
 )
+_REFIXED = ["emb_cosine_topk"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    the driver's 50-query correctness window covers previously-failing
-    and previously-unchecked entries first."""
+    the driver's 50-query correctness window covers never-yet-checked
+    and previously-failing entries first."""
     allq = dict(_q.QUERIES)
-    front = [n for n in _R1_FAILING if n in allq]
-    front += [
-        n
-        for n in allq
-        if n not in _R1_FAILING and n not in _DEFER and n not in _R1_CHECKED
-    ]
-    back = [n for n in _DEFER if n in allq]
-    back += [
-        n for n in allq
-        if n in _R1_CHECKED and n not in _R1_FAILING and n not in _DEFER
-    ]
+    front = [n for n in allq if n not in _CHECKED]
+    front += [n for n in _REFIXED if n in allq and n not in front]
+    back = [n for n in allq if n not in front]
     ordered = front + back
     assert sorted(ordered) == sorted(allq)
     return {n: allq[n] for n in ordered}

@@ -1,9 +1,22 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"oracle_s": {...}, "ratio": {...}, "headline_ratio": R, "sf": ...}.
 
-Each query is executed once after a warm-up of the input scans; timing is
-end-to-end (plan + execute + collect-to-count) per query.
+Timing methodology (applied to BOTH engines identically): each query runs
+three times — one warm-up (absorbing one-time costs that don't exist in
+steady state: Spark codegen compile + parquet footer reads, DuckDB
+buffer-pool fill) and two timed runs of which the MIN is reported
+(straggler guard on a shared machine). Cold (first-run) totals are also
+emitted (``queries_cold``) so the warm-up cost stays visible.
+
+The reference repo publishes no absolute numbers (its perf suite is
+out-of-tree — SURVEY.md §6), so the recorded baseline is a same-machine,
+same-parquet DuckDB run of each query's oracle SQL (threads pinned to
+$SPARK_GRAFT_CPUS): BASELINE.md's "within 2×" gate is measured as
+spark_wall / duckdb_wall per query and in aggregate. Spark carries
+per-query session/JVM overhead DuckDB doesn't, so the ratio is the
+honest upper bound on engine overhead, not a microbenchmark win.
 """
 
 from __future__ import annotations
@@ -17,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_spark.session import get_spark  # noqa: E402
 from flink_spark import queries as Q  # noqa: E402
+from flink_spark.catalog import TABLES  # noqa: E402
 
 # Headline set: one per operator family, weighted toward what dominates at
 # scale (joins, aggs, windows, dedup, similarity).
@@ -24,9 +38,17 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
+    "tpcds_q3_shape",
+    "tpcds_q7_shape",
+    "tpcds_q19_shape",
+    "tpcds_q42_shape",
+    "tpcds_q52_shape",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
     "join_interval_clicks_purchases",
     "join_asof_last_click",
     "over_topn_per_group",
+    "over_range_time_frame",
     "dedup_last_per_key",
     "tvf_tumble_daily",
     "tvf_hop_2h_1h",
@@ -38,29 +60,98 @@ HEADLINE = [
 HEADLINE_OPTIONAL = [
     "doc_exact_dedup",
     "doc_minhash_lsh_pairs",
+    "doc_ngram_jaccard",
+    "doc_simhash",
     "doc_token_stats",
     "emb_cosine_topk",
+    "emb_cosine_neardup_pairs",
 ]
+
+
+def _duckdb_conn(sf_dir: str, threads: int):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads = {threads}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(app_name="flink_spark_bench")
 
     names = [n for n in HEADLINE if n in Q.QUERIES] + [
         n for n in HEADLINE_OPTIONAL if n in Q.QUERIES
     ]
 
+    # Per-query floor: the wall-clock of an empty-compute job round trip
+    # (Python→JVM submit + schedule + collect). At small SF this floor,
+    # not engine throughput, dominates sub-second queries — reported so
+    # the spark/oracle ratio can be decomposed.
+    tiny = spark.range(1).cache()
+    tiny.count()
+    t0 = time.perf_counter()
+    tiny.count()
+    floor_s = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         df = Q.QUERIES[name](spark, sf_dir)
         n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t1 = time.perf_counter()
+            Q.QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t1)
+        timings[name] = round(best, 3)
+        print(
+            f"# {name}: warm {timings[name]:.3f}s cold {cold[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
+    # Baseline: the same queries' oracle SQL in DuckDB on the same files,
+    # same warm-run discipline.
+    oracle_s: dict[str, float] = {}
+    try:
+        con = _duckdb_conn(sf_dir, cpus)
+        for name in names:
+            sql = Q.ORACLE.get(name)
+            if sql is None:
+                continue
+            con.execute(sql).fetchall()  # warm-up run
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            oracle_s[name] = round(best, 3)
+            print(
+                f"# oracle {name}: {oracle_s[name]:.3f}s", file=sys.stderr
+            )
+    except Exception as exc:  # bench must still emit spark numbers
+        print(f"# baseline run failed: {exc!r}", file=sys.stderr)
+
+    ratio = {
+        n: round(timings[n] / oracle_s[n], 2)
+        for n in oracle_s
+        if oracle_s[n] > 0
+    }
     total = round(sum(timings.values()), 3)
+    paired_spark = sum(timings[n] for n in oracle_s)
+    paired_oracle = sum(oracle_s.values())
+    headline_ratio = (
+        round(paired_spark / paired_oracle, 3) if paired_oracle else None
+    )
     print(
         json.dumps(
             {
@@ -68,6 +159,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "oracle_s": oracle_s,
+                "ratio": ratio,
+                "headline_ratio": headline_ratio,
+                "spark_floor_s": floor_s,
+                "baseline": "duckdb_same_machine_same_parquet",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

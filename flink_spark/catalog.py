@@ -10,6 +10,8 @@ pushdown, column pruning and partition pruning for free.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -27,9 +29,32 @@ TABLES = (
 
 
 class Catalog:
-    """Lazy loader/register for the test-data tables at one scale factor."""
+    """Lazy loader/register for the test-data tables at one scale factor.
+
+    Instances are memoized per (session, sf_dir): every query helper
+    constructs ``Catalog(spark, sf_dir)``, and without memoization each
+    construction re-reads 10 parquet footers and re-registers 10 views —
+    pure per-query overhead (at 100 TB the footer listing alone is a
+    storage round-trip per table). The shared instance keeps the
+    DataFrame cache warm across queries in a session.
+    """
+
+    _instances: dict[tuple[int, str], "Catalog"] = {}
+
+    def __new__(cls, spark: SparkSession, sf_dir: str):
+        cache_key = (id(spark), sf_dir.rstrip("/"))
+        inst = cls._instances.get(cache_key)
+        if inst is not None and inst.spark is spark:
+            return inst
+        inst = super().__new__(cls)
+        cls._instances[cache_key] = inst
+        return inst
 
     def __init__(self, spark: SparkSession, sf_dir: str):
+        if getattr(self, "_initialized", False):
+            return
+        self._initialized = True
+        self._registered = False
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
@@ -45,6 +70,13 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+        errors = getattr(self, "_register_errors", None)
+        if errors and name in errors:
+            # Surface the original registration failure instead of letting
+            # the caller hit a generic 'table not found' later.
+            raise RuntimeError(
+                f"table {name!r} failed to register: {errors[name]!r}"
+            ) from errors[name]
         if name not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
             if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -62,15 +94,26 @@ class Catalog:
         """Register tables as temp views for spark.sql queries.
 
         Guarded per-table: one unreadable table must not take down queries
-        that never touch it (VERDICT r1 §wrong-2).
+        that never touch it (VERDICT r1 §wrong-2) — but each failure is
+        warned immediately with its root cause, and ``table()`` re-raises
+        it on access, so a broken table never degrades into a bare
+        'table not found' downstream.
         """
+        if only is None and self._registered:
+            return  # full registration already done for this session
         errors: dict[str, Exception] = {}
         for name in only if only is not None else TABLES:
             try:
                 self.table(name).createOrReplaceTempView(name)
-            except Exception as exc:  # registered lazily by the next caller
+            except Exception as exc:
                 errors[name] = exc
+                warnings.warn(
+                    f"catalog: failed to register table {name!r}: {exc!r}",
+                    stacklevel=2,
+                )
         self._register_errors = errors
+        if only is None and not errors:
+            self._registered = True
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

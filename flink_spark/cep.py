@@ -30,9 +30,13 @@ Contiguity model (matching Flink):
   our default is greedy because that is the overwhelmingly common
   query intent — the deviation is this flag's direction).
 
-Match emission order is completion order (last event index, then start
-index) — the same order the reference's NFA emits completed matches —
-and the after-match strategy prunes in that order.
+Match emission order is start-event order (then end index): the
+reference's NFA holds a completed match back while a partial match that
+started earlier is still in flight, so emission — and after-match
+pruning — happen in start order (NFA.java
+processMatchesAccordingToSkipStrategy: completedMatches is a priority
+queue keyed by start, isEarlier gates emission, and each emitted match
+prunes both partial and held completed matches).
 
 Execution: per-key sequential scan over time-ordered events — the same
 shape as Flink's keyed NFA state. On Spark the per-key work runs inside
@@ -174,7 +178,10 @@ def _enumerate_from(
     )
 
     def in_window(idx: int) -> bool:
-        return deadline is None or events[idx][ts_field] <= deadline
+        # strict: the reference times out when ts - startTs >= windowTime
+        # (NFA.java isStateTimedOut), so an event exactly at the window
+        # edge must NOT extend a match.
+        return deadline is None or events[idx][ts_field] < deadline
 
     def rec(
         si: int, pos: int, taken: int,
@@ -238,12 +245,19 @@ def find_matches(
     events: list[dict], pattern: Pattern, ts_field: str
 ) -> list[list[tuple[str, dict]]]:
     """Run the NFA over one key's time-ordered events and apply the
-    after-match skip strategy in completion order."""
+    after-match skip strategy in start-event order.
+
+    The reference emits a completed match only once no surviving partial
+    match starts earlier (NFA.java processMatchesAccordingToSkipStrategy
+    / isEarlier), so among completed matches both emission and pruning
+    happen in (start idx, end idx) order — an earlier-start/later-end
+    match is never pruned by a later-start/earlier-end match's floor.
+    """
     raw: list[list[tuple[str, int]]] = []
     for i in range(len(events)):
         raw.extend(_enumerate_from(events, i, pattern, ts_field))
-    # completion order: (last event idx, start idx, full index tuple)
-    raw.sort(key=lambda m: (m[-1][1], m[0][1], tuple(idx for _, idx in m)))
+    # start-event order: (start idx, end idx, full index tuple)
+    raw.sort(key=lambda m: (m[0][1], m[-1][1], tuple(idx for _, idx in m)))
 
     out: list[list[tuple[str, dict]]] = []
     min_start = 0
@@ -288,7 +302,12 @@ def pattern_match(
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, *order_cols])
         key_val = pdf[key].iloc[0]
-        ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
+        # normalize to ns first: under pandas 2 / Arrow the column may be
+        # datetime64[us], where a bare astype('int64') would yield micros
+        # and silently corrupt within() windows.
+        ts_ms = (
+            pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ).tolist()
         events = []
         for i, row in enumerate(pdf[payload_cols].itertuples(index=False)):
             d = dict(zip(payload_cols, row))

@@ -256,15 +256,17 @@ class KeyedStream:
     def reduce(
         self, fn: Callable, order_col: str, output_type: str | None = None
     ) -> DataStream:
-        """Rolling reduce with an arbitrary pandas reducer: fn(acc_pdf) →
-        one combined row per prefix. Runs per key via applyInPandas."""
+        """Rolling reduce (KeyedStream.reduce:771): ``fn(acc, row) → acc``
+        over plain row dicts, emitting the accumulator after every input
+        row. Runs per key via applyInPandas; rows travel as dicts, not
+        row-at-a-time pandas Series (iterrows is the slow path)."""
         schema = output_type or self.df.schema
 
         def per_key(pdf):
             pdf = pdf.sort_values(order_col)
             out = []
             acc = None
-            for _, row in pdf.iterrows():
+            for row in pdf.to_dict("records"):
                 acc = row if acc is None else fn(acc, row)
                 out.append(acc)
             import pandas as pd

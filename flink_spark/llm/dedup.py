@@ -19,9 +19,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input has fewer splits than cores.
+
+    A small corpus read from one parquet file arrives as one partition,
+    serializing the expensive explode+hash work onto a single task. At
+    real scale the input already has thousands of splits and this is a
+    no-op — the guard keeps the 100 TB path free of an extra full-data
+    shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def text_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Explode a text column into word n-gram shingles (single-space split,
     matching the normalized corpus). Output: (id_col, shingle)."""
+    df = _spread(df)
     ws = F.split(F.col(text_col), " ")
     idx = F.when(
         F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
@@ -37,14 +53,31 @@ def text_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """One row per doc with columns h0..h{k-1}: the lexicographic-min md5 of
-    seed-salted shingles. k independent min-aggregates → a single shuffle
-    with full partial aggregation (map-side combine)."""
+    """One row per doc with columns h0..h{k-1}: lexicographic-min 32-bit
+    (8-hex) slices of seed-salted md5s over the doc's shingles.
+
+    Hashing cost is the scan bottleneck, so k hash values are derived
+    from ceil(k/4) md5 invocations — each 128-bit digest yields four
+    independent 32-bit slices (the one-permutation-hashing family) —
+    instead of k full salted digests. The digests are computed once per
+    row in a projection (not re-derived per aggregate), then k
+    min-aggregates run in one shuffle with map-side combine.
+    """
+    n_digests = (num_hashes + 3) // 4
+    with_digests = shingles.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{d}|"), F.col("shingle"))).alias(f"_m{d}")
+            for d in range(n_digests)
+        ],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"h{s}")
+        F.min(
+            F.substring(F.col(f"_m{s // 4}"), 1 + (s % 4) * 8, 8)
+        ).alias(f"h{s}")
         for s in range(num_hashes)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return with_digests.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -88,9 +121,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """End-to-end MinHash+LSH near-duplicate candidate pairs."""
+    """End-to-end MinHash+LSH near-duplicate candidate pairs.
+
+    The signature table (one short row per doc — 1000× smaller than the
+    text) is persisted before the band self-join: both join sides read
+    the cached signatures instead of re-running the shingle+hash scan
+    twice. At 100 TB this is the difference between one and two passes
+    over the corpus.
+    """
+    from pyspark.storagelevel import StorageLevel
+
     sh = text_shingles(df, id_col, text_col, shingle_n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    sig = minhash_signatures(sh, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return lsh_candidate_pairs(sig, id_col, num_hashes, rows_per_band)
 
 
@@ -141,7 +185,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     when the sum is positive. md5-derived bits keep it oracle-checkable.
     One groupBy(doc) after a token explode — single shuffle.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).where(F.col("tok") != "")

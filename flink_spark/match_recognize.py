@@ -1,0 +1,396 @@
+"""SQL MATCH_RECOGNIZE front-end over the CEP engine (flink_spark/cep.py).
+
+Reference: the planner node StreamExecMatch.java:59 compiles the SQL
+clause into the same CepOperator the Pattern API uses
+(CommonExecMatch.java:168); the navigation/aggregate functions live in
+FlinkSqlOperatorTable.java:1169-1175 (FIRST/LAST/PREV/NEXT/CLASSIFIER).
+This module is the analogous compiler: it parses the core clause set
+
+    PARTITION BY <col>
+    ORDER BY <ts_col>
+    MEASURES <expr> AS <name>, ...
+    [ONE ROW PER MATCH]
+    [AFTER MATCH SKIP (PAST LAST ROW | TO NEXT ROW |
+                       TO [FIRST|LAST] <var>)]
+    PATTERN (<var><quant> ...)
+    [WITHIN INTERVAL '<n>' (SECOND|MINUTE|HOUR|DAY)]
+    DEFINE <var> AS <bool expr>, ...
+
+into a ``cep.Pattern`` + a measures projection, and runs it through
+``find_matches`` inside ``applyInPandas`` (one task per partition key —
+the same keyed parallelism as the reference's keyed CepOperator).
+
+Supported expression surface (DEFINE and MEASURES):
+- ``V.col`` — column of the variable's row; in DEFINE, the *current*
+  variable's reference binds to the row under test, other variables
+  bind to their LAST matched row (Flink's running semantics).
+- ``FIRST(V.col)`` / ``LAST(V.col)`` — first/last row bound to V.
+- ``PREV(V.col [, n])`` — n rows before the current row in the
+  partition (DEFINE only; default 1).
+- ``COUNT(V.*)`` — number of rows bound to V (MEASURES).
+- literals, arithmetic, comparisons (= <> < <= > >=), AND/OR/NOT.
+
+Pattern quantifiers: ``+``, ``*``, ``?``, ``{n}``, ``{n,m}``, and the
+reluctant variants ``+?``/``*?``. Concatenation is strict contiguity
+(regex-over-rows, Pattern.next), and looping variables use strict
+internal contiguity (consecutive) — both per the SQL standard and the
+reference's MATCH_RECOGNIZE translation.
+
+ALL ROWS PER MATCH is not supported (the reference's streaming
+MATCH_RECOGNIZE is ONE ROW PER MATCH only).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from flink_spark.cep import Pattern, find_matches
+
+_UNIT_MS = {
+    "SECOND": 1_000,
+    "MINUTE": 60_000,
+    "HOUR": 3_600_000,
+    "DAY": 86_400_000,
+}
+
+
+@dataclass
+class _Spec:
+    partition_by: str
+    order_by: str
+    measures: list[tuple[str, str]]  # (expr, alias)
+    pattern: list[tuple[str, str]]  # (var, quantifier)
+    defines: dict[str, str]
+    after_match: str  # skip_past_last | skip_to_next | skip_to_first/last
+    skip_var: str | None
+    within_ms: int | None
+
+
+def _extract(clause: str, name: str, stop: list[str]) -> str | None:
+    """Text of section `name` up to the next section keyword."""
+    pat = re.compile(
+        rf"\b{name}\b\s*(.*?)(?=\b(?:{'|'.join(stop)})\b|$)",
+        re.I | re.S,
+    )
+    m = pat.search(clause)
+    return m.group(1).strip() if m else None
+
+
+_SECTIONS = [
+    "PARTITION\\s+BY",
+    "ORDER\\s+BY",
+    "MEASURES",
+    "ONE\\s+ROW\\s+PER\\s+MATCH",
+    "AFTER\\s+MATCH",
+    "PATTERN",
+    "WITHIN",
+    "DEFINE",
+]
+
+
+def parse_match_recognize(clause: str) -> _Spec:
+    """Parse the body of a MATCH_RECOGNIZE( ... ) clause."""
+    clause = clause.strip()
+    if clause.upper().startswith("MATCH_RECOGNIZE"):
+        clause = clause[len("MATCH_RECOGNIZE"):].strip()
+    if clause.startswith("(") and clause.endswith(")"):
+        clause = clause[1:-1]
+
+    def sect(name: str) -> str | None:
+        stops = [s for s in _SECTIONS if s != name]
+        return _extract(clause, name, stops)
+
+    partition = sect("PARTITION\\s+BY")
+    order = sect("ORDER\\s+BY")
+    measures_txt = sect("MEASURES")
+    pattern_txt = sect("PATTERN")
+    define_txt = sect("DEFINE")
+    within_txt = sect("WITHIN")
+    after_txt = sect("AFTER\\s+MATCH")
+    if not (partition and order and measures_txt and pattern_txt and define_txt):
+        raise ValueError(
+            "MATCH_RECOGNIZE needs PARTITION BY, ORDER BY, MEASURES, "
+            "PATTERN and DEFINE"
+        )
+
+    measures = []
+    for part in _split_commas(measures_txt):
+        m = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", part.strip(), re.I | re.S)
+        if not m:
+            raise ValueError(f"bad MEASURES entry: {part!r}")
+        measures.append((m.group(1).strip(), m.group(2)))
+
+    pat_inner = pattern_txt.strip()
+    if pat_inner.startswith("(") and pat_inner.endswith(")"):
+        pat_inner = pat_inner[1:-1]
+    pattern = []
+    for tok in re.finditer(
+        r"(\w+)\s*(\{\s*\d+\s*(?:,\s*\d+\s*)?\}|\+\??|\*\??|\?)?", pat_inner
+    ):
+        if tok.group(1):
+            pattern.append((tok.group(1), tok.group(2) or ""))
+
+    defines = {}
+    for part in _split_commas(define_txt):
+        m = re.fullmatch(r"(\w+)\s+AS\s+(.+)", part.strip(), re.I | re.S)
+        if not m:
+            raise ValueError(f"bad DEFINE entry: {part!r}")
+        defines[m.group(1)] = m.group(2).strip()
+
+    within_ms = None
+    if within_txt:
+        m = re.fullmatch(
+            r"INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)S?",
+            within_txt.strip(),
+            re.I,
+        )
+        if not m:
+            raise ValueError(f"bad WITHIN: {within_txt!r}")
+        within_ms = int(m.group(1)) * _UNIT_MS[m.group(2).upper()]
+
+    # SQL:2016 / reference default: AFTER MATCH SKIP PAST LAST ROW
+    after, skip_var = "skip_past_last", None
+    if after_txt:
+        t = re.sub(r"\s+", " ", after_txt.strip()).upper()
+        if t.startswith("SKIP PAST LAST ROW"):
+            after = "skip_past_last"
+        elif t.startswith("SKIP TO NEXT ROW"):
+            after = "skip_to_next"
+        else:
+            m = re.match(r"SKIP TO (FIRST|LAST) (\w+)", t)
+            if not m:
+                raise ValueError(f"bad AFTER MATCH: {after_txt!r}")
+            after = f"skip_to_{m.group(1).lower()}"
+            # preserve the variable's original case from the pattern
+            names = {v.upper(): v for v, _ in pattern}
+            skip_var = names.get(m.group(2), m.group(2))
+
+    return _Spec(
+        partition_by=partition.strip(),
+        order_by=order.strip(),
+        measures=measures,
+        pattern=pattern,
+        defines=defines,
+        after_match=after,
+        skip_var=skip_var,
+        within_ms=within_ms,
+    )
+
+
+def _split_commas(s: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch in "(":
+            depth += 1
+        elif ch in ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+# ---------------------------------------------------------------------------
+# expression compilation
+# ---------------------------------------------------------------------------
+
+_SQL_TO_PY = [
+    (re.compile(r"\bAND\b", re.I), " and "),
+    (re.compile(r"\bOR\b", re.I), " or "),
+    (re.compile(r"\bNOT\b", re.I), " not "),
+    (re.compile(r"<>"), "!="),
+    (re.compile(r"(?<![<>!=])=(?!=)"), "=="),
+]
+
+
+def _compile_expr(expr: str, current_var: str | None, variables: set[str]):
+    """Compile a DEFINE/MEASURES expression into fn(row, bindings, events, idx).
+
+    ``row`` is the row under test (DEFINE) / None (MEASURES); ``bindings``
+    maps var -> list of bound rows; ``events``/``idx`` give PREV access.
+    """
+    src = expr
+
+    # navigation calls first (they contain V.col themselves)
+    def nav_repl(m):
+        fn, var, col, n = (
+            m.group(1).upper(),
+            m.group(2),
+            m.group(3),
+            m.group(4),
+        )
+        if fn == "FIRST":
+            return f"__b[{var!r}][0][{col!r}]"
+        if fn == "LAST":
+            return f"__b[{var!r}][-1][{col!r}]"
+        if fn == "PREV":
+            off = int(n) if n else 1
+            return f"__prev({off})[{col!r}]"
+        raise ValueError(fn)
+
+    src = re.sub(
+        r"\b(FIRST|LAST|PREV)\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+        nav_repl,
+        src,
+        flags=re.I,
+    )
+    src = re.sub(
+        r"\bCOUNT\s*\(\s*(\w+)\.\*\s*\)",
+        lambda m: f"(len(__b[{m.group(1)!r}]) if {m.group(1)!r} in __b else 0)",
+        src,
+        flags=re.I,
+    )
+
+    # bare V.col references
+    def ref_repl(m):
+        var, col = m.group(1), m.group(2)
+        if var.startswith("__"):
+            return m.group(0)  # internal helper reference, not a variable
+        if var not in variables:
+            raise ValueError(f"unknown pattern variable {var!r} in {expr!r}")
+        if current_var is not None and var == current_var:
+            return f"__row[{col!r}]"
+        # other variables: LAST row bound so far (running semantics);
+        # in MEASURES (current_var None) the same LAST convention applies
+        return f"__b[{var!r}][-1][{col!r}]"
+
+    src = re.sub(r"\b(\w+)\.(\w+)\b", ref_repl, src)
+    for rx, rep in _SQL_TO_PY:
+        src = rx.sub(rep, src)
+
+    code = compile(src, f"<match_recognize:{expr}>", "eval")
+
+    def fn(row, bindings, events=None, idx=None):
+        def _prev(off):
+            j = (idx if idx is not None else 0) - off
+            if events is None or j < 0:
+                raise KeyError("PREV out of range")
+            return events[j]
+
+        return eval(  # noqa: S307 — compiled from the user's own query
+            code, {"__builtins__": {}},
+            {"__row": row, "__b": bindings, "__prev": _prev, "len": len},
+        )
+
+    return fn
+
+
+def _build_pattern(spec: _Spec) -> Pattern:
+    variables = {v for v, _ in spec.pattern}
+    p: Pattern | None = None
+    for var, quant in spec.pattern:
+        if p is None:
+            p = Pattern.begin(var)
+        else:
+            p = p.next(var)  # SQL concatenation = strict contiguity
+        if var in spec.defines:
+            cond = _compile_expr(spec.defines[var], var, variables)
+
+            def pred(row, bindings, _c=cond):
+                try:
+                    return bool(
+                        _c(row, bindings, row.get("__events"), row.get("__idx"))
+                    )
+                except (KeyError, IndexError, TypeError):
+                    return False
+
+            p = p.where(pred)
+        # quantifiers; loops are consecutive (strict) per SQL semantics
+        if quant in {"+", "+?"}:
+            p = p.one_or_more().consecutive()
+        elif quant in {"*", "*?"}:
+            p = p.one_or_more().optional().consecutive()
+        elif quant == "?":
+            p = p.optional()
+        elif quant.startswith("{"):
+            nums = [int(x) for x in re.findall(r"\d+", quant)]
+            p = (
+                p.times(nums[0], nums[1])
+                if len(nums) == 2
+                else p.times(nums[0])
+            ).consecutive()
+        if quant in {"+?", "*?"}:
+            p = p.non_greedy()
+    if spec.within_ms is not None:
+        p = p.within(spec.within_ms)
+    if spec.after_match == "skip_past_last":
+        p = p.after_match_skip_past_last()
+    elif spec.after_match == "skip_to_next":
+        p = p.after_match_skip_to_next()
+    elif spec.after_match == "skip_to_first":
+        p = p.after_match_skip_to_first(spec.skip_var)
+    elif spec.after_match == "skip_to_last":
+        p = p.after_match_skip_to_last(spec.skip_var)
+    return p
+
+
+def match_recognize(
+    df: DataFrame,
+    clause: str,
+    measure_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Run a MATCH_RECOGNIZE clause over ``df`` (ONE ROW PER MATCH).
+
+    Output columns: partition key, ``match_id``, then one column per
+    MEASURES alias. ``measure_types`` maps alias -> Spark SQL type
+    (default ``string``; pass e.g. ``{"n_rows": "long"}``).
+    """
+    spec = parse_match_recognize(clause)
+    variables = {v for v, _ in spec.pattern}
+    pattern = _build_pattern(spec)
+    measure_fns = [
+        (_compile_expr(expr, None, variables), alias)
+        for expr, alias in spec.measures
+    ]
+    key = spec.partition_by
+    order_cols = [c.strip() for c in spec.order_by.split(",")]
+    ts_col = order_cols[0]
+    payload_cols = [
+        c for c in df.columns if c not in (key,)
+    ]
+    types = measure_types or {}
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"{key} {key_type}", "match_id long"]
+        + [f"{alias} {types.get(alias, 'string')}" for _, alias in measure_fns]
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        key_val = pdf[key].iloc[0]
+        ts_ms = (
+            pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ).tolist()
+        events = []
+        for i, rec in enumerate(pdf[payload_cols].to_dict("records")):
+            rec["__ts_ms"] = int(ts_ms[i])
+            events.append(rec)
+        # give DEFINE's PREV() access to the full partition
+        for i, e in enumerate(events):
+            e["__events"] = events
+            e["__idx"] = i
+        matches = find_matches(events, pattern, "__ts_ms")
+        rows = []
+        for mid, m in enumerate(matches):
+            bindings: dict[str, list[dict]] = {}
+            for step_name, ev in m:
+                bindings.setdefault(step_name, []).append(ev)
+            out = [key_val, mid]
+            for fn, _alias in measure_fns:
+                try:
+                    out.append(fn(None, bindings))
+                except (KeyError, IndexError):
+                    out.append(None)
+            rows.append(out)
+        cols = [key, "match_id"] + [alias for _, alias in measure_fns]
+        return pd.DataFrame(rows, columns=cols)
+
+    return df.groupBy(key).applyInPandas(per_key, schema=out_schema)

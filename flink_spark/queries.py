@@ -1232,7 +1232,11 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    mins = ", ".join(f"min(md5('{s}|' || s)) AS h{s}" for s in range(8))
+    # mirrors minhash_signatures: 32-bit slices of ceil(8/4)=2 salted md5s
+    mins = ", ".join(
+        f"min(substr(md5('{s // 4}|' || s), {1 + (s % 4) * 8}, 8)) AS h{s}"
+        for s in range(8)
+    )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bv FROM sig"
         for b in range(4)
@@ -1441,21 +1445,23 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_cosine_topk",
     """
-    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
-               WHERE vec_id < 5),
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
     scored AS (SELECT q.q_id, c.vec_id AS neighbor_id,
-                      list_cosine_similarity(q.q_vec, c.embedding) AS cosine_sim
+                      list_cosine_similarity(q.q_vec,
+                          CAST(c.embedding AS DOUBLE[])) AS cosine_sim
                FROM embeddings c, q WHERE c.vec_id <> q.q_id),
     ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
                          ORDER BY cosine_sim DESC, neighbor_id) AS rn
                FROM scored)
-    SELECT q_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
+    SELECT q_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= 5
     """,
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 query vectors (ANN baseline)."""
     e = Catalog(spark, sf_dir).embeddings
-    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
+    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5, dim=64)
 
 
 @query(
@@ -1491,14 +1497,17 @@ def _ann_lsh_oracle(dim: int = 64, planes: int = 4, k: int = 5) -> str:
     bucket = "concat(" + ", ".join(buckets) + ")"
     return f"""
     WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
-    q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 5),
+    q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec, bucket
+          FROM b WHERE vec_id < 5),
     scored AS (SELECT q.q_id, c.vec_id AS neighbor_id,
-                      list_cosine_similarity(q.q_vec, c.embedding) AS cosine_sim
+                      list_cosine_similarity(q.q_vec,
+                          CAST(c.embedding AS DOUBLE[])) AS cosine_sim
                FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id),
     ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
                          ORDER BY cosine_sim DESC, neighbor_id) AS rn
                FROM scored)
-    SELECT q_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= {k}
+    SELECT q_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= {k}
     """
 
 
@@ -1547,7 +1556,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.user_id, c.event_id AS a_id, c.tms AS a_ts,
              (SELECT min(p.tms) FROM p
               WHERE p.user_id = c.user_id AND p.tms > c.tms
-                AND p.tms <= c.tms + 3600000) AS b_ts
+                AND p.tms < c.tms + 3600000) AS b_ts
       FROM c)
     SELECT f.user_id, f.a_id, f.a_ts, p.p_id AS b_id, f.b_ts
     FROM first_p f JOIN p ON p.user_id = f.user_id AND p.tms = f.b_ts
@@ -1585,6 +1594,57 @@ def cep_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, ["user_id", "match_id"]).select(
         "user_id", "a_id", "a_ts", "b_id", "b_ts"
     )
+
+
+@query(
+    "match_recognize_click_purchase",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+               FROM events),
+    c AS (SELECT * FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, tms, min(event_id) AS p_id
+          FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+    first_p AS (
+      SELECT c.user_id, c.event_id AS a_id, c.tms AS a_ts,
+             (SELECT min(p.tms) FROM p
+              WHERE p.user_id = c.user_id AND p.tms > c.tms
+                AND p.tms < c.tms + 3600000) AS b_ts
+      FROM c)
+    SELECT f.user_id, f.a_id, f.a_ts, p.p_id AS b_id, f.b_ts
+    FROM first_p f JOIN p ON p.user_id = f.user_id AND p.tms = f.b_ts
+    """,
+)
+def match_recognize_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MATCH_RECOGNIZE front-end (StreamExecMatch.java:59) compiled
+    onto the CEP engine: PATTERN (A X*? B) — reluctant catch-all X — is
+    the standard spelling of "first purchase after each click", and
+    AFTER MATCH SKIP TO NEXT ROW keeps one match per click. Result is
+    identical to cep_click_to_purchase's Pattern-API plan, so the same
+    SQL oracle verifies both layers."""
+    from flink_spark.match_recognize import match_recognize
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.unix_millis("ts").alias("tms"),
+    )
+    out = match_recognize(
+        ev,
+        """
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES FIRST(A.event_id) AS a_id, FIRST(A.tms) AS a_ts,
+                 FIRST(B.event_id) AS b_id, FIRST(B.tms) AS b_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A X*? B)
+        WITHIN INTERVAL '1' HOUR
+        DEFINE A AS A.event_type = 'click',
+               B AS B.event_type = 'purchase' AND B.tms > FIRST(A.tms)
+        """,
+        measure_types={"a_id": "long", "a_ts": "long",
+                       "b_id": "long", "b_ts": "long"},
+    )
+    return out.select("user_id", "a_id", "a_ts", "b_id", "b_ts")
 
 
 # ---------------------------------------------------------------------------
@@ -1669,5 +1729,6 @@ def changelog_retract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from flink_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 from flink_spark import queries_tpch2 as _queries_tpch2  # noqa: E402,F401
+from flink_spark import queries_tpcds as _queries_tpcds  # noqa: E402,F401
 from flink_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from flink_spark import queries_ext2 as _queries_ext2  # noqa: E402,F401

@@ -1,0 +1,164 @@
+"""TPC-DS-shaped star-join queries (q3/q7/q19/q42/q52 plan shapes).
+
+The reference's batch gate also runs the full TPC-DS suite
+(flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:76-85,
+103 query variants at SF1 with the 0.01-tolerance comparator
+TpcdsResultComparator.java:53). The driver schema has no TPC-DS tables,
+so these queries reproduce the *plan shapes* the TPC-DS picks exercise —
+a big fact table starred by several small dimensions, selective dim
+filters, grouped rollups of derived measures, and a top-k ordered
+output — on the TPC-H-ish fixture tables:
+
+  q3-shape   fact ⋈ 1 dim, year × brand rollup, ordered top-100
+  q7-shape   fact ⋈ 4 dims, per-brand AVG battery
+  q19-shape  fact ⋈ 4 dims with a cross-dim inequality
+             (supplier nation ≠ customer nation ≈ q19's store/customer
+             zip mismatch), brand revenue rollup
+  q42-shape  fact ⋈ date-ish dim + category dim, year × type revenue
+  q52-shape  q42 with a brand-level grain and top-100 fetch
+
+All aggregates run in DECIMAL (order-independent, bitwise-stable between
+Spark and the DuckDB oracle) and are CAST to DOUBLE only on output.
+
+Scale notes (100 TB): every dimension here is orders-of-magnitude
+smaller than the fact table, so Catalyst broadcast-joins them (verified
+via explain — BroadcastHashJoin on every dim edge); the fact table
+shuffles exactly once, on the GROUP BY key. The year() filters reach
+the parquet scan as pushed predicates on l_shipdate/o_orderdate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_spark.catalog import Catalog
+from flink_spark.queries import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    Catalog(spark, sf_dir).register_all()
+    return spark.sql(text)
+
+
+_DEC_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+_Q3 = f"""
+SELECT CAST(year(l_shipdate) AS INT) AS d_year,
+       p_brand AS brand,
+       CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS sum_agg
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type LIKE 'SMALL%'
+GROUP BY year(l_shipdate), p_brand
+ORDER BY d_year, sum_agg DESC, brand
+LIMIT 100
+"""
+
+
+@query("tpcds_q3_shape", _Q3)
+def tpcds_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q3 shape: fact ⋈ item-dim, (year, brand) rollup, top-100.
+
+    Plan: part is broadcast; lineitem shuffles once on the group key.
+    """
+    return _sql(spark, sf_dir, _Q3)
+
+
+_Q7 = """
+SELECT p_brand AS brand,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS agg1,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS agg2,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS agg3,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND s_nationkey < 10
+  AND o_orderstatus = 'F'
+GROUP BY p_brand
+ORDER BY brand
+LIMIT 100
+"""
+
+
+@query("tpcds_q7_shape", _Q7)
+def tpcds_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q7 shape: fact starred by 4 dims, per-brand AVG battery.
+
+    Plan: part/supplier/customer broadcast; orders⋈lineitem is the one
+    fact-fact edge, shuffling on the natural key both sides share.
+    """
+    return _sql(spark, sf_dir, _Q7)
+
+
+_Q19 = f"""
+SELECT p_brand AS brand,
+       CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS ext_price
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE s_nationkey <> c_nationkey
+  AND p_size BETWEEN 1 AND 25
+GROUP BY p_brand
+ORDER BY ext_price DESC, brand
+LIMIT 100
+"""
+
+
+@query("tpcds_q19_shape", _Q19)
+def tpcds_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q19 shape: star join with a cross-dimension inequality
+    (supplier nation ≠ customer nation, the analogue of q19's
+    store-zip ≠ customer-zip residual filter)."""
+    return _sql(spark, sf_dir, _Q19)
+
+
+_Q42 = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+       p_type AS category,
+       CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS sum_agg
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size < 15 AND year(o_orderdate) = 1996
+GROUP BY year(o_orderdate), p_type
+ORDER BY sum_agg DESC, category
+LIMIT 100
+"""
+
+
+@query("tpcds_q42_shape", _Q42)
+def tpcds_q42_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q42 shape: date-restricted year × category revenue rollup.
+
+    The year() predicate is pushed to the orders scan before the join.
+    """
+    return _sql(spark, sf_dir, _Q42)
+
+
+_Q52 = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+       p_brand AS brand,
+       CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS ext_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(o_orderdate) = 1997
+GROUP BY year(o_orderdate), p_brand
+ORDER BY d_year, ext_price DESC, brand
+LIMIT 100
+"""
+
+
+@query("tpcds_q52_shape", _Q52)
+def tpcds_q52_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q52 shape: q42 at brand grain with ordered top-100."""
+    return _sql(spark, sf_dir, _Q52)

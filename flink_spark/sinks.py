@@ -21,11 +21,43 @@ ledger holds one tiny marker file per batch.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
+
+
+class _LedgerFs:
+    """Marker-file ledger on the Hadoop FileSystem of the ledger path.
+
+    Using Hadoop's FS (via the session JVM) instead of ``os`` keeps the
+    two-phase contract when ``out_dir`` is ``s3a://``/``hdfs://`` — the
+    markers land next to the data, visible to every driver that might
+    resume the query, not on one machine's local disk.
+    """
+
+    def __init__(self, spark, ledger_dir: str):
+        jvm = spark._jvm
+        self._path_cls = jvm.org.apache.hadoop.fs.Path
+        ledger_path = self._path_cls(ledger_dir)
+        self._fs = ledger_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        self._dir = ledger_path
+        self._fs.mkdirs(ledger_path)
+
+    def _marker(self, batch_id: int):
+        return self._path_cls(self._dir, str(batch_id))
+
+    def committed(self, batch_id: int) -> bool:
+        return bool(self._fs.exists(self._marker(batch_id)))
+
+    def commit(self, batch_id: int) -> None:
+        # createNewFile is atomic on HDFS; on object stores it is a
+        # single PUT — either way the marker appears all-or-nothing.
+        out = self._fs.create(self._marker(batch_id), True)
+        out.write(bytearray(b"committed"))
+        out.close()
 
 
 def print_sink(df: DataFrame, n: int = 20) -> None:
@@ -111,20 +143,20 @@ def exactly_once_file_sink(
     Stage: write batch ``i`` to ``out_dir/batch_id=i`` (executors write in
     parallel). Commit: create ``_ledger/i`` marker. On failure-replay the
     batch id repeats → the marker short-circuits the write, so downstream
-    readers of committed markers see each batch exactly once.
+    readers of committed markers see each batch exactly once. The ledger
+    lives on ``out_dir``'s own FileSystem (Hadoop FS API), so the
+    contract holds for s3a://, hdfs://, and file:// alike.
     """
-    ledger = os.path.join(out_dir, "_ledger")
+    ledger_dir = out_dir.rstrip("/") + "/_ledger"
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        os.makedirs(ledger, exist_ok=True)
-        marker = os.path.join(ledger, str(batch_id))
-        if os.path.exists(marker):  # replayed batch — already committed
+        ledger = _LedgerFs(batch_df.sparkSession, ledger_dir)
+        if ledger.committed(batch_id):  # replayed batch — already committed
             return
         batch_df.write.mode("overwrite").format(fmt).save(
-            os.path.join(out_dir, f"batch_id={batch_id}")
+            out_dir.rstrip("/") + f"/batch_id={batch_id}"
         )
-        with open(marker, "w") as fh:
-            fh.write("committed")
+        ledger.commit(batch_id)
 
     return foreach_batch_sink(
         df,

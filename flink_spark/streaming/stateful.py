@@ -28,12 +28,21 @@ per-record retract/insert pairs instead; under the changelog layer
 from __future__ import annotations
 
 import json
+from collections import deque
 from collections.abc import Iterator
+from itertools import groupby
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _key_type(df: DataFrame, key: str) -> str:
+    """Key field's Spark SQL type, taken from the input schema — the
+    output/state schemas must not hardcode ``long`` (a string key would
+    otherwise fail at runtime)."""
+    return df.schema[key].dataType.simpleString()
 
 
 def topn_stream(
@@ -43,21 +52,32 @@ def topn_stream(
     payload_cols: list[str],
     n: int,
     ascending: bool = False,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Continuous Top-N per key over an append stream.
 
     Emits, per micro-batch, the full current Top-N for every key that
     received input — the same contract as Flink's updatable rank with
     row_number materialization.
+
+    ``ttl_ms`` bounds state lifetime (StateTtlConfig.java analogue): a
+    key idle for that long has its Top-N state dropped via a
+    processing-time timeout instead of growing the store forever.
     """
     out_fields = ", ".join(
-        [f"{key} long", "rn integer", f"{order_col} double"]
+        [f"{key} {_key_type(df, key)}", "rn integer", f"{order_col} double"]
         + [f"{c} string" for c in payload_cols]
     )
 
     def fn(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # idle-key TTL eviction
+            yield pd.DataFrame(
+                columns=[key, "rn", order_col] + payload_cols
+            )
+            return
         buf: list[list] = (
             [json.loads(r) for r in state.get[0]] if state.exists else []
         )
@@ -68,6 +88,8 @@ def topn_stream(
         buf.sort(key=lambda r: r[0], reverse=not ascending)
         buf = buf[:n]
         state.update(([json.dumps(r) for r in buf],))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         out = pd.DataFrame(
             {
                 key: [k[0]] * len(buf),
@@ -86,23 +108,39 @@ def topn_stream(
         outputStructType=out_fields,
         stateStructType="buf array<string>",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
 def dedup_keep_last_stream(
-    df: DataFrame, key: str, ts_col: str, payload_cols: list[str]
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    payload_cols: list[str],
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Keep-last deduplication over an append stream: per key, the row
     with the greatest event time seen so far (ties: later arrival wins,
-    matching Flink's proc-time tie-break)."""
+    matching Flink's proc-time tie-break).
+
+    ``ttl_ms`` drops an idle key's state after that processing-time
+    interval (StateTtlConfig.java analogue)."""
     out_fields = ", ".join(
-        [f"{key} long", "ts_ms long"] + [f"{c} string" for c in payload_cols]
+        [f"{key} {_key_type(df, key)}", "ts_ms long"]
+        + [f"{c} string" for c in payload_cols]
     )
 
     def fn(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[key, "ts_ms"] + payload_cols)
+            return
         best_ts, best_payload = (
             (state.get[0], json.loads(state.get[1])) if state.exists else (None, None)
         )
@@ -114,6 +152,8 @@ def dedup_keep_last_stream(
                     best_ts = t
                     best_payload = [str(v) for v in row[1:]]
         state.update((best_ts, json.dumps(best_payload)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(
             {
                 key: [k[0]],
@@ -127,7 +167,11 @@ def dedup_keep_last_stream(
         outputStructType=out_fields,
         stateStructType="ts_ms long, payload string",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -138,6 +182,8 @@ def temporal_join_stream(
     ts_col: str,
     left_cols: list[str],
     right_payload: list[str],
+    state_bound_ms: int | None = None,
+    emit_state_size: bool = False,
 ) -> DataFrame:
     """Streaming temporal join: each left row joins the newest right-side
     version with version.ts <= left.ts for its key.
@@ -148,10 +194,17 @@ def temporal_join_stream(
     are processed in event-time order with right-before-left on ties —
     identical to TemporalRowTimeJoinOperator's ordered emission.
 
-    Versions are never evicted here; production use should bound the
-    history with a watermark-driven cleanup (the reference cleans state
-    at watermark passage, TemporalRowTimeJoinOperator.java registers
-    timers per version).
+    ``state_bound_ms`` enables the reference's watermark-driven cleanup
+    (TemporalRowTimeJoinOperator.java:78 registers a timer per version;
+    cleanUpState drops versions below the watermark keeping the newest
+    one at-or-below it): the per-key low watermark is the max event time
+    seen minus the bound; every version except the newest one at-or-below
+    that watermark is evicted, so state is O(versions inside the bound)
+    instead of unbounded.
+
+    ``emit_state_size`` appends an ``n_versions`` column (version count
+    after the batch) to left-row output — the state-size probe used by
+    the bounded-state tests.
     """
     lsel = left.select(
         F.col(key), F.col(ts_col), F.lit(1).alias("__side"),
@@ -166,17 +219,22 @@ def temporal_join_stream(
     unioned = lsel.unionByName(rsel)
 
     out_fields = ", ".join(
-        [f"{key} long", "ts_ms long"]
+        [f"{key} {_key_type(left, key)}", "ts_ms long"]
         + [f"{c} string" for c in left_cols]
         + [f"{c} string" for c in right_payload]
+        + (["n_versions long"] if emit_state_size else [])
     )
 
     def fn(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        versions: list[list] = (
-            [json.loads(v) for v in state.get[0]] if state.exists else []
-        )
+        versions: list[list]
+        wm: int
+        if state.exists:
+            versions = [json.loads(v) for v in state.get[0]]
+            wm = state.get[1]
+        else:
+            versions, wm = [], -(2**62)
         rows = []
         for pdf in pdfs:
             rows.extend(pdf.to_dict("records"))
@@ -186,6 +244,7 @@ def temporal_join_stream(
         out_rows = []
         for r in rows:
             t_ms = int(pd.Timestamp(r[ts_col]).value // 1_000_000)
+            wm = max(wm, t_ms)
             if r["__side"] == 0:
                 versions.append([t_ms, [r[f"__r_{c}"] for c in right_payload]])
             else:
@@ -201,14 +260,29 @@ def temporal_join_stream(
                     + (list(match[1]) if match else [None] * len(right_payload))
                 )
         versions.sort(key=lambda v: v[0])
-        state.update(([json.dumps(v) for v in versions],))
+        if state_bound_ms is not None:
+            # Watermark cleanup (TemporalRowTimeJoinOperator cleanUpState):
+            # a future left row has ts >= low, so among versions <= low
+            # only the newest can ever match again — drop the rest.
+            low = wm - state_bound_ms
+            keep_from = 0
+            for i, v in enumerate(versions):
+                if v[0] <= low:
+                    keep_from = i
+                else:
+                    break
+            versions = versions[keep_from:]
+        state.update(([json.dumps(v) for v in versions], wm))
         cols = [key, "ts_ms"] + left_cols + right_payload
+        if emit_state_size:
+            cols = cols + ["n_versions"]
+            out_rows = [r + [len(versions)] for r in out_rows]
         yield pd.DataFrame(out_rows, columns=cols)
 
     return unioned.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=out_fields,
-        stateStructType="versions array<string>",
+        stateStructType="versions array<string>, wm long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -230,8 +304,9 @@ def over_unbounded_preceding_stream(
     batch boundary is the watermark).
     """
     out_fields = (
-        f"{key} long, ts_ms long, {value_col} double, run_sum double, "
-        "run_cnt long, run_avg double, run_min double, run_max double"
+        f"{key} {_key_type(df, key)}, ts_ms long, {value_col} double, "
+        "run_sum double, run_cnt long, run_avg double, run_min double, "
+        "run_max double"
     )
 
     def fn(
@@ -279,17 +354,24 @@ def over_range_bounded_stream(
 
     State per key is the in-frame buffer [(ts_ms, value)…] — O(rows in
     range), the same asymptotics as the reference's `inputState` map.
-    Eviction is monotone because rows are processed in event-time order.
+    Eviction is monotone (deque popleft) because rows are processed in
+    event-time order.
+
+    Same-timestamp rows are RANGE-frame peers: the whole timestamp group
+    enters the buffer before any of its rows is emitted, so every peer
+    sees the identical aggregate — matching both the batch anchor
+    (over_range_time_frame) and the reference's per-timestamp onTimer
+    emission in RowTimeRangeBoundedPrecedingFunction.
     """
     out_fields = (
-        f"{key} long, ts_ms long, {value_col} double, "
+        f"{key} {_key_type(df, key)}, ts_ms long, {value_col} double, "
         "frame_sum double, frame_cnt long, frame_avg double"
     )
 
     def fn(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        buf: list[list] = (
+        buf: deque[list] = deque(
             [json.loads(r) for r in state.get[0]] if state.exists else []
         )
         rows = []
@@ -299,15 +381,18 @@ def over_range_bounded_stream(
                              float(row[1])))
         rows.sort()
         out = []
-        for t_ms, v in rows:
-            buf.append([t_ms, v])
+        for t_ms, group in groupby(rows, key=lambda r: r[0]):
+            peers = [v for _, v in group]
+            for v in peers:
+                buf.append([t_ms, v])
             lo = t_ms - range_ms
             # retract expired rows (reference: onTimer cleanup loop)
             while buf and buf[0][0] < lo:
-                buf.pop(0)
+                buf.popleft()
             fs = sum(b[1] for b in buf)
             fc = len(buf)
-            out.append((k[0], t_ms, v, fs, fc, fs / fc))
+            for v in peers:
+                out.append((k[0], t_ms, v, fs, fc, fs / fc))
         state.update(([json.dumps(b) for b in buf],))
         yield pd.DataFrame(
             out,

@@ -192,6 +192,7 @@ class Over:
         self._lo = Window.unboundedPreceding
         self._hi = Window.currentRow
         self._range = False
+        self._explicit_rows = False
 
     @staticmethod
     def partition_by(*cols_: str) -> "Over":
@@ -205,10 +206,14 @@ class Over:
 
     def preceding(self, n) -> "Over":
         self._lo = Window.unboundedPreceding if n == "unbounded" else -int(n)
+        if n != "unbounded":
+            self._explicit_rows = True
         return self
 
     def following(self, n) -> "Over":
         self._hi = Window.unboundedFollowing if n == "unbounded" else int(n)
+        if n != "unbounded":
+            self._explicit_rows = True
         return self
 
     def as_range(self) -> "Over":
@@ -219,7 +224,13 @@ class Over:
         w = Window.partitionBy(*self._partition) if self._partition else Window.partitionBy()
         if self._order:
             w = w.orderBy(*[F.expr(c) for c in self._order])
-        return w.rangeBetween(self._lo, self._hi) if self._range else w.rowsBetween(
+        # Flink over-windows default to a RANGE frame (OverWindow
+        # UNBOUNDED_RANGE; pyflink/table/window.py Over): with duplicate
+        # order keys every peer row sees the same aggregate. Only an
+        # explicit numeric preceding/following (a row-count frame) or
+        # as_range() overrides the default.
+        use_range = self._range or not self._explicit_rows
+        return w.rangeBetween(self._lo, self._hi) if use_range else w.rowsBetween(
             self._lo, self._hi
         )
 
@@ -343,7 +354,11 @@ class Table:
         return Table(self._df.union(other._df), self._env)
 
     def minus(self, other: "Table") -> "Table":
-        return Table(self._df.exceptAll(other._df).distinct(), self._env)
+        # SQL EXCEPT (pyflink/table/table.py:408): distinct left rows not
+        # in right — subtract(), NOT exceptAll().distinct() (which keeps a
+        # left row even when it also appears in right: [a,a,b]-[a] must
+        # be [b], not [a,b]).
+        return Table(self._df.subtract(other._df), self._env)
 
     def minus_all(self, other: "Table") -> "Table":
         return Table(self._df.exceptAll(other._df), self._env)
@@ -444,10 +459,28 @@ class _GroupedTable:
         )
 
 
-def _is_agg(c: Column) -> bool:
-    s = repr(c)
-    return any(f in s for f in ("sum(", "avg(", "min(", "max(", "count(", "first(",
-                                "last(", "stddev", "var_", "collect_"))
+# Aggregate detection matches *function invocations* (name followed by an
+# open paren at a word boundary), never bare identifiers — a column named
+# ``var_rate`` or ``min_value`` is a projection, while ``percentile(x, .5)``
+# is an aggregate even though the old repr-substring list missed it.
+_AGG_FNS = (
+    "sum|avg|mean|min|max|count|count_if|first|last|first_value|last_value|"
+    "any_value|stddev|stddev_samp|stddev_pop|std|variance|var_samp|var_pop|"
+    "collect_list|collect_set|array_agg|approx_count_distinct|"
+    "percentile|percentile_approx|approx_percentile|median|mode|"
+    "corr|covar_samp|covar_pop|skewness|kurtosis|min_by|max_by|"
+    "bool_and|bool_or|every|some|bit_and|bit_or|bit_xor|listagg|"
+    "regr_count|regr_avgx|regr_avgy|regr_slope|regr_intercept|regr_r2|"
+    "grouping|grouping_id|sum_distinct|count_distinct|hll_sketch_agg"
+)
+_AGG_CALL = re.compile(rf"\b(?:{_AGG_FNS})\s*\(", re.I)
+
+
+def _is_agg(c: Column | str) -> bool:
+    # For Column objects the repr embeds the expression text
+    # (Column<'sum(amount)'>); for strings we test the expression itself.
+    s = c if isinstance(c, str) else repr(c)
+    return bool(_AGG_CALL.search(s))
 
 
 def _plan_agg_select(df: DataFrame, parts: list) -> tuple[list[Column], list[Column]]:

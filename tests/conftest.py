@@ -35,7 +35,12 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 2):.2f}"
+        # 12 significant digits: strict enough to catch the cross-engine
+        # float drift the driver's value-hash flags (last-ulps fold-order
+        # differences), loose enough to absorb diffs past double precision
+        # on large magnitudes (var of 1e5-scale values drifts at the 15th
+        # significant digit and the driver accepts that).
+        return f"{v:.12g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)

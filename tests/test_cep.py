@@ -281,3 +281,62 @@ def test_pattern_match_on_spark(spark):
         (F.col("b_ts") <= F.col("a_ts")) | (F.col("b_ts") > F.col("a_ts") + 3_600_000)
     )
     assert j.count() == 0
+
+
+def test_skip_order_is_start_event_order():
+    """ADVICE r2 counterexample: pattern A followedBy B(val > A.val) over
+    A(10)@1 A(1)@2 B(5)@3 X@4 B(20)@5 with SKIP_TO_NEXT must emit BOTH
+    [a@1,b@5] and [a@2,b@3] — the reference holds the completed
+    [a@2,b@3] back while the earlier-started a@1 partial is in flight,
+    so the later-start match's pruning floor never kills the
+    earlier-start match (NFA.java processMatchesAccordingToSkipStrategy)."""
+
+    def v(t, typ, val):
+        return {"__ts_ms": t, "event_type": typ, "val": val}
+
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .followed_by("b").where(
+            lambda e, b: e["event_type"] == "B" and e["val"] > b["a"][0]["val"]
+        )
+        .after_match_skip_to_next()
+    )
+    events = [v(1, "A", 10), v(2, "A", 1), v(3, "B", 5), v(4, "X", 0),
+              v(5, "B", 20)]
+    m = find_matches(events, p, "__ts_ms")
+    got = [[(s, e["__ts_ms"]) for s, e in match] for match in m]
+    assert got == [[("a", 1), ("b", 5)], [("a", 2), ("b", 3)]]
+
+
+def test_skip_past_last_prunes_held_later_start_match():
+    """Dual of the above: with SKIP_PAST_LAST the emitted [a@1,b@5]
+    prunes every match starting <= its last event — the held
+    [a@2,b@3] dies even though it completed first."""
+
+    def v(t, typ, val):
+        return {"__ts_ms": t, "event_type": typ, "val": val}
+
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .followed_by("b").where(
+            lambda e, b: e["event_type"] == "B" and e["val"] > b["a"][0]["val"]
+        )
+        .after_match_skip_past_last()
+    )
+    events = [v(1, "A", 10), v(2, "A", 1), v(3, "B", 5), v(4, "X", 0),
+              v(5, "B", 20)]
+    m = find_matches(events, p, "__ts_ms")
+    got = [[(s, e["__ts_ms"]) for s, e in match] for match in m]
+    assert got == [[("a", 1), ("b", 5)]]
+
+
+def test_within_boundary_is_exclusive():
+    """Event exactly at start + within must NOT extend the match
+    (NFA.java isStateTimedOut: timestamp - startTimestamp >= window)."""
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .followed_by("b").where(lambda e, b: e["event_type"] == "B")
+        .within(10)
+    )
+    assert find_matches([ev(1, "A"), ev(11, "B")], p, "__ts_ms") == []
+    assert find_matches([ev(1, "A"), ev(10, "B")], p, "__ts_ms")

@@ -67,8 +67,8 @@ def test_rolling_min_by_keeps_record(ds):
 def test_keyed_reduce_arbitrary_fn(ds):
     def plus(acc, row):
         acc = acc.copy()
-        acc.v = acc.v + row.v
-        acc.seq = row.seq
+        acc["v"] = acc["v"] + row["v"]
+        acc["seq"] = row["seq"]
         return acc
 
     got = ds.key_by("user").reduce(plus, order_col="seq").execute_and_collect()

@@ -1,0 +1,148 @@
+"""SQL MATCH_RECOGNIZE front-end: clause parsing + scenarios ported from
+the reference's MatchRecognizeITCase shapes (quantifiers, DEFINE
+cross-variable refs, AFTER MATCH SKIP variants, WITHIN)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_spark.match_recognize import match_recognize, parse_match_recognize
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(1, T0 + dt.timedelta(seconds=i), sym, price)
+         for i, (sym, price) in enumerate(rows)],
+        "k long, ts timestamp, sym string, price double",
+    )
+
+
+def _run(spark, rows, clause, types=None):
+    out = match_recognize(_df(spark, rows), clause, measure_types=types)
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_parse_sections():
+    spec = parse_match_recognize(
+        """
+        PARTITION BY k ORDER BY ts
+        MEASURES FIRST(A.price) AS p0, COUNT(B.*) AS n
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST B
+        PATTERN (A B{2,3} C?)
+        WITHIN INTERVAL '5' MINUTE
+        DEFINE A AS A.sym = 'a', B AS B.price > FIRST(A.price)
+        """
+    )
+    assert spec.partition_by == "k"
+    assert spec.pattern == [("A", ""), ("B", "{2,3}"), ("C", "?")]
+    assert spec.after_match == "skip_to_last" and spec.skip_var == "B"
+    assert spec.within_ms == 300_000
+    assert [a for _, a in spec.measures] == ["p0", "n"]
+
+
+V_SHAPE = """
+    PARTITION BY k ORDER BY ts
+    MEASURES FIRST(A.price) AS start_p, LAST(DOWN.price) AS bottom_p,
+             LAST(UP.price) AS end_p
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A DOWN+ UP+)
+    DEFINE A AS A.sym = 's',
+           DOWN AS DOWN.price < PREV(DOWN.price),
+           UP AS UP.price > PREV(UP.price)
+"""
+
+
+def test_v_shape_pattern(spark):
+    """The classic MatchRecognizeITCase V-pattern: strictly falling then
+    strictly rising prices."""
+    rows = [("s", 10.0), ("x", 8.0), ("x", 6.0), ("x", 9.0), ("x", 12.0)]
+    got = _run(spark, rows, V_SHAPE,
+               {"start_p": "double", "bottom_p": "double", "end_p": "double"})
+    # greedy: DOWN consumes 8,6; UP consumes 9,12
+    assert got == [(1, 0, 10.0, 6.0, 12.0)]
+
+
+def test_times_quantifier_and_count(spark):
+    rows = [("a", 1.0), ("b", 2.0), ("b", 3.0), ("c", 4.0)]
+    got = _run(
+        spark, rows,
+        """
+        PARTITION BY k ORDER BY ts
+        MEASURES COUNT(B.*) AS nb, LAST(C.price) AS cp
+        PATTERN (A B{2} C)
+        DEFINE A AS A.sym = 'a', B AS B.sym = 'b', C AS C.sym = 'c'
+        """,
+        {"nb": "long", "cp": "double"},
+    )
+    assert got == [(1, 0, 2, 4.0)]
+
+
+def test_optional_and_missing_measure_is_null(spark):
+    rows = [("a", 1.0), ("c", 2.0)]
+    got = _run(
+        spark, rows,
+        """
+        PARTITION BY k ORDER BY ts
+        MEASURES COUNT(B.*) AS nb, LAST(C.price) AS cp
+        PATTERN (A B? C)
+        DEFINE A AS A.sym = 'a', B AS B.sym = 'b', C AS C.sym = 'c'
+        """,
+        {"nb": "long", "cp": "double"},
+    )
+    assert got == [(1, 0, 0, 2.0)]
+
+
+def test_skip_past_last_vs_to_next(spark):
+    # overlapping AB matches: a1 b1 a2 b2 with relaxed X between
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)]
+    base = """
+        PARTITION BY k ORDER BY ts
+        MEASURES FIRST(A.price) AS ap, FIRST(B.price) AS bp
+        AFTER MATCH {skip}
+        PATTERN (A X*? B)
+        DEFINE A AS A.sym = 'a', B AS B.sym = 'b'
+    """
+    to_next = _run(spark, rows, base.format(skip="SKIP TO NEXT ROW"),
+                   {"ap": "double", "bp": "double"})
+    # one match per 'a', each takes the first 'b'
+    assert to_next == [(1, 0, 1.0, 3.0), (1, 1, 2.0, 3.0)]
+    past_last = _run(spark, rows, base.format(skip="SKIP PAST LAST ROW"),
+                     {"ap": "double", "bp": "double"})
+    # the first match spans a1..b1; everything starting inside is skipped
+    assert past_last == [(1, 0, 1.0, 3.0)]
+
+
+def test_within_window_excludes_boundary(spark):
+    rows = [("a", 1.0), ("b", 2.0)]
+    clause = """
+        PARTITION BY k ORDER BY ts
+        MEASURES FIRST(B.price) AS bp
+        PATTERN (A X*? B)
+        WITHIN INTERVAL '1' SECOND
+        DEFINE A AS A.sym = 'a', B AS B.sym = 'b'
+    """
+    # rows are 1s apart; WITHIN 1 SECOND is exclusive -> no match
+    assert _run(spark, rows, clause, {"bp": "double"}) == []
+
+
+def test_non_greedy_loop_emits_shortest(spark):
+    rows = [("a", 1.0), ("b", 2.0), ("b", 3.0), ("c", 4.0), ("c", 5.0)]
+    got = _run(
+        spark, rows,
+        """
+        PARTITION BY k ORDER BY ts
+        MEASURES COUNT(X.*) AS nx, FIRST(C.price) AS cp
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A X*? C)
+        DEFINE A AS A.sym = 'a', C AS C.sym = 'c'
+        """,
+        {"nx": "long", "cp": "double"},
+    )
+    # reluctant X: the first 'c' wins (two bs skipped); one match per A
+    assert got == [(1, 0, 2, 4.0)]

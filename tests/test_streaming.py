@@ -271,3 +271,147 @@ def test_stream_temporal_join_matches_batch_asof(spark):
         payload={"value": "value"},
     ).select("event_id", "value")
     assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def _feed_batches(spark, tmpdir, batches, schema):
+    """Write each batch as its own parquet file; maxFilesPerTrigger=1
+    replays them as separate micro-batches in write order."""
+    import os
+    import time
+
+    for chunk in batches:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(tmpdir, "in"))
+        time.sleep(1.05)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(tmpdir, "in"))
+    )
+
+
+def test_stream_over_range_peers_share_frame(spark, tmp_path):
+    """Same-timestamp rows are RANGE peers: each must see the aggregate
+    including ALL its peers (ADVICE r2 — previously each row saw only
+    the buffer as of its own insertion)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0, 20.0),  # peer of the row above
+        (1, t0 + dt.timedelta(seconds=30), 5.0),
+    ]
+    stream = _feed_batches(spark, str(tmp_path), [rows], "k long, ts timestamp, value double")
+    out = SS.over_range_bounded_stream(stream, "k", "ts", "value", range_ms=60_000)
+    SC.run_to_memory(out, "t_peers", "append")
+    got = {
+        (r.ts_ms, round(r.value, 1)): (round(r.frame_sum, 1), r.frame_cnt)
+        for r in spark.sql("SELECT * FROM t_peers").collect()
+    }
+    ts0_ms = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    # both t0 peers see sum=30 cnt=2; the +30s row sees all three
+    assert got[(ts0_ms, 10.0)] == (30.0, 2)
+    assert got[(ts0_ms, 20.0)] == (30.0, 2)
+    assert got[(ts0_ms + 30_000, 5.0)] == (35.0, 3)
+
+
+def test_stream_temporal_join_state_bounded(spark, tmp_path):
+    """Watermark-driven version eviction (TemporalRowTimeJoinOperator
+    cleanUpState): with state_bound_ms set, the per-key version history
+    stays bounded across micro-batches while join results are unchanged."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def v_row(hour, side, payload):
+        # side 0 = right (version), 1 = left (probe)
+        return (1, t0 + dt.timedelta(hours=hour), side, payload)
+
+    schema = "k long, ts timestamp, side int, payload string"
+    batches = [
+        [v_row(h, 0, f"v{h}") for h in range(0, 10)]
+        + [v_row(h + 0.5, 1, f"p{h}") for h in range(0, 10)],
+        [v_row(h, 0, f"v{h}") for h in range(10, 20)]
+        + [v_row(h + 0.5, 1, f"p{h}") for h in range(10, 20)],
+        [v_row(h, 0, f"v{h}") for h in range(20, 30)]
+        + [v_row(h + 0.5, 1, f"p{h}") for h in range(20, 30)],
+    ]
+    stream = _feed_batches(spark, str(tmp_path), batches, schema)
+    left = stream.where("side = 1").select("k", "ts", "payload")
+    right = stream.where("side = 0").select(
+        "k", "ts", F.col("payload").alias("ver")
+    )
+    out = SS.temporal_join_stream(
+        left, right, "k", "ts", ["payload"], ["ver"],
+        state_bound_ms=2 * 3_600_000, emit_state_size=True,
+    )
+    SC.run_to_memory(out, "t_tjoin_bounded", "append")
+    rows = spark.sql("SELECT * FROM t_tjoin_bounded").collect()
+    assert len(rows) == 30
+    # every probe at h+0.5 joins version v{h}
+    for r in rows:
+        h = r.payload[1:]
+        assert r.ver == f"v{h}", (r.payload, r.ver)
+    # 30 versions flowed through; the bound keeps only ~2h of history
+    # (versions within bound of the max ts, +1 covering version)
+    assert max(r.n_versions for r in rows) <= 4
+    # and without the bound the history would be the full 10/20/30
+    out_unbounded = SS.temporal_join_stream(
+        left, right, "k", "ts", ["payload"], ["ver"], emit_state_size=True
+    )
+    SC.run_to_memory(out_unbounded, "t_tjoin_unbounded", "append")
+    rows_u = spark.sql("SELECT * FROM t_tjoin_unbounded").collect()
+    assert max(r.n_versions for r in rows_u) == 30
+
+
+def test_stream_topn_with_ttl_evicts_idle_key(spark, tmp_path):
+    """ttl_ms wires a processing-time timeout (StateTtlConfig.java
+    analogue): an idle key's Top-N state is dropped, so re-feeding the
+    key after expiry restarts its ranking from empty instead of merging
+    with pre-TTL values."""
+    import os
+    import time
+
+    schema = "k long, value double, eid string"
+    in_dir = os.path.join(str(tmp_path), "in")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    feed([(1, 50.0, "old_hi"), (1, 40.0, "old_lo")])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(in_dir)
+    out = SS.topn_stream(stream, "k", "value", ["eid"], n=2, ttl_ms=3_000)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_topn_ttl")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM t_topn_ttl").count() >= 2:
+                break
+            time.sleep(0.5)
+        # let the key sit idle past the TTL; empty maintenance batches
+        # fire the timeout and remove the state
+        time.sleep(8)
+        feed([(1, 10.0, "new")])
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM t_topn_ttl WHERE eid = 'new'"
+            ).collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        # post-TTL emission: the key restarted from empty, so the new
+        # value ranks 1 (pre-TTL 50/40 would have pushed it to rn=3 → cut)
+        assert rows and rows[0].rn == 1
+    finally:
+        q.stop()

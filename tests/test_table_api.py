@@ -160,3 +160,85 @@ def test_join_lateral_udtf(env):
 def test_explain_returns_plan(t):
     plan = t.group_by("k").select("k, amount.sum").explain()
     assert "HashAggregate" in plan or "AdaptiveSparkPlan" in plan
+
+
+# ---------------------------------------------------------------------------
+# ADVICE regression cases (round-1/2 findings, fixed round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_minus_is_sql_except(env):
+    """PyFlink Table.minus is SQL EXCEPT (pyflink/table/table.py:408):
+    [a,a,b] - [a] == [b], NOT [a,b]."""
+    left = env.from_elements([("a",), ("a",), ("b",)], "v string")
+    right = env.from_elements([("a",)], "v string")
+    assert left.minus(right).to_pandas().v.tolist() == ["b"]
+
+
+def test_minus_all_keeps_multiplicity(env):
+    left = env.from_elements([("a",), ("a",), ("b",)], "v string")
+    right = env.from_elements([("a",)], "v string")
+    assert sorted(left.minus_all(right).to_pandas().v) == ["a", "b"]
+
+
+def test_agg_detection_not_fooled_by_column_names(env):
+    """A projection column named like an agg fn (var_rate, min_value)
+    must stay in the projection; percentile() must be routed to agg."""
+    tbl = env.from_elements(
+        [(1, 2.0, 3.0), (1, 4.0, 5.0), (2, 6.0, 7.0)],
+        "k int, var_rate double, min_value double",
+    )
+    got = (
+        tbl.group_by("k")
+        .select("k, sum(var_rate) as s, max(min_value) as m")
+        .to_pandas()
+    )
+    assert sorted(map(tuple, got.itertuples(index=False))) == [
+        (1, 6.0, 5.0),
+        (2, 6.0, 7.0),
+    ]
+    # aggregates the old repr-substring list missed now plan correctly
+    got2 = (
+        tbl.group_by("k")
+        .select("k, percentile(var_rate, 0.5) as p50, median(min_value) as med")
+        .to_pandas()
+    )
+    assert got2[got2.k == 1].p50.tolist() == [3.0]
+
+
+def test_over_defaults_to_range_frame(env):
+    """Flink over-windows default to RANGE: peer rows (duplicate order
+    keys) all see the full peer-group aggregate."""
+    tbl = env.from_elements(
+        [(1, 10, 1.0), (1, 10, 2.0), (1, 20, 4.0)], "k int, o int, v double"
+    )
+    got = tbl.over_column(
+        "s", F.sum("v"), Over.partition_by("k").order_by("o")
+    ).to_pandas()
+    by_ov = sorted((r.o, r.v, r.s) for r in got.itertuples(index=False))
+    # both o=10 peers see 3.0 (RANGE), not 1.0/3.0 (ROWS)
+    assert by_ov == [(10, 1.0, 3.0), (10, 2.0, 3.0), (20, 4.0, 7.0)]
+
+
+def test_over_explicit_rows_frame(env):
+    tbl = env.from_elements(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 4.0)], "k int, o int, v double"
+    )
+    got = tbl.over_column(
+        "s", F.sum("v"), Over.partition_by("k").order_by("o").preceding(1)
+    ).to_pandas()
+    assert sorted(got.s.tolist()) == [1.0, 3.0, 6.0]
+
+
+def test_jdbc_partition_column_requires_bounds(spark):
+    import pytest as _pytest
+
+    from flink_spark.sources import jdbc_source
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        jdbc_source(
+            spark,
+            "jdbc:postgresql://nowhere/db",
+            "t",
+            partition_column="id",
+        )
