@@ -119,6 +119,36 @@ class DataStream:
     def connect(self, other: "DataStream") -> "ConnectedStreams":
         return ConnectedStreams(self, other)
 
+    def co_group(
+        self,
+        other: "DataStream",
+        key: str,
+        ts_col: str,
+        window_size: str,
+        fn: Callable,
+        output_type: str,
+    ) -> "DataStream":
+        """Windowed coGroup (DataStream.coGroup:720, CoGroupedStreams.java):
+        per (window, key), BOTH sides' full row bags are handed to
+        ``fn(left_pdf, right_pdf) -> pdf`` — unlike a join, the function
+        also sees keys present on only one side (the other bag arrives
+        empty), which is what makes coGroup strictly more general.
+
+        Spark mapping: ``groupBy(window, key).cogroup(...).applyInPandas``
+        — the cogroup shuffle co-locates both sides on (window, key), one
+        shuffle per side, same as the reference's tagged-union window
+        operator. Each pdf carries a ``window_start`` column (the window
+        struct is flattened so pandas sees a plain timestamp).
+        """
+        def prep(df):
+            return df.withColumn(
+                "window_start", F.window(ts_col, window_size).start
+            )
+
+        lg = prep(self.df).groupBy("window_start", key)
+        rg = prep(other.df).groupBy("window_start", key)
+        return DataStream(lg.cogroup(rg).applyInPandas(fn, schema=output_type))
+
     def broadcast(self) -> "DataStream":
         """broadcast:419 — mark for broadcast distribution (the consumer
         join will replicate this side to every task)."""

@@ -32,7 +32,7 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-BATCH_FORMATS = ("parquet", "orc", "csv", "json", "text")
+BATCH_FORMATS = ("parquet", "orc", "csv", "json", "text", "avro")
 
 
 # ---------------------------------------------------------------------------
@@ -93,6 +93,12 @@ def read_file(
     the data twice, unacceptable at 100 TB)."""
     if fmt not in BATCH_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {BATCH_FORMATS}")
+    if fmt == "avro":
+        # external data source module — fail with guidance, not a
+        # mid-job ClassNotFoundException (flink_spark/formats.py)
+        from flink_spark.formats import _require_avro
+
+        _require_avro(spark)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)

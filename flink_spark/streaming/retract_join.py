@@ -1,0 +1,147 @@
+"""Retraction-aware streaming regular join on the changelog convention.
+
+Reference: StreamingJoinOperator.java:36
+(flink-table/flink-table-runtime/.../operators/join/stream/) — the
+two-input join of *updating* streams: both sides keep their live rows in
+keyed state; an insert on one side emits +I join rows against the other
+side's current state, a delete emits -D rows that retract previously
+emitted joins. (The reference's JoinRecordStateView per-side state is
+exactly the per-key multiset kept here.)
+
+Spark has no updating-stream inputs (SURVEY risk #1), so the inputs
+follow the repo's changelog-column convention (flink_spark/changelog.py):
+a ``row_kind`` column of '+I'/'-D' ('+U'/'-U' are normalized to
+delete+insert upstream by changelog_normalize). The two streams are
+tagged and unioned (Spark stateful ops are single-input), keyed by the
+join key, and processed through ``applyInPandasWithState``:
+
+- state: per key, one multiset of live payload rows per side;
+- a '+I' arrival adds to its side and emits '+I' joined rows against
+  every live row (with multiplicity) of the other side;
+- a '-D' arrival removes one instance from its side and emits '-D'
+  joined rows against the other side — retracting what the earlier
+  '+I's emitted.
+
+Rows inside a micro-batch are processed in ``seq_col`` order, so the
+emitted changelog is deterministic; the running sum of +I minus -D per
+joined row always equals the batch inner join of the normalized inputs
+(the invariant the test pins).
+
+Scale: state is O(live rows per key per side) — identical to the
+reference's state view asymptotics; the stream shuffles once on the
+join key.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def retract_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    seq_col: str,
+    left_payload: list[str],
+    right_payload: list[str],
+) -> DataFrame:
+    """Inner equi-join of two +I/-D changelog streams.
+
+    Output: (row_kind, key, <left_payload>, <right_payload>) — itself a
+    changelog stream ('+I' join appears / '-D' join disappears).
+    Both inputs need ``row_kind`` and a ``seq_col`` total order.
+    """
+    key_type = left.schema[key].dataType.simpleString()
+    lsel = left.select(
+        F.col(key), F.col(seq_col).cast("long").alias("__seq"),
+        F.col("row_kind"), F.lit(0).alias("__side"),
+        *[F.col(c).cast("string").alias(f"__l_{c}") for c in left_payload],
+        *[F.lit(None).cast("string").alias(f"__r_{c}") for c in right_payload],
+    )
+    rsel = right.select(
+        F.col(key), F.col(seq_col).cast("long").alias("__seq"),
+        F.col("row_kind"), F.lit(1).alias("__side"),
+        *[F.lit(None).cast("string").alias(f"__l_{c}") for c in left_payload],
+        *[F.col(c).cast("string").alias(f"__r_{c}") for c in right_payload],
+    )
+    unioned = lsel.unionByName(rsel)
+
+    out_fields = ", ".join(
+        ["row_kind string", f"{key} {key_type}"]
+        + [f"{c} string" for c in left_payload]
+        + [f"{c} string" for c in right_payload]
+    )
+    out_cols = ["row_kind", key] + left_payload + right_payload
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # per-side live-row multisets: [payload_list, count]
+        if state.exists:
+            lrows = [json.loads(v) for v in state.get[0]]
+            rrows = [json.loads(v) for v in state.get[1]]
+        else:
+            lrows, rrows = [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(pdf.to_dict("records"))
+        rows.sort(key=lambda r: r["__seq"])
+        out = []
+        for r in rows:
+            kind = r["row_kind"]
+            if r["__side"] == 0:
+                mine, other = lrows, rrows
+                payload = [r[f"__l_{c}"] for c in left_payload]
+            else:
+                mine, other = rrows, lrows
+                payload = [r[f"__r_{c}"] for c in right_payload]
+            if kind == "+I":
+                for entry in mine:
+                    if entry[0] == payload:
+                        entry[1] += 1
+                        break
+                else:
+                    mine.append([payload, 1])
+                emit_kind = "+I"
+            elif kind == "-D":
+                for i, entry in enumerate(mine):
+                    if entry[0] == payload:
+                        entry[1] -= 1
+                        if entry[1] == 0:
+                            mine.pop(i)
+                        break
+                else:
+                    continue  # delete of an unknown row: no-op
+                emit_kind = "-D"
+            else:
+                raise ValueError(
+                    f"row_kind {kind!r}: normalize +U/-U upstream "
+                    "(changelog.drop_update_before / normalize)"
+                )
+            for other_payload, cnt in other:
+                if r["__side"] == 0:
+                    joined = [emit_kind, k[0]] + payload + other_payload
+                else:
+                    joined = [emit_kind, k[0]] + other_payload + payload
+                out.extend([joined] * cnt)
+        state.update(
+            (
+                [json.dumps(e) for e in lrows],
+                [json.dumps(e) for e in rrows],
+            )
+        )
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return unioned.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType="l array<string>, r array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

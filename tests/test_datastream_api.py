@@ -131,3 +131,39 @@ def test_union_and_broadcast(env, ds):
     extra = env.from_collection([("u3", 1, 1.0)], SCHEMA)
     assert ds.union(extra).df.count() == 6
     assert ds.broadcast().df.count() == 5  # hint preserves rows
+
+
+def test_windowed_cogroup_delivers_both_bags(env):
+    """CoGroupedStreams.java contract: fn sees the full left and right
+    bags per (window, key) — including windows where one side is empty
+    (which a join would drop)."""
+    import pandas as pd
+
+    left = env.from_collection(
+        [("u1", "2024-01-01 00:10:00", 1.0),
+         ("u1", "2024-01-01 00:20:00", 2.0),
+         ("u2", "2024-01-01 00:30:00", 5.0)],
+        "user string, ts_s string, v double",
+    ).map(["user", "cast(ts_s as timestamp) as ts", "v"])
+    right = env.from_collection(
+        [("u1", "2024-01-01 00:15:00", 10.0),
+         ("u3", "2024-01-01 00:40:00", 30.0)],
+        "user string, ts_s string, w double",
+    ).map(["user", "cast(ts_s as timestamp) as ts", "w"])
+
+    def summarize(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        user = lpdf.user.iloc[0] if len(lpdf) else rpdf.user.iloc[0]
+        return pd.DataFrame(
+            [[user, len(lpdf), len(rpdf),
+              float(lpdf.v.sum()) + float(rpdf.w.sum() if len(rpdf) else 0.0)]],
+            columns=["user", "nl", "nr", "total"],
+        )
+
+    got = left.co_group(
+        right, key="user", ts_col="ts", window_size="1 hour",
+        fn=summarize, output_type="user string, nl long, nr long, total double",
+    ).execute_and_collect()
+    by_user = {r.user: (r.nl, r.nr, r.total) for r in got}
+    assert by_user["u1"] == (2, 1, 13.0)
+    assert by_user["u2"] == (1, 0, 5.0)   # right bag empty
+    assert by_user["u3"] == (0, 1, 30.0)  # left bag empty

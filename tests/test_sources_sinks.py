@@ -149,3 +149,37 @@ def test_exactly_once_file_sink_replay_dedup(spark, tmp_path):
         spark, os.path.join(out_dir, "batch_id=0"), fmt="parquet"
     ).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+
+# ---------------------------------------------------------------------------
+# Avro format (flink_spark/formats.py) — gated on the spark-avro module
+# ---------------------------------------------------------------------------
+
+
+def test_avro_roundtrip_or_clear_error(spark, tmp_path):
+    """With spark-avro present: a documents sample round-trips through
+    avro read/write. Without it (this container): every avro entry point
+    fails at construct time with actionable guidance, never a mid-job
+    ClassNotFoundException."""
+    import pytest as _pytest
+
+    from flink_spark import formats
+    from flink_spark.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    sample = Catalog(spark, SF_DIR).documents.limit(50)
+    path = str(tmp_path / "docs_avro")
+    if formats.avro_available(spark):
+        formats.write_avro(sample, path)
+        back = formats.read_avro(spark, path)
+        assert back.count() == 50
+        assert set(back.columns) == set(sample.columns)
+    else:
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            formats.write_avro(sample, path)
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            formats.read_avro(spark, path)
+        from flink_spark.sources import read_file
+
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            read_file(spark, path, fmt="avro")
