@@ -176,6 +176,15 @@ class DataStream:
     def global_(self) -> "DataStream":
         return DataStream(self.df.repartition(1))
 
+    def sort_partition(self, *cols: str | Column, ascending: bool = True) -> "DataStream":
+        """DataSet.sortPartition (flink-java/.../DataSet.java) →
+        sortWithinPartitions: a partition-local sort, no shuffle — the
+        cheap pre-ordering used before merge-joins or ordered sinks."""
+        cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+        if not ascending:
+            cs = [c.desc() for c in cs]
+        return DataStream(self.df.sortWithinPartitions(*cs))
+
     def partition_custom(self, *cols: str) -> "DataStream":
         """partitionCustom:360 → hash-partition on expressions (Spark's
         shuffle hash replaces the user Partitioner object)."""

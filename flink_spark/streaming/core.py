@@ -53,6 +53,40 @@ def with_bounded_out_of_orderness(df: DataFrame, ts_col: str, delay: str) -> Dat
     return df.withWatermark(ts_col, delay)
 
 
+def with_idleness(spark: SparkSession) -> None:
+    """WatermarkStrategy.withIdleness (WatermarkStrategy.java:147) mapping.
+
+    Flink marks a source idle so it stops holding back the combined
+    watermark. Spark's combined watermark across multiple watermarked
+    inputs is governed by ``spark.sql.streaming.multipleWatermarkPolicy``:
+    the default ``min`` is held back by the slowest (possibly idle)
+    input; ``max`` lets the furthest-ahead input drive it — the
+    idleness behavior. This is a session-wide policy (Spark offers no
+    per-source knob), which is the documented semantic narrowing.
+    """
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+
+
+def with_watermark_alignment(
+    spark: SparkSession, max_files_per_trigger: int | None = None
+) -> dict[str, str]:
+    """WatermarkStrategy.withWatermarkAlignment (WatermarkStrategy.java:168)
+    mapping.
+
+    Flink throttles sources that run ahead of the alignment group.
+    Spark's equivalents: the ``min`` combined-watermark policy (no
+    input's lateness is dropped because another ran ahead) plus
+    per-source rate caps that bound how far a fast source can advance
+    per micro-batch. Returns the reader options to apply to each file
+    source (Kafka sources use maxOffsetsPerTrigger analogously).
+    """
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    opts: dict[str, str] = {}
+    if max_files_per_trigger is not None:
+        opts["maxFilesPerTrigger"] = str(max_files_per_trigger)
+    return opts
+
+
 def tumble_agg(
     df: DataFrame, ts_col: str, size: str, keys: list[str], aggs: list
 ) -> DataFrame:
