@@ -288,6 +288,83 @@ def temporal_join_stream(
     )
 
 
+def temporal_sort_stream(
+    df: DataFrame,
+    ts_col: str,
+    payload_cols: list[str],
+    delay_ms: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Streaming temporal sort: rows are emitted in event-time order once
+    the watermark passes them (StreamExecTemporalSort.java:64 →
+    RowTimeSortOperator.java:43).
+
+    The reference buffers rows keyed by timestamp and flushes, sorted, on
+    each watermark advance; rows at-or-below the last emitted watermark
+    are late and dropped. Here the micro-batch boundary is the watermark
+    tick: the per-partition watermark is (max event time seen −
+    ``delay_ms``); each batch releases every buffered row at-or-below it,
+    sorted, and holds the rest in state. Because later batches only move
+    the watermark forward, the emitted sequence is globally event-time
+    ordered within each sort partition (``emit_seq`` is the order probe).
+
+    ``partition_col`` None gives the total order Flink's ORDER BY rowtime
+    produces at parallelism 1 (a single sort task — the only way any
+    engine yields a total order); set it to shard the sort per key, the
+    parallel per-subtask order of the reference. State is O(rows inside
+    the delay window) per partition.
+    """
+    if partition_col is None:
+        df = df.withColumn("__sortpart", F.lit(0))
+        partition_col = "__sortpart"
+    out_fields = ", ".join(
+        [f"{partition_col} {_key_type(df, partition_col)}",
+         "emit_seq long", "ts_ms long"]
+        + [f"{c} string" for c in payload_cols]
+    )
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf = [json.loads(r) for r in state.get[0]]
+            wm, seq = state.get[1], state.get[2]
+        else:
+            buf, wm, seq = [], -(2**62), 0
+        # Lateness is judged against the watermark as of the previous
+        # batch — the watermark tick comes after the batch's rows, so
+        # in-batch disorder never drops a row the reference would keep.
+        wm_prev = wm
+        for pdf in pdfs:
+            for row in pdf[[ts_col, *payload_cols]].itertuples(index=False):
+                t_ms = int(pd.Timestamp(row[0]).value // 1_000_000)
+                if t_ms <= wm_prev:
+                    continue  # late row: below the emitted watermark → drop
+                buf.append([t_ms, [str(v) for v in row[1:]]])
+                wm = max(wm, t_ms - delay_ms)
+        buf.sort(key=lambda r: r[0])
+        cut = 0
+        while cut < len(buf) and buf[cut][0] <= wm:
+            cut += 1
+        emit, buf = buf[:cut], buf[cut:]
+        out = []
+        for t_ms, payload in emit:
+            seq += 1
+            out.append([k[0], seq, t_ms] + payload)
+        state.update(([json.dumps(r) for r in buf], wm, seq))
+        yield pd.DataFrame(
+            out, columns=[partition_col, "emit_seq", "ts_ms"] + payload_cols
+        )
+
+    return df.groupBy(partition_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType="buf array<string>, wm long, seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def over_unbounded_preceding_stream(
     df: DataFrame, key: str, ts_col: str, value_col: str
 ) -> DataFrame:

@@ -415,3 +415,42 @@ def test_stream_topn_with_ttl_evicts_idle_key(spark, tmp_path):
         assert rows and rows[0].rn == 1
     finally:
         q.stop()
+
+
+def test_stream_temporal_sort_orders_and_drops_late(spark, tmp_path):
+    """Temporal sort (StreamExecTemporalSort / RowTimeSortOperator):
+    out-of-order rows across micro-batches are emitted in event-time
+    order once the watermark passes them; a row at-or-below the emitted
+    watermark is late and dropped, exactly the reference's contract."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(minute, tag):
+        return (t0 + dt.timedelta(minutes=minute), tag)
+
+    schema = "ts timestamp, tag string"
+    # delay = 5 min. Batch 1 max=40 → wm=35: emits 5,10,20,30 in order,
+    # holds 40. Batch 2: minute-24 <= wm 35 → late, dropped; minute-37 is
+    # open and must be emitted BEFORE the held minute-40 even though 40
+    # arrived a batch earlier; max=50 → wm=45: emits 37,40, holds 50.
+    # Batch 3: max=70 → wm=65: emits 50,60, holds 70 forever (no final
+    # watermark flush in availableNow — the row stays buffered).
+    batches = [
+        [row(10, "a"), row(30, "b"), row(5, "c"), row(20, "d"), row(40, "e")],
+        [row(37, "f"), row(24, "late"), row(50, "g")],
+        [row(60, "h"), row(70, "held")],
+    ]
+    stream = _feed_batches(spark, str(tmp_path), batches, schema)
+    out = SS.temporal_sort_stream(stream, "ts", ["tag"], delay_ms=5 * 60_000)
+    SC.run_to_memory(out, "t_tsort", "append")
+    rows = spark.sql(
+        "SELECT emit_seq, ts_ms, tag FROM t_tsort ORDER BY emit_seq"
+    ).collect()
+    tags = [r.tag for r in rows]
+    assert "late" not in tags  # dropped: 24min <= watermark 35min
+    assert "held" not in tags  # above the final watermark, still buffered
+    # emission is globally event-time ordered in emit_seq order
+    ts_seq = [r.ts_ms for r in rows]
+    assert ts_seq == sorted(ts_seq)
+    assert tags == ["c", "a", "d", "b", "f", "e", "g", "h"]
