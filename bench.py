@@ -91,14 +91,19 @@ def main() -> None:
     ]
 
     # Per-query floor: the wall-clock of an empty-compute job round trip
-    # (Python→JVM submit + schedule + collect). At small SF this floor,
-    # not engine throughput, dominates sub-second queries — reported so
-    # the spark/oracle ratio can be decomposed.
-    tiny = spark.range(1).cache()
+    # (Python→JVM submit + schedule + collect) on ONE partition — at
+    # small SF this floor, not engine throughput, dominates sub-second
+    # queries, and a 100 TB query pays it exactly once. Reported so the
+    # spark/oracle ratio can be decomposed into fixed-latency vs
+    # throughput terms.
+    tiny = spark.range(0, 1, 1, 1).cache()
     tiny.count()
-    t0 = time.perf_counter()
-    tiny.count()
-    floor_s = round(time.perf_counter() - t0, 3)
+    floor_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tiny.count()
+        floor_s = min(floor_s, time.perf_counter() - t0)
+    floor_s = round(floor_s, 3)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -108,7 +113,7 @@ def main() -> None:
         n = df.count()
         cold[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t1 = time.perf_counter()
             Q.QUERIES[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t1)
@@ -138,7 +143,7 @@ def main() -> None:
                 continue
             con.execute(sql).fetchall()  # warm-up run
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
@@ -160,6 +165,15 @@ def main() -> None:
     headline_ratio = (
         round(paired_spark / paired_oracle, 3) if paired_oracle else None
     )
+    # Decomposition: subtract the fixed per-query job-submission floor
+    # from each Spark timing (a constant a real-scale query pays once,
+    # amortized to nothing at 100 TB; DuckDB in-process has no such
+    # floor). Both numbers are reported — headline_ratio stays the raw,
+    # unadjusted one.
+    floor_adj = sum(max(timings[n] - floor_s, 0.0) for n in oracle_s)
+    throughput_ratio = (
+        round(floor_adj / paired_oracle, 3) if paired_oracle else None
+    )
     print(
         json.dumps(
             {
@@ -171,6 +185,7 @@ def main() -> None:
                 "oracle_s": oracle_s,
                 "ratio": ratio,
                 "headline_ratio": headline_ratio,
+                "throughput_ratio_floor_adjusted": throughput_ratio,
                 "spark_floor_s": floor_s,
                 "baseline": "duckdb_same_machine_same_parquet",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
