@@ -119,6 +119,13 @@ class DataStream:
     def connect(self, other: "DataStream") -> "ConnectedStreams":
         return ConnectedStreams(self, other)
 
+    def connect_broadcast(self, control: "DataStream") -> "BroadcastConnectedStream":
+        """DataStream.connect(BroadcastStream) (DataStream.java:300 →
+        BroadcastConnectedStream.java): the broadcast state pattern —
+        a small control/rules stream replicated to every parallel
+        instance of the main stream."""
+        return BroadcastConnectedStream(self, control)
+
     def co_group(
         self,
         other: "DataStream",
@@ -215,6 +222,40 @@ class DataStream:
     def execute_and_collect(self, limit: int | None = None):
         df = self.df.limit(limit) if limit else self.df
         return df.collect()
+
+
+class BroadcastConnectedStream:
+    """Broadcast state pattern (BroadcastConnectedStream.java +
+    co/BroadcastProcessFunction.java): the control side is snapshotted
+    and replicated to every task; the main stream is processed against
+    it with read-only access — Flink's read-only broadcast state view.
+
+    The control snapshot is collected driver-side and shipped as a Spark
+    broadcast variable: the reference has the identical contract (the
+    broadcast MapState must fit in each task's memory,
+    BroadcastProcessFunction works on a per-instance copy). For a
+    *changing* control stream, re-invoke per micro-batch inside
+    ``foreachBatch`` — the micro-batch boundary is the state-update
+    point, matching processBroadcastElement-then-processElement ordering
+    at batch granularity.
+    """
+
+    def __init__(self, main: "DataStream", control: "DataStream"):
+        self.main = main
+        self.control = control
+
+    def process(self, fn: Callable, output_type: str) -> "DataStream":
+        """fn(main_pdf, control_rows: list[dict]) -> pdf, applied per
+        Arrow batch of the main stream with the full control snapshot."""
+        rows = [r.asDict() for r in self.control.df.collect()]
+        bc = self.main.df.sparkSession.sparkContext.broadcast(rows)
+
+        def run(batches):
+            state = bc.value
+            for pdf in batches:
+                yield fn(pdf, state)
+
+        return DataStream(self.main.df.mapInPandas(run, schema=output_type))
 
 
 class ConnectedStreams:
@@ -321,6 +362,27 @@ class KeyedStream:
     def window_tumble(self, ts: str, size: str) -> DataFrame:
         """WindowedStream entry: groupBy(window) handle for .agg."""
         return self.df.groupBy(F.window(ts, size), *self.keys)
+
+    def window_apply(
+        self, ts: str, size: str, fn: Callable, output_type: str
+    ) -> DataStream:
+        """WindowedStream.apply / ProcessWindowFunction
+        (WindowedStream.java apply, ProcessWindowFunction.java): the full
+        row bag of each (key, tumbling window) is handed to
+        ``fn(key_tuple, pdf) -> pdf``; the key tuple is
+        (*key_values, window_start). Output schema must include whatever
+        window/key columns the function emits — the reference's Context
+        (window bounds) is the window_start element of the key."""
+        tagged = self.df.withColumn("__w_start", F.window(ts, size).start)
+
+        def run(key, pdf):
+            return fn(key, pdf.drop(columns=["__w_start"]))
+
+        return DataStream(
+            tagged.groupBy(*self.keys, "__w_start").applyInPandas(
+                run, schema=output_type
+            )
+        )
 
     def process(self, fn: Callable, output_type: str) -> DataStream:
         """KeyedProcessFunction (KeyedStream.process:326) batch analogue:

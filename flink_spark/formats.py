@@ -87,3 +87,65 @@ def to_avro(col: Column, spark: SparkSession) -> Column:
     from pyspark.sql.avro.functions import to_avro as _ta
 
     return _ta(col)
+
+
+# ---------------------------------------------------------------------------
+# Protobuf (flink-formats/flink-protobuf → pyspark.sql.protobuf)
+# ---------------------------------------------------------------------------
+
+
+def protobuf_available(spark: SparkSession) -> bool:
+    """True when the spark-protobuf module is on the session classpath.
+
+    Same probe policy as Avro: Spark ships protobuf as an external
+    module (`org.apache.spark:spark-protobuf`); the Python wrappers
+    always import, the JVM side may be absent."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_protobuf(spark: SparkSession) -> None:
+    if not protobuf_available(spark):
+        raise RuntimeError(
+            "spark-protobuf module is not on the classpath; add "
+            "org.apache.spark:spark-protobuf_2.13:<spark-version> via "
+            "spark.jars.packages (flink-formats/flink-protobuf is an "
+            "optional module in the reference too)"
+        )
+
+
+def from_protobuf(
+    col: Column,
+    message_name: str,
+    spark: SparkSession,
+    desc_file_path: str | None = None,
+    options: dict | None = None,
+) -> Column:
+    """PbRowDataDeserializationSchema analogue: binary column → struct.
+
+    ``desc_file_path`` is the compiled FileDescriptorSet (protoc
+    --descriptor_set_out), the same artifact the reference's
+    `protobuf.descriptor-file` option consumes."""
+    _require_protobuf(spark)
+    from pyspark.sql.protobuf.functions import from_protobuf as _fp
+
+    return _fp(col, message_name, desc_file_path, options)
+
+
+def to_protobuf(
+    col: Column,
+    message_name: str,
+    spark: SparkSession,
+    desc_file_path: str | None = None,
+    options: dict | None = None,
+) -> Column:
+    """PbRowDataSerializationSchema analogue: struct → binary column."""
+    _require_protobuf(spark)
+    from pyspark.sql.protobuf.functions import to_protobuf as _tp
+
+    return _tp(col, message_name, desc_file_path, options)

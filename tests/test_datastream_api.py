@@ -167,3 +167,70 @@ def test_windowed_cogroup_delivers_both_bags(env):
     assert by_user["u1"] == (2, 1, 13.0)
     assert by_user["u2"] == (1, 0, 5.0)   # right bag empty
     assert by_user["u3"] == (0, 1, 30.0)  # left bag empty
+
+
+def test_broadcast_state_pattern(env):
+    """Broadcast state pattern (BroadcastConnectedStream +
+    BroadcastProcessFunction): a small rules stream is replicated to
+    every main-stream task; each element is processed against the full
+    read-only rules snapshot."""
+    import pandas as pd
+
+    main = env.from_collection(
+        [("a", 5.0), ("b", 50.0), ("c", 500.0)], "cat string, v double"
+    )
+    rules = env.from_collection(
+        [("a", 10.0), ("b", 10.0)], "cat string, threshold double"
+    )
+
+    def apply_rules(pdf: pd.DataFrame, state: list) -> pd.DataFrame:
+        th = {r["cat"]: r["threshold"] for r in state}
+        out = pdf.copy()
+        out["flagged"] = [
+            bool(v > th.get(c, float("inf")))
+            for c, v in zip(pdf.cat, pdf.v)
+        ]
+        return out
+
+    got = (
+        main.connect_broadcast(rules)
+        .process(apply_rules, "cat string, v double, flagged boolean")
+        .execute_and_collect()
+    )
+    by_cat = {r.cat: r.flagged for r in got}
+    # b exceeds its rule; a does not; c has no rule -> not flagged
+    assert by_cat == {"a": False, "b": True, "c": False}
+
+
+def test_keyed_window_apply(env):
+    """WindowedStream.apply / ProcessWindowFunction: the whole (key,
+    window) row bag reaches the user function, which emits an arbitrary
+    summary row (here: count + min/max spread) — strictly more general
+    than an aggregate."""
+    import pandas as pd
+
+    ds = env.from_collection(
+        [("u1", "2024-01-01 00:10:00", 1.0),
+         ("u1", "2024-01-01 00:50:00", 9.0),
+         ("u1", "2024-01-01 01:10:00", 4.0),
+         ("u2", "2024-01-01 00:20:00", 7.0)],
+        "user string, ts_s string, v double",
+    ).map(["user", "cast(ts_s as timestamp) as ts", "v"])
+
+    def spread(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        user, w_start = key
+        return pd.DataFrame(
+            [[user, str(w_start), len(pdf), float(pdf.v.max() - pdf.v.min())]],
+            columns=["user", "w", "n", "spread"],
+        )
+
+    got = (
+        ds.key_by("user")
+        .window_apply("ts", "1 hour", spread,
+                      "user string, w string, n long, spread double")
+        .execute_and_collect()
+    )
+    rows = {(r.user, r.w[:19]): (r.n, r.spread) for r in got}
+    assert rows[("u1", "2024-01-01 00:00:00")] == (2, 8.0)
+    assert rows[("u1", "2024-01-01 01:00:00")] == (1, 0.0)
+    assert rows[("u2", "2024-01-01 00:00:00")] == (1, 0.0)

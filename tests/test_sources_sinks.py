@@ -183,3 +183,24 @@ def test_avro_roundtrip_or_clear_error(spark, tmp_path):
 
         with _pytest.raises(RuntimeError, match="spark-avro"):
             read_file(spark, path, fmt="avro")
+
+
+def test_protobuf_roundtrip_or_clear_error(spark):
+    """Same gating policy as Avro: with spark-protobuf present the
+    from/to_protobuf helpers return usable columns; without it (this
+    container) every entry point fails at construct time with actionable
+    guidance (flink-formats/flink-protobuf analogue)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from flink_spark import formats
+
+    df = spark.range(3).select(F.struct("id").alias("s"))
+    if formats.protobuf_available(spark):
+        col = formats.to_protobuf(F.col("s"), "M", spark)
+        assert df.select(col).schema is not None
+    else:
+        with _pytest.raises(RuntimeError, match="spark-protobuf"):
+            formats.to_protobuf(F.col("s"), "M", spark)
+        with _pytest.raises(RuntimeError, match="spark-protobuf"):
+            formats.from_protobuf(F.col("s"), "M", spark)
