@@ -454,3 +454,68 @@ def test_stream_temporal_sort_orders_and_drops_late(spark, tmp_path):
     ts_seq = [r.ts_ms for r in rows]
     assert ts_seq == sorted(ts_seq)
     assert tags == ["c", "a", "d", "b", "f", "e", "g", "h"]
+
+
+def test_stream_delta_trigger_fires_on_deviation(spark, tmp_path):
+    """DeltaTrigger(3): a firing happens exactly when an element deviates
+    from the last-fired value by more than the threshold; the fired
+    aggregate includes the triggering element (WindowOperator adds the
+    element to state before consulting the trigger)."""
+    import datetime as dt
+
+    from flink_spark.streaming.triggers import delta_trigger_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=m), v)
+        for m, v in [(1, 10.0), (2, 11.0), (3, 15.0), (4, 15.5), (5, 25.0)]
+    ]
+    stream = _feed_batches(
+        spark, str(tmp_path), [rows[:3], rows[3:]], "k long, ts timestamp, v double"
+    )
+    out = delta_trigger_window_agg(stream, "k", "ts", "v", "1 day", delta=3.0)
+    SC.run_to_memory(out, "t_delta_trig", "update")
+    got = sorted(
+        (r.n_elements, r.run_sum, r.fire_value)
+        for r in spark.sql("SELECT * FROM t_delta_trig").collect()
+    )
+    # fires: at 15 (3 elements, sum 36) and at 25 (5 elements, sum 76.5)
+    assert got == [(3, 36.0, 15.0), (5, 76.5, 25.0)]
+
+
+def test_stream_continuous_event_time_trigger(spark, tmp_path):
+    """ContinuousEventTimeTrigger(10 min): early firings land on the
+    aligned event-time grid, each covering every element at-or-before
+    the grid point, with trigger state carried across micro-batches."""
+    import datetime as dt
+
+    from flink_spark.streaming.triggers import (
+        continuous_event_time_trigger_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = [
+        (1, t0 + dt.timedelta(minutes=m), v)
+        for m, v in [(1, 1.0), (5, 2.0), (12, 3.0), (25, 4.0)]
+    ]
+    stream = _feed_batches(
+        spark, str(tmp_path), [ev[:2], ev[2:]], "k long, ts timestamp, v double"
+    )
+    out = continuous_event_time_trigger_agg(
+        stream, "k", "ts", "v", "1 hour", interval_ms=600_000
+    )
+    SC.run_to_memory(out, "t_cont_trig", "update")
+    got = sorted(
+        (r.fire_time_ms, r.n_elements, r.run_sum)
+        for r in spark.sql("SELECT * FROM t_cont_trig").collect()
+    )
+    base = int(t0.timestamp()) * 1000
+    grid = [
+        (base + 600_000, 2, 3.0),       # 00:10 grid: elements @1,@5
+        (base + 1_200_000, 3, 6.0),     # 00:20 grid: +@12
+        (base + 1_500_000, 4, 10.0),    # batch-end firing @25
+    ]
+    # batch-end firings for batch 1 also appear (micro-batch boundary);
+    # every grid firing must be present with exactly these aggregates
+    for g in grid:
+        assert g in got, (g, got)
