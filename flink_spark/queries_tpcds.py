@@ -162,3 +162,93 @@ LIMIT 100
 def tpcds_q52_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q52 shape: q42 at brand grain with ordered top-100."""
     return _sql(spark, sf_dir, _Q52)
+
+
+_Q23 = f"""
+WITH freq AS (
+  SELECT l_partkey AS pk
+  FROM lineitem GROUP BY l_partkey HAVING count(*) > 30
+)
+SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+       CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_partkey IN (SELECT pk FROM freq)
+GROUP BY year(o_orderdate)
+ORDER BY d_year
+"""
+
+
+@query("tpcds_q23_shape", _Q23)
+def tpcds_q23_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape (frequent-item semi-join): the dimension side is
+    DERIVED from the fact by an aggregate + HAVING, then the fact is
+    semi-joined against it (q23's frequent_ss_items CTE pattern).
+
+    Plan: one shuffle of lineitem on l_partkey for the frequency agg;
+    the resulting key set is small → broadcast LeftSemi back onto the
+    fact; orders joins broadcast. At 100 TB the HAVING threshold keeps
+    the derived dim broadcastable — the defining property of the shape.
+    """
+    return _sql(spark, sf_dir, _Q23)
+
+
+_Q34 = """
+WITH per_order AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_custkey
+  HAVING count(*) BETWEEN 5 AND 7
+)
+SELECT c_name, ok AS orderkey, cnt
+FROM per_order JOIN customer ON ck = c_custkey
+ORDER BY c_name, orderkey
+LIMIT 100
+"""
+
+
+@query("tpcds_q34_shape", _Q34)
+def tpcds_q34_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape (order-size band): per-order line counts
+    filtered to a HAVING band, then joined back to the customer dim for
+    the report — aggregate-then-join, the reverse of the star order.
+
+    Plan: fact shuffles once on the order key (count agg), the band
+    filter collapses the agg output, customer broadcasts into the
+    post-agg join; TakeOrdered caps the result.
+    """
+    return _sql(spark, sf_dir, _Q34)
+
+
+_Q79 = f"""
+WITH per_order AS (
+  SELECT o_custkey AS ck, o_orderkey AS ok,
+         sum({_DEC_REVENUE}) AS spend
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, o_orderkey
+), ranked AS (
+  SELECT ck, ok, spend,
+         row_number() OVER (PARTITION BY ck
+                            ORDER BY spend DESC, ok) AS rn
+  FROM per_order
+)
+SELECT c_name, ok AS orderkey, CAST(spend AS DOUBLE) AS spend
+FROM ranked JOIN customer ON ck = c_custkey
+WHERE rn = 1
+ORDER BY c_name
+LIMIT 100
+"""
+
+
+@query("tpcds_q79_shape", _Q79)
+def tpcds_q79_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q79 shape (per-customer max): per-(customer, order) spend,
+    then the single best order per customer via ROW_NUMBER over the
+    aggregate — agg feeding a ranking window, two distinct shuffles.
+
+    Plan: fact shuffles on (custkey, orderkey) for the agg, re-shuffles
+    on custkey for the window (the second shuffle carries one row per
+    order, ~1000× smaller); ranking happens on the exact DECIMAL sum so
+    both engines order ties identically; customer broadcasts at the end.
+    """
+    return _sql(spark, sf_dir, _Q79)

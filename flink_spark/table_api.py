@@ -458,6 +458,19 @@ class _GroupedTable:
             self._table._env,
         )
 
+    def flat_aggregate(self, fn, output_type: str) -> Table:
+        """TableAggregateFunction surface (pyflink Table.flat_aggregate:860,
+        GroupedTable equivalent): ``fn(key_tuple, pdf) -> pdf`` may emit
+        ANY number of rows per group (e.g. a top-2 emitter) — strictly
+        more general than ``aggregate``'s one row. Runs on
+        ``applyInPandas`` over the grouped table."""
+        return Table(
+            self._table._df.groupBy(*self._keys).applyInPandas(
+                fn, schema=output_type
+            ),
+            self._table._env,
+        )
+
 
 # Aggregate detection matches *function invocations* (name followed by an
 # open paren at a word boundary), never bare identifiers — a column named
@@ -535,6 +548,24 @@ class TableEnvironment:
     def from_data_stream(self, df: DataFrame) -> Table:
         """from_data_stream:1708 — a (streaming) DataFrame IS the stream."""
         return Table(df, self)
+
+    def from_changelog_stream(
+        self, df: DataFrame, keys: list[str], order_by: list
+    ) -> Table:
+        """from_changelog_stream:1817 — interpret a +I/-U/+U/-D `row_kind`
+        stream as a table: the changelog is normalized to its current
+        state (newest surviving version per key, by ``order_by``)."""
+        from flink_spark.changelog import changelog_normalize
+
+        return Table(changelog_normalize(df, keys, order_by), self)
+
+    def to_changelog_stream(self, table: Table) -> DataFrame:
+        """to_changelog_stream:1910 — emit the table as an insert-only
+        changelog (`+I` per row; an updating table's retractions exist
+        only in continuous mode, which micro-batch emission subsumes)."""
+        from pyspark.sql import functions as F
+
+        return table._df.withColumn("row_kind", F.lit("+I"))
 
     # -- SQL ----------------------------------------------------------------
     def sql_query(self, sql: str) -> Table:

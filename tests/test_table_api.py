@@ -242,3 +242,50 @@ def test_jdbc_partition_column_requires_bounds(spark):
             "t",
             partition_column="id",
         )
+
+
+def test_flat_aggregate_emits_multiple_rows(env):
+    """GroupedTable.flat_aggregate (TableAggregateFunction surface): the
+    user function emits top-2 rows per group."""
+    import pandas as pd
+
+    t = env.from_elements(
+        [("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 9.0)],
+        "cat string, v double",
+    )
+
+    def top2(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.nlargest(2, "v")[["cat", "v"]]
+        return out
+
+    got = (
+        t.group_by("cat")
+        .flat_aggregate(top2, "cat string, v double")
+        .execute()
+        .collect()
+    )
+    rows = sorted((r.cat, r.v) for r in got)
+    assert rows == [("a", 2.0), ("a", 3.0), ("b", 9.0)]
+
+
+def test_changelog_stream_round_trip(env):
+    """from_changelog_stream normalizes +I/+U/-D to current state;
+    to_changelog_stream emits the table as an insert-only changelog."""
+    from pyspark.sql import functions as F
+
+    df = env.spark.createDataFrame(
+        [
+            ("+I", 1, "v1", 10),
+            ("+U", 1, "v2", 20),
+            ("+I", 2, "x1", 11),
+            ("-D", 2, "x1", 21),
+            ("+I", 3, "y1", 12),
+        ],
+        "row_kind string, k long, payload string, seq long",
+    )
+    t = env.from_changelog_stream(df, ["k"], [F.col("seq")])
+    state = sorted((r.k, r.payload) for r in t.execute().collect())
+    assert state == [(1, "v2"), (3, "y1")]
+    back = env.to_changelog_stream(t)
+    assert set(back.columns) >= {"row_kind", "k", "payload"}
+    assert all(r.row_kind == "+I" for r in back.collect())
