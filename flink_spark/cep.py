@@ -71,6 +71,7 @@ class _Step:
     max_times: int = 1
     greedy: bool = True
     loop_contiguity: str = RELAXED  # internal; consecutive() -> strict
+    negated: bool = False  # notNext / notFollowedBy (Pattern.java:309,329)
 
 
 @dataclass
@@ -103,6 +104,22 @@ class Pattern:
     def followed_by_any(self, name: str) -> "Pattern":
         """All-combinations branching (Pattern.java:343 followedByAny)."""
         self.steps.append(_Step(name, contiguity=ANY))
+        return self
+
+    def not_next(self, name: str) -> "Pattern":
+        """Negative strict step (Pattern.java:309 notNext): the event
+        immediately after the previous match must NOT satisfy the
+        condition. Binds no rows."""
+        self.steps.append(_Step(name, contiguity=STRICT, negated=True))
+        return self
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        """Negative relaxed step (Pattern.java:329 notFollowedBy): no
+        event satisfying the condition may occur between the previous
+        match and the next step's first match. As the LAST step it
+        requires ``within()`` (the reference's MalformedPatternException
+        contract): the negation is then checked to the window edge."""
+        self.steps.append(_Step(name, contiguity=RELAXED, negated=True))
         return self
 
     def times(self, n: int, n_max: int | None = None) -> "Pattern":
@@ -186,15 +203,48 @@ def _enumerate_from(
     def rec(
         si: int, pos: int, taken: int,
         matched: list[tuple[str, int]], bindings: dict,
+        pending_neg: tuple = (),
     ) -> Iterator[list[tuple[str, int]]]:
         if si == len(steps):
             yield list(matched)
             return
         step = steps[si]
 
+        if step.negated:
+            hit = lambda p: (  # noqa: E731 — negative condition at p
+                step.predicate is None or step.predicate(events[p], bindings)
+            )
+            if step.contiguity == STRICT:
+                # notNext: the immediately following event must not match
+                if pos < n and in_window(pos) and hit(pos):
+                    return
+                yield from rec(si + 1, pos, 0, matched, bindings, pending_neg)
+            elif si == len(steps) - 1:
+                # trailing notFollowedBy: only legal with within() — the
+                # negation holds to the window edge (NFA stop state +
+                # window timeout converting the pending match to emitted)
+                p = pos
+                while p < n and in_window(p):
+                    if hit(p):
+                        return
+                    p += 1
+                yield list(matched)
+            else:
+                # notFollowedBy: becomes a pending stop condition checked
+                # while the NEXT positive step scans for its first event
+                yield from rec(
+                    si + 1, pos, 0, matched, bindings, pending_neg + (step,)
+                )
+            return
+
         def advance() -> Iterator[list[tuple[str, int]]]:
             if taken >= step.min_times:
-                yield from rec(si + 1, pos, 0, matched, bindings)
+                # an optional step taking zero events keeps the pending
+                # notFollowedBy guard alive for the following step
+                yield from rec(
+                    si + 1, pos, 0, matched, bindings,
+                    pending_neg if taken == 0 else (),
+                )
 
         def consume() -> Iterator[list[tuple[str, int]]]:
             if taken >= step.max_times:
@@ -206,6 +256,14 @@ def _enumerate_from(
                 if not in_window(p):
                     return
                 ev = events[p]
+                if taken == 0 and any(
+                    ns.predicate is None or ns.predicate(ev, bindings)
+                    for ns in pending_neg
+                ):
+                    # a notFollowedBy condition fired in the gap before
+                    # this step's first event — the branch dies (the
+                    # reference's stop state wins over a take)
+                    return
                 ok = step.predicate is None or step.predicate(ev, bindings)
                 if ok:
                     matched.append((step.name, p))
@@ -253,6 +311,16 @@ def find_matches(
     happen in (start idx, end idx) order — an earlier-start/later-end
     match is never pruned by a later-start/earlier-end match's floor.
     """
+    if (
+        pattern.steps
+        and pattern.steps[-1].negated
+        and pattern.steps[-1].contiguity == RELAXED
+        and pattern.within_ms is None
+    ):
+        raise ValueError(
+            "notFollowedBy as the last step requires within() "
+            "(Pattern.java MalformedPatternException contract)"
+        )
     raw: list[list[tuple[str, int]]] = []
     for i in range(len(events)):
         raw.extend(_enumerate_from(events, i, pattern, ts_field))

@@ -340,3 +340,71 @@ def test_within_boundary_is_exclusive():
     )
     assert find_matches([ev(1, "A"), ev(11, "B")], p, "__ts_ms") == []
     assert find_matches([ev(1, "A"), ev(10, "B")], p, "__ts_ms")
+
+
+def test_not_next_blocks_immediate_match():
+    """notNext (Pattern.java:309): the event immediately after the
+    previous match must not satisfy the negative condition."""
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .not_next("no_x").where(lambda e, b: e["event_type"] == "X")
+        .followed_by("b").where(lambda e, b: e["event_type"] == "B")
+    )
+    # A X B  -> the X right after A kills the match
+    assert find_matches([ev(1, "A"), ev(2, "X"), ev(3, "B")], p, "__ts_ms") == []
+    # A Y X B -> the event right after A is Y (ok); X later is irrelevant
+    m = find_matches([ev(1, "A"), ev(2, "Y"), ev(3, "X"), ev(4, "B")], p, "__ts_ms")
+    assert len(m) == 1
+    assert [(s, e["__ts_ms"]) for s, e in m[0]] == [("a", 1), ("b", 4)]
+
+
+def test_not_followed_by_guards_the_gap():
+    """notFollowedBy (Pattern.java:329): no negative-matching event may
+    occur between the previous match and the next step's first match."""
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .not_followed_by("no_x").where(lambda e, b: e["event_type"] == "X")
+        .followed_by("b").where(lambda e, b: e["event_type"] == "B")
+    )
+    # A Y X B -> X in the gap kills it
+    assert (
+        find_matches([ev(1, "A"), ev(2, "Y"), ev(3, "X"), ev(4, "B")], p, "__ts_ms")
+        == []
+    )
+    # A Y B X -> X after b's match is irrelevant
+    m = find_matches([ev(1, "A"), ev(2, "Y"), ev(3, "B"), ev(4, "X")], p, "__ts_ms")
+    assert len(m) == 1
+    assert [(s, e["__ts_ms"]) for s, e in m[0]] == [("a", 1), ("b", 3)]
+
+
+def test_trailing_not_followed_by_requires_within():
+    import pytest as _pytest
+
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .not_followed_by("no_b").where(lambda e, b: e["event_type"] == "B")
+    )
+    with _pytest.raises(ValueError, match="within"):
+        find_matches([ev(1, "A")], p, "__ts_ms")
+    # with within(): A with no B inside the window matches; a B inside kills
+    p = p.within(10)
+    m = find_matches([ev(1, "A"), ev(20, "B")], p, "__ts_ms")
+    assert len(m) == 1 and [(s, e["__ts_ms"]) for s, e in m[0]] == [("a", 1)]
+    assert find_matches([ev(1, "A"), ev(5, "B")], p, "__ts_ms") == []
+
+
+def test_not_followed_by_survives_skipped_optional():
+    """The pending negation carries across an optional step that takes
+    zero events: A notFollowedBy(X) C? D."""
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .not_followed_by("no_x").where(lambda e, b: e["event_type"] == "X")
+        .followed_by("c").where(lambda e, b: e["event_type"] == "C").optional()
+        .followed_by("d").where(lambda e, b: e["event_type"] == "D")
+    )
+    # no C present: the X between A and D must still kill the match
+    assert (
+        find_matches([ev(1, "A"), ev(2, "X"), ev(3, "D")], p, "__ts_ms") == []
+    )
+    m = find_matches([ev(1, "A"), ev(2, "Y"), ev(3, "D")], p, "__ts_ms")
+    assert len(m) == 1
