@@ -1,0 +1,83 @@
+"""Bucketed co-located joins + salted skew joins (shuffle-minimization
+layer — the 100 TB story items: pay the fact-table shuffle once at
+write time, bound the hottest key's task size explicitly)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.catalog import Catalog
+from flink_spark.operators import partitioning as P
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle joins so exchange counting is meaningful (at test
+    SF everything broadcasts otherwise)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_is_exchange_free(spark, no_broadcast):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the metastore is per-session but the warehouse dir persists —
+    # clear stale locations so saveAsTable can recreate the tables
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/b_orders", ignore_errors=True)
+    shutil.rmtree(f"{wh}/b_lineitem", ignore_errors=True)
+    cat = Catalog(spark, SF_DIR)
+    P.write_bucketed(
+        cat.orders.selectExpr("o_orderkey AS k", "o_totalprice"),
+        "b_orders", ["k"], 8,
+    )
+    P.write_bucketed(
+        cat.lineitem.selectExpr("l_orderkey AS k", "l_quantity"),
+        "b_lineitem", ["k"], 8,
+    )
+    j = P.colocated_join(spark, "b_orders", "b_lineitem", ["k"])
+    plain = cat.orders.selectExpr("o_orderkey AS k", "o_totalprice").join(
+        cat.lineitem.selectExpr("l_orderkey AS k", "l_quantity"), "k"
+    )
+    assert j.count() == plain.count()
+    # the bucketed join reads pre-partitioned data: zero exchanges;
+    # the plain shuffle join pays one per side
+    assert P.exchanges_in_plan(j) == 0
+    assert P.exchanges_in_plan(plain) >= 2
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark, no_broadcast):
+    cat = Catalog(spark, SF_DIR)
+    left = cat.lineitem.selectExpr("l_orderkey AS k", "l_quantity")
+    right = cat.orders.selectExpr("o_orderkey AS k", "o_totalprice")
+    salted = P.salted_join(left, right, "k", salt=4)
+    plain = left.join(right, "k")
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+
+def test_salted_join_left_outer(spark, no_broadcast):
+    """Outer variant: unmatched left rows survive with nulls exactly as
+    in the plain left join (every left row has some salt; the right
+    replication guarantees the matching (key, salt) pair exists)."""
+    cat = Catalog(spark, SF_DIR)
+    left = cat.lineitem.selectExpr("l_orderkey AS k", "l_quantity")
+    right = cat.orders.where("o_totalprice > 100000").selectExpr(
+        "o_orderkey AS k", "o_totalprice"
+    )
+    salted = P.salted_join(left, right, "k", salt=4, how="left")
+    plain = left.join(right, "k", "left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.where("o_totalprice IS NULL").count()
+        == plain.where("o_totalprice IS NULL").count()
+    )
