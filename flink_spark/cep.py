@@ -348,6 +348,90 @@ def find_matches(
     return out
 
 
+def _longest_partial_from(
+    events: list[dict], start: int, pattern: Pattern, ts_field: str
+) -> list[tuple[str, int]]:
+    """Longest incomplete prefix match anchored at events[start] — the
+    partial match a timed-out NFA computation state would hold. Longest
+    by bound-event count, earliest events on ties (DFS order); negative
+    steps bind nothing and are skipped in partial reporting."""
+    steps = pattern.steps
+    n = len(events)
+    deadline = events[start][ts_field] + pattern.within_ms
+    best: list[tuple[str, int]] = []
+
+    def rec(si, pos, taken, matched, bindings):
+        nonlocal best
+        if len(matched) > len(best):
+            best = list(matched)
+        if si == len(steps):
+            return
+        step = steps[si]
+        if step.negated:
+            rec(si + 1, pos, 0, matched, bindings)
+            return
+        if taken >= step.min_times:
+            rec(si + 1, pos, 0, matched, bindings)
+        if taken < step.max_times:
+            contig = step.contiguity if taken == 0 else step.loop_contiguity
+            p = pos
+            while p < n:
+                if events[p][ts_field] >= deadline:
+                    return
+                ev = events[p]
+                ok = step.predicate is None or step.predicate(ev, bindings)
+                if ok:
+                    matched.append((step.name, p))
+                    bindings.setdefault(step.name, []).append(ev)
+                    rec(si, p + 1, taken + 1, matched, bindings)
+                    bindings[step.name].pop()
+                    if not bindings[step.name]:
+                        del bindings[step.name]
+                    matched.pop()
+                    if contig != ANY:
+                        return
+                    p += 1
+                else:
+                    if contig == STRICT or (si == 0 and taken == 0):
+                        return
+                    p += 1
+
+    rec(0, start, 0, [], {})
+    return best
+
+
+def find_matches_and_timeouts(
+    events: list[dict], pattern: Pattern, ts_field: str
+) -> tuple[list[list[tuple[str, dict]]], list[list[tuple[str, dict]]]]:
+    """find_matches plus the reference's timeout side output
+    (CepOperator + TimedOutPartialMatchHandler.processTimedOutMatch):
+    for every start anchor whose window has conclusively expired (the
+    key's last event time is at-or-past the anchor's deadline) without a
+    complete match, the longest partial match is emitted to the timeout
+    channel. Requires within(); documented narrowing vs the reference:
+    ONE (maximal) partial per anchor rather than one per surviving NFA
+    branch."""
+    matches = find_matches(events, pattern, ts_field)
+    if pattern.within_ms is None or not events:
+        return matches, []
+    complete_anchors: set[int] = set()
+    for i in range(len(events)):
+        for _m in _enumerate_from(events, i, pattern, ts_field):
+            complete_anchors.add(i)
+            break
+    last_ts = events[-1][ts_field]
+    timeouts: list[list[tuple[str, dict]]] = []
+    for i in range(len(events)):
+        if i in complete_anchors:
+            continue
+        if last_ts < events[i][ts_field] + pattern.within_ms:
+            continue  # window still open — the partial could yet complete
+        partial = _longest_partial_from(events, i, pattern, ts_field)
+        if partial and partial[0][1] == i:
+            timeouts.append([(name, events[idx]) for name, idx in partial])
+    return matches, timeouts
+
+
 def pattern_match(
     df: DataFrame,
     pattern: Pattern,
@@ -391,6 +475,55 @@ def pattern_match(
                     + [str(ev[c]) for c in payload_cols]
                 )
         cols = [key, "match_id", "step", "ts_ms"] + payload_cols
+        return pd.DataFrame(rows, columns=cols)
+
+    return df.groupBy(key).applyInPandas(per_key, schema=schema)
+
+
+def pattern_match_with_timeouts(
+    df: DataFrame,
+    pattern: Pattern,
+    key: str,
+    ts_col: str,
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """pattern_match plus the timed-out-partial side output
+    (PatternStream.select(timeoutTag, ...) surface): rows carry a
+    ``kind`` column — 'match' for completed matches, 'timeout' for the
+    maximal partial of every expired start anchor. match_id numbers the
+    two channels independently, in the reference's tag-separated style.
+    """
+    schema = ", ".join(
+        [f"{key} long", "kind string", "match_id long", "step string",
+         "ts_ms long"]
+        + [f"{c} string" for c in payload_cols]
+    )
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, *order_cols])
+        key_val = pdf[key].iloc[0]
+        ts_ms = (
+            pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000
+        ).tolist()
+        events = []
+        for i, row in enumerate(pdf[payload_cols].itertuples(index=False)):
+            d = dict(zip(payload_cols, row))
+            d["__key"] = key_val
+            d["__ts_ms"] = int(ts_ms[i])
+            events.append(d)
+        matches, timeouts = find_matches_and_timeouts(
+            events, pattern, "__ts_ms"
+        )
+        rows = []
+        for kind, mlist in (("match", matches), ("timeout", timeouts)):
+            for mid, m in enumerate(mlist):
+                for step_name, ev2 in m:
+                    rows.append(
+                        [ev2["__key"], kind, mid, step_name, ev2["__ts_ms"]]
+                        + [str(ev2[c]) for c in payload_cols]
+                    )
+        cols = [key, "kind", "match_id", "step", "ts_ms"] + payload_cols
         return pd.DataFrame(rows, columns=cols)
 
     return df.groupBy(key).applyInPandas(per_key, schema=schema)

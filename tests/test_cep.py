@@ -408,3 +408,41 @@ def test_not_followed_by_survives_skipped_optional():
     )
     m = find_matches([ev(1, "A"), ev(2, "Y"), ev(3, "D")], p, "__ts_ms")
     assert len(m) == 1
+
+
+def test_timeout_side_output():
+    """Timed-out partials (TimedOutPartialMatchHandler): an A whose
+    window expires without the required B emits its longest partial to
+    the timeout channel; a completing A emits to the match channel."""
+    from flink_spark.cep import find_matches_and_timeouts
+
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .followed_by("b").where(lambda e, b: e["event_type"] == "B")
+        .within(10)
+    )
+    events = [ev(1, "A"), ev(5, "A"), ev(7, "B"), ev(40, "C")]
+    matches, timeouts = find_matches_and_timeouts(events, p, "__ts_ms")
+    # both As complete (B at 7 is within both windows)
+    assert len(matches) == 2 and len(timeouts) == 0
+    # now B is out of the first A's window: that anchor times out
+    events = [ev(1, "A"), ev(25, "A"), ev(27, "B"), ev(60, "C")]
+    matches, timeouts = find_matches_and_timeouts(events, p, "__ts_ms")
+    assert len(matches) == 1
+    assert [(s, e["__ts_ms"]) for s, e in matches[0]] == [("a", 25), ("b", 27)]
+    assert len(timeouts) == 1
+    assert [(s, e["__ts_ms"]) for s, e in timeouts[0]] == [("a", 1)]
+
+
+def test_timeout_window_still_open_is_not_emitted():
+    from flink_spark.cep import find_matches_and_timeouts
+
+    p = (
+        Pattern.begin("a").where(lambda e, b: e["event_type"] == "A")
+        .followed_by("b").where(lambda e, b: e["event_type"] == "B")
+        .within(100)
+    )
+    # the key's last event is inside A's window: not yet a timeout
+    events = [ev(1, "A"), ev(30, "C")]
+    matches, timeouts = find_matches_and_timeouts(events, p, "__ts_ms")
+    assert matches == [] and timeouts == []
