@@ -1,0 +1,144 @@
+"""Keyed process functions with REAL timers — transformWithStateInPandas.
+
+Reference: KeyedProcessFunction (flink-streaming-java/.../functions/
+KeyedProcessFunction.java, registered via KeyedStream.process:326) with
+per-key event-time timers (`Context.timerService().
+registerEventTimeTimer`) and keyed ValueState. The older operators in
+stateful.py use applyInPandasWithState (GroupState + timeout — no true
+timers); this module maps the full timer contract onto Spark 4's
+`transformWithStateInPandas` (StatefulProcessor + StatefulProcessorHandle
+.registerTimer / handleExpiredTimer), which requires the RocksDB state
+store provider (`ensure_rocksdb_state_store`).
+
+Timer semantics match the reference: an event-time timer fires when the
+watermark passes its timestamp; re-registering replaces the pending
+timer (delete + register, as KeyedProcessFunction users do manually).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def timers_available() -> bool:
+    """True when transformWithState's Python state protocol can run:
+    it speaks protobuf to the JVM state server
+    (pyspark/sql/streaming/proto/StateMessage_pb2), so the
+    ``google.protobuf`` package must be importable. Same construct-time
+    gating policy as the Avro/Kafka connectors."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_timers() -> None:
+    if not timers_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the python protobuf package "
+            "(google.protobuf) for its state-server protocol; install "
+            "`protobuf` to enable timer-based operators"
+        )
+
+
+def ensure_rocksdb_state_store(spark: SparkSession) -> None:
+    """transformWithState requires the RocksDB state store (the HDFS-
+    backed default does not implement the new state API) — the direct
+    analogue of picking EmbeddedRocksDBStateBackend in the reference."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+def inactivity_session_end(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    gap_ms: int,
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Session-end detection via per-key event-time timers: when a key
+    receives no event for ``gap_ms`` of event time, one summary row
+    (key, session_end_ms, n_events, total) is emitted and the session
+    state cleared — the canonical KeyedProcessFunction timer example
+    (and the semantics of the reference's session-window trigger).
+
+    Each input batch advances the key's pending timer to
+    (max event time seen + gap_ms); the timer fires when the WATERMARK
+    passes it, exactly Flink's onTimer contract.
+    """
+    _require_timers()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ensure_rocksdb_state_store(df.sparkSession)
+    key_type = df.schema[key].dataType.simpleString()
+
+    class Inactivity(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "last_ms long, n long, total double"
+            )
+
+        def handleInputRows(self, k, rows, timerValues) -> Iterator[pd.DataFrame]:
+            last_ms, n, total = (
+                self._sess.get() if self._sess.exists() else (None, 0, 0.0)
+            )
+            for pdf in rows:
+                ms = (
+                    pdf[ts_col].astype("datetime64[ns]").astype("int64")
+                    // 1_000_000
+                )
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+                mx = int(ms.max())
+                last_ms = mx if last_ms is None else max(last_ms, mx)
+            self._sess.update((last_ms, n, total))
+            # slide the inactivity timer: replace any pending one
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_ms + gap_ms)
+            return iter(())
+
+        def handleExpiredTimer(self, k, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                last_ms, n, total = self._sess.get()
+                self._sess.clear()
+                yield pd.DataFrame(
+                    {
+                        key: [k[0]],
+                        "session_end_ms": [
+                            expiredTimerInfo.getExpiryTimeInMs()
+                        ],
+                        "n_events": [n],
+                        "total": [total],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = (
+        f"{key} {key_type}, session_end_ms long, n_events long, total double"
+    )
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            Inactivity(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

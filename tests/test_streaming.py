@@ -519,3 +519,51 @@ def test_stream_continuous_event_time_trigger(spark, tmp_path):
     # every grid firing must be present with exactly these aggregates
     for g in grid:
         assert g in got, (g, got)
+
+
+def test_keyed_process_event_time_timers_session_end(spark, tmp_path):
+    """Real per-key event-time timers (KeyedProcessFunction onTimer via
+    transformWithStateInPandas): a key silent for gap_ms of event time
+    emits one session-end summary when the watermark passes its timer;
+    an active key's timer keeps sliding and never fires.
+
+    Skipped where python protobuf is absent (transformWithState's state
+    protocol needs it); the gating error path is asserted instead."""
+    import datetime as dt
+
+    from flink_spark.streaming import process as SP
+
+    if not SP.timers_available():
+        ev = SC.stream_table(spark, SF_DIR, "events").select(
+            "user_id", "ts", "value"
+        )
+        with pytest.raises(RuntimeError, match="protobuf"):
+            SP.inactivity_session_end(ev, "user_id", "ts", "value", 60000)
+        pytest.skip("google.protobuf not installed in this container")
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(k, minute, v):
+        return (k, t0 + dt.timedelta(minutes=minute), v)
+
+    # key 1: events at 0,1,2 then silence; key 2: keeps going to min 62
+    batches = [
+        [row(1, 0, 1.0), row(1, 1, 2.0), row(2, 0, 5.0)],
+        [row(1, 2, 3.0), row(2, 30, 5.0)],
+        [row(2, 62, 5.0)],  # advances watermark past key 1's timer
+        [row(2, 90, 5.0)],  # one more batch so the fired timer is emitted
+    ]
+    stream = _feed_batches(
+        spark, str(tmp_path), batches, "k long, ts timestamp, v double"
+    )
+    out = SP.inactivity_session_end(
+        stream, "k", "ts", "v", gap_ms=10 * 60_000, delay="1 minute"
+    )
+    SC.run_to_memory(out, "t_timers", "append")
+    rows = spark.sql("SELECT * FROM t_timers").collect()
+    by_key = {r.k: (r.session_end_ms, r.n_events, r.total) for r in rows}
+    base = int(t0.timestamp()) * 1000
+    # key 1's session: 3 events, ends 10 min after its last event (min 2)
+    assert by_key.get(1) == (base + 12 * 60_000, 3, 6.0), rows
+    # key 2 was still active at the final watermark: no session-end row
+    assert 2 not in by_key or by_key[2][0] >= base + 72 * 60_000
