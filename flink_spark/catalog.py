@@ -79,14 +79,22 @@ class Catalog:
             ) from errors[name]
         if name not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
-            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-                # ts surfaced as long nanos via nanosAsLong; truncate to
-                # micros (integer div — double math loses precision at 1e18).
+            if name == "events":
+                ts_type = dict(df.dtypes).get("ts")
                 from pyspark.sql import functions as F
 
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+                if ts_type == "bigint":
+                    # ts surfaced as long nanos via nanosAsLong; truncate
+                    # to micros (integer div — double math loses precision
+                    # at 1e18).
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+                elif ts_type == "timestamp_ntz":
+                    # Some generator versions write TIMESTAMP(isAdjustedToUTC
+                    # =false); functions like unix_millis require TIMESTAMP.
+                    # The session tz is UTC, so the cast is instant-preserving.
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             self._cache[name] = df
         return self._cache[name]
 
