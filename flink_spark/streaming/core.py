@@ -44,7 +44,13 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .parquet(base)
     )
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read via nanosAsLong
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":  # newer generator: NTZ micros
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
