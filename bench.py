@@ -65,6 +65,7 @@ HEADLINE_OPTIONAL = [
     "doc_token_stats",
     "emb_cosine_topk",
     "emb_cosine_neardup_pairs",
+    "emb_ann_ivf",
 ]
 
 

@@ -259,6 +259,142 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) tier: a coarse quantizer partitions the corpus into
+# nlist cells; a query probes only its nprobe nearest cells. Candidate
+# generation is an equi-join on the cell id — like the LSH tier, the
+# cross product never materializes, but the cells adapt to the data
+# (centroids) instead of being fixed hyperplanes. Reference shape:
+# FAISS IndexIVFFlat (public paper: Johnson et al., "Billion-scale
+# similarity search with GPUs", 2017).
+#
+# Training is ONE deterministic k-means round so the oracle can replay
+# it exactly: seed cells by md5(id) (engine-independent), M-step =
+# per-cell mean rounded to 6 decimals (rounding pins the centroids
+# across engines — Spark's and the oracle's float sums agree to ~1e-12,
+# so the 1e-6 grid is stable), E-step = reassign to the nearest
+# centroid. At scale: centroids are a broadcast table (nlist rows),
+# assignment is map-only, and the search shuffles candidates once on
+# the cell id.
+# ---------------------------------------------------------------------------
+
+
+def _seed_cell(id_col: Column, nlist: int) -> Column:
+    """Deterministic training seed: first md5 nibble of the id, mod nlist."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        % nlist
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+) -> DataFrame:
+    """(cell, centroid array<double>) — one k-means M-step over md5-seeded
+    cells. posexplode + grouped avg (two map-side-combinable shuffles of
+    (cell, pos) pairs — never the vectors themselves), centroids rounded
+    to 6 decimals for cross-engine determinism."""
+    per_dim = (
+        corpus.select(
+            _seed_cell(F.col(id_col), nlist).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: F.round(s.cv, 6),
+        ).alias("centroid")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E-step: corpus rows tagged with their nearest (max-cosine) cell.
+    The centroid table is broadcast (nlist rows); the argmax is a
+    per-row window with a deterministic cell-id tie-break — map-side
+    only, no corpus shuffle beyond the window's per-id partitioning
+    (which Catalyst elides into the join output ordering)."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cell_cos", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cell_cos").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_cell_cos", "centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k through an IVF index: each query probes
+    its ``nprobe`` nearest cells and ranks only those cells' vectors.
+
+    Output: (q_id, neighbor_id, cosine_sim round 6), ranked by
+    (similarity desc, neighbor id) exactly as the brute-force tier.
+    Recall is the IVF trade: neighbors assigned to un-probed cells are
+    missed; raise nlist/nprobe to tune. The candidate join is
+    cell-equi — at 100 TB the corpus shuffles once on the cell id and
+    the per-cell fan-out is |corpus|/nlist on average."""
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist).persist()
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_scored = qs.crossJoin(F.broadcast(cents)).withColumn(
+        "_cell_cos", cosine(F.col("q_vec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(
+        F.col("_cell_cos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("q_id", "q_vec", "cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Arrow/numpy scoring tier: same candidate generation (JVM-side hyperplane
 # buckets — the part whose sign bits must match the oracle bitwise), but
 # the pairwise cosine math runs as BLAS matrix products over Arrow

@@ -1520,6 +1520,63 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(e, e.where(F.col("vec_id") < 5), dim=64, k=5, planes=4)
 
 
+def _ann_ivf_oracle(nlist: int = 8, nprobe: int = 2, k: int = 5) -> str:
+    # first md5 nibble of the stringified id — the deterministic k-means
+    # seed shared with similarity._seed_cell
+    a = "ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1))"
+    nib = f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+    return f"""
+    WITH seeded AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             {nib} % {nlist} AS cell
+      FROM embeddings),
+    per_dim AS (
+      SELECT cell, pos, round(avg(v), 6) AS cv FROM (
+        SELECT cell, unnest(range(0, len(emb))) AS pos, unnest(emb) AS v
+        FROM seeded)
+      GROUP BY 1, 2),
+    cent AS (SELECT cell, list(cv ORDER BY pos) AS centroid
+             FROM per_dim GROUP BY cell),
+    assigned AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT s.vec_id, s.emb, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY list_cosine_similarity(s.emb, c.centroid) DESC,
+                          c.cell) AS rn
+        FROM seeded s CROSS JOIN cent c) WHERE rn = 1),
+    probes AS (
+      SELECT q_id, q_vec, cell FROM (
+        SELECT s.vec_id AS q_id, s.emb AS q_vec, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY list_cosine_similarity(s.emb, c.centroid) DESC,
+                          c.cell) AS rn
+        FROM seeded s CROSS JOIN cent c WHERE s.vec_id < 5)
+      WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.q_vec, a.emb) AS cosine_sim
+      FROM assigned a JOIN probes p USING (cell) WHERE a.vec_id <> p.q_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT q_id, neighbor_id, round(cosine_sim, 6) AS cosine_sim
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@query("emb_ann_ivf", _ann_ivf_oracle())
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 through an IVF index (deterministic one-round
+    k-means: md5-seeded cells → rounded centroids → nearest-centroid
+    assignment; queries probe their 2 nearest of 8 cells). The
+    data-adaptive counterpart of emb_ann_lsh — candidates come from a
+    cell equi-join, centroids are a broadcast table."""
+    e = Catalog(spark, sf_dir).embeddings
+    return sim.ivf_topk(
+        e, e.where(F.col("vec_id") < 5), k=5, nlist=8, nprobe=2
+    )
+
+
 @query(
     "multimodal_binary_meta",
     """
