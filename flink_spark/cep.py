@@ -72,6 +72,7 @@ class _Step:
     greedy: bool = True
     loop_contiguity: str = RELAXED  # internal; consecutive() -> strict
     negated: bool = False  # notNext / notFollowedBy (Pattern.java:309,329)
+    until: Predicate | None = None  # loop stop condition (Pattern.java:228)
 
 
 @dataclass
@@ -150,6 +151,16 @@ class Pattern:
         """Strict internal contiguity for the current looping step
         (Pattern.java consecutive())."""
         self.steps[-1].loop_contiguity = STRICT
+        return self
+
+    def until(self, pred: Predicate) -> "Pattern":
+        """Stop condition for the current looping step (Pattern.java:228):
+        once an event satisfying ``pred`` is reached, the loop accepts no
+        further events on that branch — the stopping event itself is NOT
+        consumed (the reference's IterativeCondition stop semantics).
+        Meaningful with oneOrMore/times ranges; a relaxed loop can no
+        longer step over the stopping event either."""
+        self.steps[-1].until = pred
         return self
 
     def within(self, duration_ms: int) -> "Pattern":
@@ -263,6 +274,14 @@ def _enumerate_from(
                     # a notFollowedBy condition fired in the gap before
                     # this step's first event — the branch dies (the
                     # reference's stop state wins over a take)
+                    return
+                if (
+                    step.until is not None
+                    and taken > 0
+                    and step.until(ev, bindings)
+                ):
+                    # loop stop condition: no further takes on this
+                    # branch, and the stopping event is not consumed
                     return
                 ok = step.predicate is None or step.predicate(ev, bindings)
                 if ok:
@@ -379,6 +398,12 @@ def _longest_partial_from(
                 if events[p][ts_field] >= deadline:
                     return
                 ev = events[p]
+                if (
+                    step.until is not None
+                    and taken > 0
+                    and step.until(ev, bindings)
+                ):
+                    return
                 ok = step.predicate is None or step.predicate(ev, bindings)
                 if ok:
                     matched.append((step.name, p))

@@ -61,6 +61,46 @@ def lang_id(col: Column) -> Column:
     return F.when(stopword_ratio(col) >= 0.05, F.lit("en")).otherwise(F.lit("unknown"))
 
 
+# GPT-2-style pre-tokenizer shape (letters / digits / punctuation runs,
+# each with an optional leading space) — the "BPE-ish" proxy for token
+# counting without a vocab. Dialect-neutral regex (no lookaround) so the
+# Java engine (Spark) and RE2 (DuckDB oracle) extract identical runs.
+BPE_SPLIT_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: matches of the pre-tokenizer regex.
+
+    A real BPE tokenizer merges within these runs, so this counts
+    *pre-merge* segments — the standard cheap upper-bound proxy used for
+    corpus sizing. Map-only, regex in codegen.
+    """
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), F.lit(0)))
+
+
+def token_hash16(t: Column) -> Column:
+    """Deterministic 16-bit token hash: first 4 hex chars of md5.
+
+    md5-derived (not murmur) so an external oracle reproduces it exactly.
+    """
+    return F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+
+
+def rolling_hash(col: Column, base: int = 1_000_003, mod: int = 2_147_483_647) -> Column:
+    """Rabin-Karp rolling fingerprint over the whitespace token stream:
+    ``h = fold(tokens, 0, (acc, t) -> (acc·base + h16(t)) mod m)``.
+
+    Order-sensitive (unlike the md5-of-normalized-text fingerprint), so
+    it distinguishes permuted documents while staying engine-independent:
+    the fold is left-associated 64-bit integer math (acc < 2³¹, so
+    acc·base + h < 2⁵² — no overflow in either engine). Map-only."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(base) + token_hash16(t)) % F.lit(mod),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 over the normalized text (lowercase,
     punctuation stripped, whitespace collapsed) — catches trivially

@@ -1437,6 +1437,41 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_rolling_oracle() -> str:
+    # token_hash16 replicated: nibble-decode the first 4 md5 hex chars
+    def nib(i: int) -> str:
+        a = f"ascii(substr(md5(t), {i}, 1))"
+        return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+    h16 = f"CAST({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)} AS BIGINT)"
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+             AS n_bpe_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> {h16})),
+             (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_fp
+    FROM documents
+    """
+
+
+@query("doc_bpe_rolling_fp", _bpe_rolling_oracle())
+def doc_bpe_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counts + Rabin-Karp rolling fingerprint per doc —
+    the order-sensitive complement of doc_fingerprint's normalized md5
+    (llm/text.py bpe_token_count / rolling_hash; both map-only)."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        txt.bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        txt.rolling_hash(F.col("text")).alias("rolling_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # M6: similarity search over embeddings
 # ---------------------------------------------------------------------------

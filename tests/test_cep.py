@@ -446,3 +446,31 @@ def test_timeout_window_still_open_is_not_emitted():
     events = [ev(1, "A"), ev(30, "C")]
     matches, timeouts = find_matches_and_timeouts(events, p, "__ts_ms")
     assert matches == [] and timeouts == []
+
+
+def test_until_stops_loop_without_consuming_stop_event():
+    """Pattern.java:228 until(): the loop stops at the first event
+    satisfying the stop condition; a relaxed loop may not step over it,
+    and the stopping event is not bound."""
+
+    def v(t, val):
+        return {"__ts_ms": t, "val": val}
+
+    base = lambda: (  # noqa: E731
+        Pattern.begin("a")
+        .where(lambda e, b: e["val"] < 10)
+        .one_or_more()
+    )
+    events = [v(1, 1), v(2, 2), v(3, 20), v(4, 3)]
+
+    # without until: the relaxed loop steps over 20 and greedily
+    # takes [1, 2, 3]
+    m = find_matches(events, base(), "__ts_ms")
+    assert [(s, e["val"]) for s, e in m[0]] == [("a", 1), ("a", 2), ("a", 3)]
+
+    # with until(val >= 20): the loop is cut at the stop event
+    p = base().until(lambda e, b: e["val"] >= 20)
+    m = find_matches(events, p, "__ts_ms")
+    assert [(s, e["val"]) for s, e in m[0]] == [("a", 1), ("a", 2)]
+    # the stop event itself is never bound
+    assert all(e["val"] != 20 for match in m for _, e in match)
