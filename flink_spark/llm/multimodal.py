@@ -93,6 +93,57 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload", "media_meta").mapInPandas(run, schema)
 
 
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize: cycle the payload bytes to w·h length.
+    Replace with a real codec resample (PIL Image.resize) in deployment —
+    the signature (bytes in, bytes out, no pandas/Spark types) is the
+    deployment swap-point."""
+    if not payload:
+        return b""
+    target = max(w * h, 1)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Resize step over image payloads via mapInPandas: emits the resized
+    payload and a metadata struct updated to the new dimensions.
+
+    The plumbing is the real contract — Arrow batch iteration, binary
+    in/out, metadata rewrite without touching the payload in JVM
+    expressions — while the pixel work is the stubbed codec call.
+    Payloads never enter a shuffle; this is a map-only stage, so at
+    100 TB it scales with the scan like decode_features."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                _resize_stub(p if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            metas = []
+            for m in pdf["media_meta"]:
+                d = dict(m) if isinstance(m, dict) else m.asDict()
+                d["width"], d["height"] = width, height
+                metas.append(d)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "payload": resized,
+                 "media_meta": metas}
+            )
+
+    return df.select(id_col, "payload", "media_meta").mapInPandas(
+        run, out_schema
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     offset, derived from metadata only (the decode of each frame is the

@@ -48,3 +48,14 @@ def test_frame_sample_plan(spark):
     frames = MM.frame_sample_plan(m, every_ms=1000)
     # 3500ms at 1s sampling -> offsets 0,1000,2000,3000 = 4 per doc
     assert frames.count() == 5 * 4
+
+
+def test_resize_images_rewrites_payload_and_meta(spark):
+    docs = Catalog(spark, SF_DIR).documents.limit(10)
+    m = MM.attach_binary_payload(docs, "text")
+    out = MM.resize_images(m, width=16, height=8).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(r.payload) == 16 * 8  # resized byte budget
+        assert r.media_meta.width == 16 and r.media_meta.height == 8
+        assert r.media_meta.format is not None  # untouched meta survives
