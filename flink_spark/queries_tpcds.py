@@ -16,6 +16,9 @@ output — on the TPC-H-ish fixture tables:
              zip mismatch), brand revenue rollup
   q42-shape  fact ⋈ date-ish dim + category dim, year × type revenue
   q52-shape  q42 with a brand-level grain and top-100 fetch
+  q88-shape  N disjoint-range counts of one fact table, cross-joined
+  q14-shape  cross-period INTERSECT key set semi-filtering the fact
+  q67-shape  grouped rollup feeding a per-category ranking window
 
 All aggregates run in DECIMAL (order-independent, bitwise-stable between
 Spark and the DuckDB oracle) and are CAST to DOUBLE only on output.
@@ -252,3 +255,92 @@ def tpcds_q79_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines order ties identically; customer broadcasts at the end.
     """
     return _sql(spark, sf_dir, _Q79)
+
+
+_Q88 = """
+SELECT s1.n AS band_low, s2.n AS band_mid_low, s3.n AS band_mid_high,
+       s4.n AS band_high
+FROM (SELECT count(*) AS n FROM lineitem WHERE l_quantity BETWEEN 1 AND 12) s1
+CROSS JOIN
+     (SELECT count(*) AS n FROM lineitem WHERE l_quantity BETWEEN 13 AND 25) s2
+CROSS JOIN
+     (SELECT count(*) AS n FROM lineitem WHERE l_quantity BETWEEN 26 AND 38) s3
+CROSS JOIN
+     (SELECT count(*) AS n FROM lineitem WHERE l_quantity BETWEEN 39 AND 50) s4
+"""
+
+
+@query("tpcds_q88_shape", _Q88)
+def tpcds_q88_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: N disjoint-range counts of the same fact table
+    cross-joined into one wide row (the original's 8 time-band store
+    scans). Each branch is a scan+partial-count with its own pushed
+    range predicate; the cross joins are single-row broadcasts.
+
+    Plan note (100 TB): Catalyst plans one scan per branch — the
+    TPC-DS-correct trade when the branches' predicates are selective and
+    pushed; with scan reuse desired instead, the single-pass spelling is
+    a conditional-agg rollup (SUM(CASE WHEN ...)), which q12's shape
+    already exercises."""
+    return _sql(spark, sf_dir, _Q88)
+
+
+_Q14 = f"""
+WITH both_years AS (
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1996
+  INTERSECT
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997)
+SELECT p_brand AS brand,
+       CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS cross_year_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN both_years ON lineitem.l_partkey = both_years.l_partkey
+GROUP BY p_brand
+ORDER BY cross_year_revenue DESC, brand
+LIMIT 100
+"""
+
+
+@query("tpcds_q14_shape", _Q14)
+def tpcds_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape (cross-channel INTERSECT): the part keys sold in
+    BOTH periods (INTERSECT → left-semi join chain) feed a semi-filtered
+    revenue rollup of the fact table.
+
+    Plan: the INTERSECT deduplicates two derived key sets (aggregate on
+    l_partkey — small output), which then semi-joins the fact scan;
+    at 100 TB the key set stays far below the fact table, and the final
+    rollup shuffles once on p_brand."""
+    return _sql(spark, sf_dir, _Q14)
+
+
+_Q67 = f"""
+WITH agg AS (
+  SELECT p_type AS category, p_brand AS brand,
+         CAST(year(l_shipdate) AS INT) AS d_year,
+         sum({_DEC_REVENUE}) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY p_type, p_brand, year(l_shipdate))
+SELECT category, brand, d_year, CAST(revenue AS DOUBLE) AS revenue, rk
+FROM (
+  SELECT *, CAST(rank() OVER (PARTITION BY category
+                              ORDER BY revenue DESC, brand, d_year) AS BIGINT) AS rk
+  FROM agg)
+WHERE rk <= 3
+ORDER BY category, rk, brand, d_year
+"""
+
+
+@query("tpcds_q67_shape", _Q67)
+def tpcds_q67_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q67 shape: grouped rollup feeding a per-category ranking
+    window, top-3 kept. The window input is the aggregate's output
+    (orders of magnitude smaller than the fact scan), so the second
+    shuffle — on category — is cheap; ranking on the exact DECIMAL
+    revenue with full tie-breaks keeps both engines' rank() identical."""
+    return _sql(spark, sf_dir, _Q67)
