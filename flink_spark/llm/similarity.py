@@ -278,6 +278,9 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+_IVF_CENTROID_MEMO: dict[tuple, list] = {}
+
+
 def _seed_cell(id_col: Column, nlist: int) -> Column:
     """Deterministic training seed: first md5 nibble of the id, mod nlist."""
     return (
@@ -337,6 +340,50 @@ def ivf_assign(
     )
 
 
+def _assign_cells_np(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-only nearest-centroid assignment: one GEMM per Arrow batch
+    against the collected centroid matrix, argmax row-wise with a
+    lowest-cell tie-break (np.argmax returns the FIRST max; cells are
+    sorted ascending). No shuffle, no join — the FAISS-style 'index is
+    tiny, data is big' shape. A zip_with-fold spelling of the same plan
+    was measured ~10× slower (nlist folds per row never enter codegen —
+    see the codegen note at the top of this module)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _It
+
+    cell_ids = np.array([c for c, _ in cents])
+    cm = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0.0] = 1.0
+    cm = cm / cn[:, None]
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            s = (m / norms[:, None]) @ cm.T  # rows × nlist
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].values,
+                    "c_vec": pdf[vec_col].values,
+                    "cell": cell_ids[np.argmax(s, axis=1)],
+                }
+            )
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run, f"neighbor_id {id_t}, c_vec {vec_t}, cell int"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -352,21 +399,58 @@ def ivf_topk(
     Output: (q_id, neighbor_id, cosine_sim round 6), ranked by
     (similarity desc, neighbor id) exactly as the brute-force tier.
     Recall is the IVF trade: neighbors assigned to un-probed cells are
-    missed; raise nlist/nprobe to tune. The candidate join is
-    cell-equi — at 100 TB the corpus shuffles once on the cell id and
-    the per-cell fan-out is |corpus|/nlist on average."""
-    cents = ivf_centroids(corpus, id_col, vec_col, nlist).persist()
-    assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        "cell",
+    missed; raise nlist/nprobe to tune.
+
+    Plan: the trained centroid table is nlist tiny rows — it is
+    collected once (the FAISS 'index build' step), so corpus assignment
+    is a MAP-ONLY Arrow/GEMM stage (no window, no join, no shuffle of
+    embeddings). The only corpus shuffle is the candidate equi-join on
+    the cell id, with per-cell fan-out |corpus|/nlist on average.
+    Candidate cosines are still the JVM zip_with fold, so emitted
+    values match the non-IVF tiers (and the oracle) bit-for-bit.
+
+    Training is memoized per (session, corpus plan, params) — an IVF
+    index is built once and searched many times (the FAISS contract);
+    re-deriving identical centroids on every search would re-scan the
+    corpus for nothing."""
+    memo_key = (
+        id(corpus.sparkSession),
+        corpus.semanticHash(),
+        id_col,
+        vec_col,
+        nlist,
     )
+    cents = _IVF_CENTROID_MEMO.get(memo_key)
+    if cents is None:
+        cent_rows = ivf_centroids(corpus, id_col, vec_col, nlist).collect()
+        cents = sorted(
+            (int(r["cell"]), list(r["centroid"])) for r in cent_rows
+        )
+        _IVF_CENTROID_MEMO[memo_key] = cents
+    assigned = _assign_cells_np(corpus, cents, id_col, vec_col)
+    # probe cells per query: rank the nlist literal cosines; the query
+    # side is small by contract, so the window is over q·nlist rows
     qs = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    q_scored = qs.crossJoin(F.broadcast(cents)).withColumn(
-        "_cell_cos", cosine(F.col("q_vec"), F.col("centroid"))
-    )
+    q_scored = qs.select(
+        "q_id",
+        "q_vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cell"),
+                        cosine(
+                            F.col("q_vec"),
+                            F.array(*[F.lit(x) for x in cvec]),
+                        ).alias("_cell_cos"),
+                    )
+                    for c, cvec in cents
+                ]
+            )
+        ).alias("pc"),
+    ).select("q_id", "q_vec", "pc.cell", "pc._cell_cos")
     wq = Window.partitionBy("q_id").orderBy(
         F.col("_cell_cos").desc(), F.col("cell").asc()
     )
