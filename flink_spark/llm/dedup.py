@@ -207,6 +207,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dedup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """End-to-end two-tier near-dedup: MinHash+LSH candidate generation,
+    exact n-gram-Jaccard verification on the CANDIDATE PAIRS ONLY.
+
+    Output: (d1, d2, n_shared_bands, jaccard) for candidates whose exact
+    Jaccard ≥ threshold. This is the canonical 100 TB shape: the
+    quadratic set-intersection work is restricted to LSH candidates, so
+    the verify tier's cost is candidate-proportional —
+    the intersection joins shuffle (pair, shingle) rows for candidate
+    docs only, never the all-pairs cross product that the standalone
+    `ngram_jaccard_pairs` (correctness tier) pays.
+    """
+    cands = minhash_lsh_pairs(
+        df, id_col, text_col, shingle_n, num_hashes, rows_per_band
+    )
+    sh = text_shingles(df, id_col, text_col, shingle_n).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # candidate-restricted intersection: fan each pair out to d1's
+    # shingles, then match d2's shingles — both joins are equi-joins
+    # keyed by doc id / (doc id, shingle)
+    a = sh.select(F.col(id_col).alias("d1"), F.col("shingle").alias("s1"))
+    b = sh.select(F.col(id_col).alias("_bd2"), F.col("shingle").alias("s2"))
+    inter = (
+        cands.join(a, "d1")
+        .join(b, (F.col("d2") == F.col("_bd2")) & (F.col("s1") == F.col("s2")))
+        .groupBy("d1", "d2", "n_shared_bands")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "d1", "sz": "sz1"}), "d1")
+        .join(sizes.withColumnsRenamed({id_col: "d2", "sz": "sz2"}), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("ni") / (F.col("sz1") + F.col("sz2") - F.col("ni")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "n_shared_bands", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """SimHash signature as an n-char bit string.
 

@@ -365,6 +365,8 @@ def _assign_cells_np(
 
     def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
+            if pdf.empty:  # empty partition: np.stack would raise
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0.0] = 1.0
@@ -516,6 +518,8 @@ def cosine_pairs_bucketed_np(
     )
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if pdf.empty:
+            return pd.DataFrame({"d1": [], "d2": [], "cos_sim": []})
         pdf = pdf.sort_values("_id")
         ids = pdf["_id"].to_numpy()
         m = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
@@ -567,6 +571,8 @@ def brute_force_topk_np(
 
     def score(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
+            if pdf.empty:
+                continue
             ids = pdf[id_col].to_numpy()
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1)

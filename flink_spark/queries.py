@@ -1289,6 +1289,56 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.1)
 
 
+def _neardup_pipeline_oracle(threshold: float = 0.4) -> str:
+    mins = ", ".join(
+        f"min(substr(md5('{s // 4}|' || s), {1 + (s % 4) * 8}, 8)) AS h{s}"
+        for s in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bv FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (SELECT doc_id,
+                   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    for i in range(1, len(ws) - 1)] AS shl
+            FROM words WHERE len(ws) >= 3),
+    shall AS (SELECT doc_id, unnest(shl) AS s FROM sh0),
+    sig AS (SELECT doc_id, {mins} FROM shall GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                    count(*) AS n_shared_bands
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sh AS (SELECT DISTINCT doc_id, s FROM shall),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (SELECT c.d1, c.d2, c.n_shared_bands, count(*) AS ni
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.d1
+              JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+              GROUP BY 1, 2, 3)
+    SELECT d1, d2, n_shared_bands,
+           ni * 1.0 / (s1.sz + s2.sz - ni) AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE ni * 1.0 / (s1.sz + s2.sz - ni) >= {threshold}
+    """
+
+
+@query("doc_neardup_pipeline", _neardup_pipeline_oracle())
+def doc_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier near-dedup pipeline: MinHash+LSH candidates verified by
+    exact 3-gram Jaccard ON THE CANDIDATES ONLY (llm/dedup.py
+    near_dedup_pipeline) — the composition a 100 TB dedup job runs."""
+    d = Catalog(spark, sf_dir).documents
+    return lsh.near_dedup_pipeline(
+        d, "doc_id", "text", shingle_n=3, num_hashes=8, rows_per_band=2,
+        threshold=0.4,
+    )
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     votes = []
     for i in range(bits):
