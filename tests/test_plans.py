@@ -1,0 +1,103 @@
+"""Physical-plan regression tests: the scale properties the engine is
+designed around, asserted on the actual Catalyst plans so a refactor
+that silently de-optimizes a query fails CI.
+
+Checked properties (the 100 TB design rules from SURVEY/README):
+- dimension joins BROADCAST (no shuffle of the fact table per dim)
+- selective predicates are PUSHED to the parquet scan
+- nothing plans a CartesianProduct unless the operator is quadratic by
+  declared design (theta/band join, exact all-pairs tiers, broadcast
+  nested-loop against a tiny literal side)
+- the similarity corpus is never shuffled for broadcast-side topk
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = Q.QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name,min_bhj",
+    [
+        ("tpch_q3_shipping_priority", 2),  # orders + customer broadcast
+        ("tpch_q5_regional_revenue", 3),  # all dims broadcast
+        ("tpcds_q19_shape", 4),  # 4-dim star
+        ("tpch_q9_product_profit", 3),
+    ],
+)
+def test_dimension_joins_broadcast(spark, name, min_bhj):
+    plan = plan_of(spark, name)
+    assert plan.count("BroadcastHashJoin") >= min_bhj, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q1_pricing_summary",  # l_shipdate filter
+        "tpch_q6_forecast_revenue",  # range predicates
+        "tpch_q3_shipping_priority",
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name):
+    plan = plan_of(spark, name)
+    assert "PushedFilters: [" in plan, plan
+    # at least one scan pushes a real predicate, not just IsNotNull
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(
+        any(tok and not tok.strip().startswith("IsNotNull") for tok in p.split(","))
+        for p in pushed
+    ), pushed
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "doc_minhash_lsh_pairs",  # banded join, never all-pairs
+        "doc_neardup_pipeline",  # candidate-restricted verify
+        "emb_ann_lsh",  # bucket equi-join
+        "emb_ann_ivf",  # cell equi-join
+        "doc_exact_dedup",
+        "dedup_last_per_key",
+    ],
+)
+def test_scale_tiers_never_plan_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_topk_corpus_side_not_shuffled(spark):
+    """brute_force_topk (numpy tier): the corpus flows scan → mapInPandas
+    → local top-k; only the tiny local-topk output is exchanged for the
+    final ranking window. The plan must not hash-partition the corpus
+    BEFORE the Python scorer."""
+    plan = plan_of(spark, "emb_cosine_topk")
+    scorer_at = plan.find("MapInPandas")
+    assert scorer_at != -1, plan
+    head = plan[:plan.find("(1) Scan parquet")]  # operator tree section
+    tree_lines = [ln for ln in head.splitlines() if "Exchange" in ln]
+    scorer_line = next(
+        i for i, ln in enumerate(head.splitlines()) if "MapInPandas" in ln
+    )
+    # any Exchange must sit ABOVE the scorer in the operator tree (lower
+    # line index = closer to the root in explain-formatted output)
+    for i, ln in enumerate(head.splitlines()):
+        if "Exchange" in ln:
+            assert i < scorer_line, plan
