@@ -1,3 +1,3 @@
-from flink_spark.llm import dedup, similarity, text
+from flink_spark.llm import dedup, sampling, similarity, text
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "sampling", "similarity", "text"]

@@ -1327,6 +1327,63 @@ def _neardup_pipeline_oracle(threshold: float = 0.4) -> str:
     """
 
 
+def _sample_mix_oracle() -> str:
+    # hash_bucket replicated: first 4 md5 nibbles of the stringified id
+    def nib(i: int) -> str:
+        a = f"ascii(substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1))"
+        return f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+
+    bucket = (
+        f"(CAST({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)}"
+        " AS BIGINT) % 10000)"
+    )
+    return f"""
+    WITH b AS (SELECT doc_id, source, lang, {bucket} AS bucket
+               FROM documents),
+    mixed AS (
+      SELECT * FROM b
+      WHERE (source = 'src0' AND bucket < 2000)
+         OR (source = 'src1' AND bucket < 10000)
+         OR (source = 'src2' AND bucket < 5000)),
+    quota AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM mixed) WHERE rn <= 50)
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_mixed,
+           CAST(count(q.doc_id) AS BIGINT) AS n_in_quota
+    FROM mixed m LEFT JOIN quota q ON m.doc_id = q.doc_id
+    GROUP BY m.source
+    """
+
+
+@query("doc_sample_mix", _sample_mix_oracle())
+def doc_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mix pipeline: per-source hash-sampling rates
+    (src0 20% / src1 100% / src2 50%) then a per-language quota of 50 —
+    reproducible across engines because every keep/drop decision is an
+    md5-bucket of the doc id (llm/sampling.py). Counts per source verify
+    both stages."""
+    from flink_spark.llm import sampling as smp
+
+    d = Catalog(spark, sf_dir).documents
+    mixed = smp.mix_sources(
+        d, "source", "doc_id", {"src0": 0.2, "src1": 1.0, "src2": 0.5}
+    )
+    quota = smp.stratified_quota(mixed, "lang", "doc_id", 50).select(
+        F.col("doc_id").alias("q_doc_id")
+    )
+    return (
+        mixed.join(quota, mixed["doc_id"] == quota["q_doc_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_mixed"),
+            F.count("q_doc_id").alias("n_in_quota"),
+        )
+    )
+
+
 @query("doc_neardup_pipeline", _neardup_pipeline_oracle())
 def doc_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier near-dedup pipeline: MinHash+LSH candidates verified by
