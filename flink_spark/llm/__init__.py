@@ -1,3 +1,3 @@
-from flink_spark.llm import dedup, sampling, similarity, text
+from flink_spark.llm import dedup, packing, sampling, similarity, text
 
-__all__ = ["dedup", "sampling", "similarity", "text"]
+__all__ = ["dedup", "packing", "sampling", "similarity", "text"]

@@ -278,6 +278,33 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q_i = round(v_i / scale) ∈ [-127, 127].
+
+    Output: (id, scale, qvec array<int>). Map-only JVM expressions —
+    at 100 TB this is a pure scan-side transform that cuts the
+    embedding payload 4× before any shuffle or sink. The division and
+    per-element round are order-independent, so the result is
+    engine-exact (unlike sum-based normalizations)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 9).alias("scale"),
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x / scale, 0).cast("int")),
+            ),
+        ).alias("qvec"),
+    )
+
+
 _IVF_CENTROID_MEMO: dict[tuple, list] = {}
 
 

@@ -1384,6 +1384,98 @@ def doc_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens
+      FROM documents),
+    laid AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+      FROM laid)
+    SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(n_tokens) / 512.0, 6) AS fill_ratio
+    FROM packed GROUP BY seq_id
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing at a 512-token budget
+    (llm/packing.py): streaming-fill layout in doc-id order, per-sequence
+    fill stats. The doc→trainer step of the pipeline."""
+    from flink_spark.llm import packing as pk
+
+    d = Catalog(spark, sf_dir).documents
+    packed = pk.pack_sequences(
+        d, "doc_id", txt.token_count(F.col("text")).cast("long"), 512
+    )
+    return pk.pack_stats(packed, 512).select(
+        "seq_id",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "fill_ratio",
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) > 0
+                  THEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS scale,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    qq AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(greatest(-127,
+                 least(127, CAST(round(x / scale, 0) AS BIGINT))) AS BIGINT))
+               AS qvec
+      FROM q)
+    SELECT vec_id, round(scale, 9) AS scale,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           CAST(list_min(qvec) AS BIGINT) AS q_min,
+           CAST(list_max(qvec) AS BIGINT) AS q_max,
+           CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT)
+             AS q_l1
+    FROM qq
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (llm/similarity.py
+    quantize_int8) — the payload-compression step before shuffling or
+    sinking embeddings; verified through exact integer digests of the
+    quantized vectors."""
+    e = Catalog(spark, sf_dir).embeddings
+    q = sim.quantize_int8(e)
+    qv = F.col("qvec")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min(qv).cast("long").alias("q_min"),
+        F.array_max(qv).cast("long").alias("q_max"),
+        F.aggregate(
+            F.transform(qv, lambda x: F.abs(x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("q_l1"),
+    )
+
+
 @query("doc_neardup_pipeline", _neardup_pipeline_oracle())
 def doc_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier near-dedup pipeline: MinHash+LSH candidates verified by
