@@ -46,9 +46,11 @@ def _load_checked(fname: str) -> set[str]:
         return set()
 
 
-_CHECKED = _load_checked("CORRECTNESS_r01.json") | _load_checked(
-    "CORRECTNESS_r02.json"
-)
+import glob as _glob
+
+_CHECKED: set[str] = set()
+for _f in sorted(_glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    _CHECKED |= _load_checked(os.path.basename(_f))
 _REFIXED = ["emb_cosine_topk"]
 
 
