@@ -430,13 +430,15 @@ def ivf_topk(
     Recall is the IVF trade: neighbors assigned to un-probed cells are
     missed; raise nlist/nprobe to tune.
 
-    Plan: the trained centroid table is nlist tiny rows — it is
-    collected once (the FAISS 'index build' step), so corpus assignment
-    is a MAP-ONLY Arrow/GEMM stage (no window, no join, no shuffle of
-    embeddings). The only corpus shuffle is the candidate equi-join on
-    the cell id, with per-cell fan-out |corpus|/nlist on average.
-    Candidate cosines are still the JVM zip_with fold, so emitted
-    values match the non-IVF tiers (and the oracle) bit-for-bit.
+    Plan: the trained centroid table is nlist tiny rows and the query
+    set is small by contract (it is broadcast in every other tier), so
+    both are collected once; probe cells are decided at build time and
+    the whole search is ONE map-only Arrow/GEMM pass over the corpus —
+    each batch assigns cells, scores only probed-cell rows per query,
+    and emits its local top-k. The only exchange is the final merge
+    window over O(partitions · |queries| · k) rows, the same
+    local-topk/merge shape as brute_force_topk_np. Embeddings are never
+    shuffled and no join is planned at all.
 
     Training is memoized per (session, corpus plan, params) — an IVF
     index is built once and searched many times (the FAISS contract);
@@ -456,48 +458,68 @@ def ivf_topk(
             (int(r["cell"]), list(r["centroid"])) for r in cent_rows
         )
         _IVF_CENTROID_MEMO[memo_key] = cents
-    assigned = _assign_cells_np(corpus, cents, id_col, vec_col)
-    # probe cells per query: rank the nlist literal cosines; the query
-    # side is small by contract, so the window is over q·nlist rows
-    qs = queries.select(
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _It
+
+    cell_ids = np.array([c for c, _ in cents])
+    cm = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0.0] = 1.0
+    cmn = cm / cn[:, None]
+
+    # probe cells per query, computed at plan-build time (the query set
+    # is small by contract — it is broadcast in every other tier too):
+    # rank cells by cosine desc with a lowest-cell tie-break
+    qrows = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    q_scored = qs.select(
-        "q_id",
-        "q_vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("cell"),
-                        cosine(
-                            F.col("q_vec"),
-                            F.array(*[F.lit(x) for x in cvec]),
-                        ).alias("_cell_cos"),
-                    )
-                    for c, cvec in cents
-                ]
+    ).collect()
+    q_ids = np.array([r.q_id for r in qrows])
+    qm = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    qmn = qm / qn[:, None]
+    qcell_cos = qmn @ cmn.T  # queries × nlist
+    probe_sets = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cell_ids, -qcell_cos[qi]))[:nprobe]
+        probe_sets.append(set(int(cell_ids[j]) for j in order))
+
+    def search(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            mn = m / norms[:, None]
+            cells = cell_ids[np.argmax(mn @ cmn.T, axis=1)]
+            s = mn @ qmn.T  # corpus × queries
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, list(probe_sets[qi])) & (
+                    ids != q_ids[qi]
+                )
+                cand_ids, cand_s = ids[mask], s[mask, qi]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+            yield pd.DataFrame(
+                {"q_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
             )
-        ).alias("pc"),
-    ).select("q_id", "q_vec", "pc.cell", "pc._cell_cos")
-    wq = Window.partitionBy("q_id").orderBy(
-        F.col("_cell_cos").desc(), F.col("cell").asc()
-    )
-    probes = (
-        q_scored.withColumn("_rn", F.row_number().over(wq))
-        .where(F.col("_rn") <= nprobe)
-        .select("q_id", "q_vec", "cell")
-    )
-    cand = (
-        assigned.join(F.broadcast(probes), "cell")
-        .where(F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        search, f"q_id {id_t}, neighbor_id {id_t}, cosine_sim double"
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        cand.withColumn("_rn", F.row_number().over(w))
+        local.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .select(
             "q_id",
