@@ -73,7 +73,7 @@ def test_filters_reach_parquet_scan(spark, name):
         "doc_minhash_lsh_pairs",  # banded join, never all-pairs
         "doc_neardup_pipeline",  # candidate-restricted verify
         "emb_ann_lsh",  # bucket equi-join
-        "emb_ann_ivf",  # cell equi-join
+        "emb_ann_ivf",  # map-only GEMM search, no join at all
         "doc_exact_dedup",
         "dedup_last_per_key",
     ],
