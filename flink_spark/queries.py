@@ -1612,6 +1612,44 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_shim_battery",
+    """
+    SELECT p_partkey,
+           string_split(p_type, ' ')[2] AS sh_split_idx,
+           CASE WHEN sign(p_retailprice - 1000) >= 0
+                THEN floor(abs(p_retailprice - 1000) * 100) / 100
+                ELSE -(floor(abs(p_retailprice - 1000) * 100) / 100)
+           END AS sh_truncate,
+           regexp_matches(p_brand, '^[0-9]+$') AS sh_is_digit,
+           regexp_matches(replace(p_type, ' ', ''), '^[A-Za-z]+$')
+             AS sh_is_alpha,
+           regexp_matches(CAST(p_retailprice AS VARCHAR),
+             '^\\s*[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?\\s*$')
+             AS sh_is_decimal,
+           to_base64(encode(p_brand)) AS sh_b64
+    FROM part
+    """,
+)
+def scalar_shim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the name/semantics shims of functions/scalar.py that no
+    other battery covers: SPLIT_INDEX, TRUNCATE(x, scale), IS_DIGIT,
+    IS_ALPHA, IS_DECIMAL, TO_BASE64 (FlinkSqlOperatorTable rows cited in
+    the shim docstrings)."""
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        FS.split_index(F.col("p_type"), " ", 1).alias("sh_split_idx"),
+        FS.truncate(F.col("p_retailprice") - 1000, 2).alias("sh_truncate"),
+        FS.is_digit(F.col("p_brand")).alias("sh_is_digit"),
+        FS.is_alpha(F.regexp_replace(F.col("p_type"), " ", "")).alias(
+            "sh_is_alpha"
+        ),
+        FS.is_decimal(F.col("p_retailprice")).alias("sh_is_decimal"),
+        FS.to_base64(F.encode(F.col("p_brand"), "UTF-8")).alias("sh_b64"),
+    )
+
+
+@query(
     "doc_fingerprint",
     """
     WITH f AS (
