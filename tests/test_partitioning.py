@@ -81,3 +81,61 @@ def test_salted_join_left_outer(spark, no_broadcast):
         salted.where("o_totalprice IS NULL").count()
         == plain.where("o_totalprice IS NULL").count()
     )
+
+
+def test_bulk_iterate_kmeans_converges(spark):
+    """DataSet.iterate analogue: 3 Lloyd rounds over the embeddings —
+    assignments stabilize and lineage stays flat (each round is
+    localCheckpoint-cut, so round 3's plan does not re-run round 1)."""
+    from flink_spark.catalog import Catalog
+    from flink_spark.operators.iterate import bulk_iterate
+    from flink_spark.llm.similarity import (
+        _seed_cell, cosine, ivf_centroids, ivf_assign,
+    )
+    from pyspark.sql import functions as F
+
+    e = Catalog(spark, "/root/testdata/sf0.001").embeddings
+
+    def lloyd_round(assigned, i):
+        # M-step from current assignment, E-step reassign
+        per_dim = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        )
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: F.round(s.cv, 6),
+            ).alias("centroid")
+        )
+        return ivf_assign(
+            assigned.drop("cell"), cents, "vec_id", "embedding"
+        )
+
+    seeded = e.withColumn("cell", _seed_cell(F.col("vec_id"), 4))
+    out = bulk_iterate(seeded, lloyd_round, 3)
+    n = out.count()
+    assert n == e.count()
+    assert out.select("cell").distinct().count() <= 4
+    # plan was cut: the final frame's logical plan is a checkpoint scan,
+    # not a 3-round tree
+    assert "LogicalRDD" in out._jdf.queryExecution().logical().toString()
+
+
+def test_delta_iterate_stops_on_empty_workset(spark):
+    from flink_spark.operators.iterate import delta_iterate
+    from pyspark.sql import functions as F
+
+    solution = spark.range(0, 10).withColumn("val", F.col("id"))
+    workset = spark.range(0, 3)
+    calls = []
+
+    def step(sol, ws, i):
+        calls.append(i)
+        # each round shrinks the workset by filtering; empties at i=2
+        return sol, ws.where(F.col("id") > i)
+
+    out = delta_iterate(solution, workset, step, max_iterations=10)
+    assert out.count() == 10
+    assert calls == [0, 1, 2]  # stopped well before max_iterations
