@@ -1476,6 +1476,95 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(nlist: int = 4, rounds: int = 2) -> str:
+    a = "ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1))"
+    nib = f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+    ctes = [
+        f"a0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,\n"
+        f"               CAST({nib} % {nlist} AS BIGINT) AS cell\n"
+        f"        FROM embeddings)"
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"c{r} AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM (\n"
+            f"    SELECT cell, pos, round(avg(v), 6) AS cv FROM (\n"
+            f"      SELECT cell, unnest(range(0, len(emb))) AS pos,\n"
+            f"             unnest(emb) AS v FROM a{p})\n"
+            f"    GROUP BY 1, 2) GROUP BY cell)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, emb, cell FROM (\n"
+            f"    SELECT s.vec_id, s.emb, c.cell,\n"
+            f"           row_number() OVER (PARTITION BY s.vec_id\n"
+            f"             ORDER BY list_cosine_similarity(s.emb, c.centroid)"
+            f" DESC, c.cell) AS rn\n"
+            f"    FROM a{p} s CROSS JOIN c{r} c) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT a.cell, CAST(count(*) AS BIGINT) AS n_members,
+           round(any_value(
+             list_sum(list_transform(c.centroid, x -> abs(x)))), 6)
+             AS centroid_l1
+    FROM a{rounds} a JOIN c{rounds} c ON a.cell = c.cell
+    GROUP BY a.cell
+    """
+    )
+
+
+@query("emb_kmeans_lloyd", _kmeans_oracle())
+def emb_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd rounds of k-means (k=4) over the embeddings — the
+    batch-iteration showcase (operators/iterate.py pattern): each round
+    is an M-step (per-cell mean, rounded to 1e-6 to pin the floats
+    across engines) and an E-step (nearest-centroid reassignment), with
+    the round boundary cut by localCheckpoint so round r's plan does not
+    replay round r-1. Output: per-cell membership count + centroid L1
+    digest, exact against a fully unrolled DuckDB oracle."""
+    e = Catalog(spark, sf_dir).embeddings
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        sim._seed_cell(F.col("vec_id"), 4).cast("long").alias("cell"),
+    )
+    cents = None
+    for _ in range(2):
+        per_dim = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        )
+        cents = per_dim.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: F.round(s.cv, 6),
+            ).alias("centroid")
+        ).localCheckpoint(eager=True)
+        assigned = sim.ivf_assign(
+            assigned.drop("cell"), cents, "vec_id", "embedding"
+        ).localCheckpoint(eager=True)
+    digests = cents.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("centroid"), lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("centroid_l1"),
+    )
+    counts = assigned.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count("*").alias("n_members")
+    )
+    return counts.join(digests, "cell").select(
+        "cell", "n_members", "centroid_l1"
+    )
+
+
 @query("doc_neardup_pipeline", _neardup_pipeline_oracle())
 def doc_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-tier near-dedup pipeline: MinHash+LSH candidates verified by
