@@ -1,3 +1,17 @@
-from flink_spark.operators import joins, tvf_windows, windows
+from flink_spark.operators import (
+    async_lookup,
+    iterate,
+    joins,
+    partitioning,
+    tvf_windows,
+    windows,
+)
 
-__all__ = ["joins", "tvf_windows", "windows"]
+__all__ = [
+    "async_lookup",
+    "iterate",
+    "joins",
+    "partitioning",
+    "tvf_windows",
+    "windows",
+]

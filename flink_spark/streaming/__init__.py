@@ -1,3 +1,3 @@
-from flink_spark.streaming import core, stateful
+from flink_spark.streaming import core, process, retract_join, stateful, triggers
 
-__all__ = ["core", "stateful"]
+__all__ = ["core", "process", "retract_join", "stateful", "triggers"]
