@@ -135,3 +135,59 @@ def test_until_never_binds_at_or_after_stop_event(events):
         )
         if stop_idx is not None:
             assert all(i < stop_idx for _, i in m)
+
+
+# -- MATCH_RECOGNIZE parser properties (pure python, no Spark) --
+
+from flink_spark.match_recognize import _build_pattern, parse_match_recognize
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=9),
+    st.sampled_from(["", "+", "*", "?", "+?", "*?"]),
+)
+def test_mr_quantifiers_parse_to_expected_bounds(n, m_extra, simple_q):
+    """PATTERN quantifiers land on the same (min, max, greedy) the
+    Pattern API would set."""
+    m = n + m_extra
+    for quant, lo, hi, greedy in [
+        (f"{{{n}}}", n, n, True),
+        (f"{{{n},{m}}}", n, m, True),
+        ("+", 1, 1_000_000, True),
+        ("*", 0, 1_000_000, True),
+        ("?", 0, 1, True),
+        ("+?", 1, 1_000_000, False),
+        ("*?", 0, 1_000_000, False),
+    ]:
+        spec = parse_match_recognize(
+            f"""
+            PARTITION BY k ORDER BY ts
+            MEASURES LAST(A.v) AS last_v
+            PATTERN (A{quant})
+            DEFINE A AS A.v > 0
+            """
+        )
+        step = _build_pattern(spec).steps[0]
+        assert (step.min_times, step.max_times, step.greedy) == (
+            lo, hi, greedy,
+        ), quant
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=96))
+def test_mr_within_interval_units(hours):
+    spec = parse_match_recognize(
+        f"""
+        PARTITION BY k ORDER BY ts
+        MEASURES LAST(A.v) AS v
+        PATTERN (A B)
+        WITHIN INTERVAL '{hours}' HOUR
+        DEFINE A AS A.v > 0, B AS B.v > 1
+        """
+    )
+    built = _build_pattern(spec)
+    assert built.within_ms == hours * 3_600_000
+    # concatenation is strict contiguity per the SQL standard
+    assert all(s.contiguity == "strict" for s in built.steps)
