@@ -567,3 +567,31 @@ def test_keyed_process_event_time_timers_session_end(spark, tmp_path):
     assert by_key.get(1) == (base + 12 * 60_000, 3, 6.0), rows
     # key 2 was still active at the final watermark: no session-end row
     assert 2 not in by_key or by_key[2][0] >= base + 72 * 60_000
+
+
+def test_stream_llm_dedup_quality_pipeline(spark):
+    """Streaming composition of the LLM-pipeline map-only operators:
+    file-stream the documents table, drop exact duplicates on the
+    content fingerprint (dropDuplicates — keyed state), filter on the
+    quality heuristic, and count per source. Result equals the same
+    pipeline run in batch (micro-batch determinism for the map-only +
+    dedup-state composition)."""
+    from flink_spark.llm import text as txt
+
+    def pipeline(df):
+        return (
+            df.withColumn("fp", txt.fingerprint(F.col("text")))
+            .withColumn("q", txt.quality_score(F.col("text")))
+            .dropDuplicates(["fp"])
+            .where(F.col("q") >= 0.4)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    stream = SC.stream_table(spark, SF_DIR, "documents")
+    SC.run_to_memory(pipeline(stream), "t_llm_pipe", "complete")
+    got = _sorted_rows(spark.sql("SELECT source, n_docs FROM t_llm_pipe"))
+
+    want = _sorted_rows(pipeline(Catalog(spark, SF_DIR).documents))
+    assert got == want
+    assert len(got) > 0
