@@ -19,6 +19,9 @@ output — on the TPC-H-ish fixture tables:
   q88-shape  N disjoint-range counts of one fact table, cross-joined
   q14-shape  cross-period INTERSECT key set semi-filtering the fact
   q67-shape  grouped rollup feeding a per-category ranking window
+  q1-shape   correlated above-1.2×-group-average threshold (decorrelated
+             into a window; comparison kept in exact decimal arithmetic)
+  q60-shape  per-channel partial aggregates UNION ALL'd and re-aggregated
 
 All aggregates run in DECIMAL (order-independent, bitwise-stable between
 Spark and the DuckDB oracle) and are CAST to DOUBLE only on output.
@@ -344,3 +347,65 @@ def tpcds_q67_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — on category — is cheap; ranking on the exact DECIMAL
     revenue with full tie-breaks keeps both engines' rank() identical."""
     return _sql(spark, sf_dir, _Q67)
+
+
+_Q1 = """
+WITH per_cust AS (
+  SELECT c_custkey, c_nationkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_nationkey),
+w AS (
+  SELECT c_custkey, total,
+         count(*) OVER (PARTITION BY c_nationkey) AS n_nat,
+         sum(total) OVER (PARTITION BY c_nationkey) AS s_nat
+  FROM per_cust)
+SELECT c_custkey, CAST(total AS DOUBLE) AS total
+FROM w WHERE total * n_nat * 10 > s_nat * 12
+ORDER BY total DESC, c_custkey
+LIMIT 100
+"""
+
+
+@query("tpcds_q1_shape", _Q1)
+def tpcds_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1 shape: customers whose total exceeds 1.2× their
+    nation's average — the correlated-average threshold decorrelated
+    into a per-nation window over the first aggregate's output. The
+    1.2× comparison is spelled ``total·n·10 > s·12`` so it stays in
+    exact DECIMAL/integer arithmetic on both engines (no float-boundary
+    flips). Two shuffles: the customer agg, then the nation window over
+    its (much smaller) output."""
+    return _sql(spark, sf_dir, _Q1)
+
+
+_Q60 = f"""
+WITH y96 AS (
+  SELECT p_brand, sum({_DEC_REVENUE}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1996
+  GROUP BY p_brand),
+y97 AS (
+  SELECT p_brand, sum({_DEC_REVENUE}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997
+  GROUP BY p_brand)
+SELECT p_brand AS brand, CAST(sum(rev) AS DOUBLE) AS total_rev,
+       CAST(count(*) AS BIGINT) AS n_channels
+FROM (SELECT * FROM y96 UNION ALL SELECT * FROM y97)
+GROUP BY p_brand
+ORDER BY total_rev DESC, brand
+LIMIT 100
+"""
+
+
+@query("tpcds_q60_shape", _Q60)
+def tpcds_q60_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q60 shape: per-channel (here per-year) partial aggregates
+    UNION ALL'd and re-aggregated — the multi-channel rollup. Each
+    branch shuffles the fact once on its GROUP BY key; the final
+    re-aggregation runs over brand-grain rows (tiny). DECIMAL sums keep
+    the union exact."""
+    return _sql(spark, sf_dir, _Q60)
