@@ -1,3 +1,17 @@
-from flink_spark.streaming import core, process, retract_join, stateful, triggers
+from flink_spark.streaming import (
+    cep_stream,
+    core,
+    process,
+    retract_join,
+    stateful,
+    triggers,
+)
 
-__all__ = ["core", "process", "retract_join", "stateful", "triggers"]
+__all__ = [
+    "cep_stream",
+    "core",
+    "process",
+    "retract_join",
+    "stateful",
+    "triggers",
+]

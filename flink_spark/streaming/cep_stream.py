@@ -1,0 +1,158 @@
+"""Streaming CEP: the keyed NFA driven by watermark advancement.
+
+Reference: CepOperator.java:82 — events buffer in keyed state ordered by
+event time; as the watermark advances, the NFA processes every event at
+or below it, emitting completed matches and pruning expired computation
+states. The batch `pattern_match` (flink_spark/cep.py) applies the same
+NFA to a complete, static event list.
+
+Micro-batch mapping (requires ``within()`` — the reference needs it for
+state cleanup too, or state is unbounded):
+
+- per key, buffered events are kept in state as (ts_ms, seq, payload);
+- the per-key watermark is max-event-time-seen − ``delay_ms`` (the
+  bounded-out-of-orderness contract; late rows below the watermark are
+  dropped exactly like the reference's late-event path);
+- an anchor (potential match start) is CLOSED once
+  ``anchor_ts + within_ms <= watermark``: no future event can extend any
+  match anchored there (every future event has ts > watermark). Matches
+  from closed anchors are final → emitted, in start order, with the
+  after-match skip floor carried in state so pruning works across
+  batches;
+- events below ``watermark − within_ms`` can no longer participate in
+  any OPEN anchor's window and are evicted — state is O(events inside
+  one within-window per key), the reference's NFA state bound.
+
+Emitted matches are exactly the batch `find_matches` output restricted
+to closed anchors; the equivalence test feeds the same rows in three
+micro-batches and compares against the batch operator.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (callers compose)
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_spark.cep import Pattern, find_matches
+from flink_spark.streaming.stateful import _key_type
+
+
+def pattern_match_stream(
+    df: DataFrame,
+    pattern: Pattern,
+    key: str,
+    ts_col: str,
+    payload_cols: list[str],
+    delay_ms: int = 0,
+) -> DataFrame:
+    """Streaming pattern_match. Output rows:
+    (key, match_id, step, ts_ms, <payload_cols as strings>) — the batch
+    operator's schema; match_id numbers matches per key in emission
+    (start) order across the whole stream."""
+    if pattern.within_ms is None:
+        raise ValueError(
+            "pattern_match_stream requires within() — without a window "
+            "bound no anchor ever conclusively closes (and the "
+            "reference's NFA state would be unbounded too)"
+        )
+    within = pattern.within_ms
+    out_fields = ", ".join(
+        [f"{key} {_key_type(df, key)}", "match_id long", "step string",
+         "ts_ms long"]
+        + [f"{c} string" for c in payload_cols]
+    )
+    out_cols = [key, "match_id", "step", "ts_ms"] + payload_cols
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf = [json.loads(r) for r in state.get[0]]
+            wm, next_id, floor_key, seq = (
+                state.get[1], state.get[2],
+                json.loads(state.get[3]), state.get[4],
+            )
+        else:
+            buf, wm, next_id, floor_key, seq = [], -(2 ** 62), 0, None, 0
+        wm_prev = wm
+        for pdf in pdfs:
+            for row in pdf[[ts_col, *payload_cols]].itertuples(index=False):
+                t_ms = int(
+                    pd.Series([row[0]])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    .iloc[0]
+                    // 1_000_000
+                )
+                if t_ms <= wm_prev:
+                    continue  # late beyond the watermark: dropped
+                seq += 1
+                buf.append([t_ms, seq, [str(v) for v in row[1:]]])
+                wm = max(wm, t_ms - delay_ms)
+        buf.sort(key=lambda r: (r[0], r[1]))
+        events = []
+        for t_ms, sq, payload in buf:
+            d = dict(zip(payload_cols, payload))
+            d["__ts_ms"] = t_ms
+            d["__seq"] = sq
+            events.append(d)
+        matches = find_matches(events, pattern, "__ts_ms")
+        out = []
+        for m in matches:
+            anchor = m[0][1]
+            if anchor["__ts_ms"] + within > wm:
+                continue  # window still open — not final yet
+            mkey = (anchor["__ts_ms"], anchor["__seq"])
+            if floor_key is not None and list(mkey) < list(floor_key):
+                continue  # pruned by a previous batch's emitted match
+            for step_name, ev in m:
+                out.append(
+                    [k[0], next_id, step_name, ev["__ts_ms"]]
+                    + [ev[c] for c in payload_cols]
+                )
+            next_id += 1
+            last = m[-1][1]
+            if pattern.after_match == "skip_to_next":
+                floor_key = [anchor["__ts_ms"], anchor["__seq"] + 1]
+            elif pattern.after_match == "skip_past_last":
+                floor_key = [last["__ts_ms"], last["__seq"] + 1]
+            elif pattern.after_match in ("skip_to_first", "skip_to_last"):
+                bound = [ev for name, ev in m if name == pattern.skip_to_step]
+                if bound:
+                    tgt = (
+                        bound[0]
+                        if pattern.after_match == "skip_to_first"
+                        else bound[-1]
+                    )
+                    cand = [tgt["__ts_ms"], tgt["__seq"]]
+                    if floor_key is None or cand > list(floor_key):
+                        floor_key = cand
+        # evict events that can no longer join any OPEN anchor's window
+        low = wm - within
+        buf = [r for r in buf if r[0] >= low]
+        state.update(
+            (
+                [json.dumps(r) for r in buf],
+                wm,
+                next_id,
+                json.dumps(floor_key),
+                seq,
+            )
+        )
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=(
+            "buf array<string>, wm long, next_id long, floor string, "
+            "seq long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

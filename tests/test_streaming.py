@@ -595,3 +595,75 @@ def test_stream_llm_dedup_quality_pipeline(spark):
     want = _sorted_rows(pipeline(Catalog(spark, SF_DIR).documents))
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_cep_matches_batch_across_microbatches(spark, tmp_path):
+    """Streaming CEP (watermark-driven NFA) equals the batch operator on
+    the same rows, fed as three time-ordered micro-batches. The flush
+    row per key pushes the final watermark past every anchor's window so
+    every batch-visible match closes."""
+    import pandas as pd
+    from flink_spark.cep import Pattern, pattern_match
+    from flink_spark.streaming.cep_stream import pattern_match_stream
+
+    def rows(lo, hi):
+        out = []
+        for uid in (1, 2):
+            for i in range(lo, hi):
+                t = (
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(minutes=7 * i + uid)
+                ).to_pydatetime()
+                typ = "click" if i % 3 != 2 else "purchase"
+                out.append((uid, t, typ, float(i)))
+        return out
+
+    # three files = three micro-batches; the last adds the flush rows
+    schema = ["user_id", "ts", "event_type", "value"]
+    batches = [rows(0, 6), rows(6, 12), rows(12, 18)]
+    batches[2] += [
+        (uid, pd.Timestamp("2024-01-03").to_pydatetime(), "noop", 0.0)
+        for uid in (1, 2)
+    ]
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+
+    pat = (
+        Pattern.begin("a")
+        .where(lambda e, b: e["event_type"] == "click")
+        .followed_by("b")
+        .where(lambda e, b: e["event_type"] == "purchase")
+        .within(3_600_000)
+        .after_match_skip_past_last()
+    )
+
+    sdf = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src / "b0.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    out = pattern_match_stream(
+        sdf, pat, "user_id", "ts", ["event_type", "value"]
+    )
+    SC.run_to_memory(out, "t_cep_stream", "append")
+    got = _sorted_rows(spark.sql(
+        "SELECT user_id, match_id, step, ts_ms, event_type, value "
+        "FROM t_cep_stream"
+    ))
+
+    full = [r for b in batches for r in b]
+    bdf = spark.createDataFrame(full, schema)
+    want = _sorted_rows(
+        pattern_match(
+            bdf, pat, "user_id", "ts", ["event_type"],
+            ["event_type", "value"],
+        )
+    )
+    assert len(got) > 0
+    assert got == want
