@@ -394,3 +394,121 @@ def match_recognize(
         return pd.DataFrame(rows, columns=cols)
 
     return df.groupBy(key).applyInPandas(per_key, schema=out_schema)
+
+
+def match_recognize_stream(
+    df: DataFrame,
+    clause: str,
+    measure_types: dict[str, str] | None = None,
+    delay_ms: int = 0,
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE (StreamExecMatch.java:59 proper): the
+    parsed clause runs on the watermark-driven NFA
+    (flink_spark/streaming/cep_stream.py) — matches are emitted once
+    their WITHIN window conclusively closes, with after-match floors
+    carried across micro-batches. Requires the clause to declare WITHIN.
+
+    Output schema matches the batch ``match_recognize``:
+    (partition key, match_id, <measures>).
+    """
+    import json as _json
+    from collections.abc import Iterator as _It
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from flink_spark.streaming.cep_stream import (
+        CEP_STATE_SCHEMA,
+        closed_matches,
+        ingest_batch,
+    )
+
+    spec = parse_match_recognize(clause)
+    variables = {v for v, _ in spec.pattern}
+    pattern = _build_pattern(spec)
+    if pattern.within_ms is None:
+        raise ValueError(
+            "match_recognize_stream requires a WITHIN clause (no anchor "
+            "ever conclusively closes without a window bound)"
+        )
+    within = pattern.within_ms
+    measure_fns = [
+        (_compile_expr(expr, None, variables), alias)
+        for expr, alias in spec.measures
+    ]
+    key = spec.partition_by
+    order_cols = [c.strip() for c in spec.order_by.split(",")]
+    ts_col = order_cols[0]
+    payload_cols = [c for c in df.columns if c != key]
+    types = measure_types or {}
+    key_type = df.schema[key].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"{key} {key_type}", "match_id long"]
+        + [
+            f"{alias} {types.get(alias, 'string')}"
+            for _, alias in measure_fns
+        ]
+    )
+    out_cols = [key, "match_id"] + [alias for _, alias in measure_fns]
+
+    def fn(
+        k: tuple, pdfs: "_It[pd.DataFrame]", state: GroupState
+    ) -> "_It[pd.DataFrame]":
+        if state.exists:
+            buf = [_json.loads(r) for r in state.get[0]]
+            wm, next_id, floor_key, seq = (
+                state.get[1], state.get[2],
+                _json.loads(state.get[3]), state.get[4],
+            )
+        else:
+            buf, wm, next_id, floor_key, seq = [], -(2 ** 62), 0, None, 0
+        buf, wm, seq = ingest_batch(
+            buf, wm, seq, pdfs, ts_col, payload_cols, delay_ms
+        )
+        events = []
+        for t_ms, sq, payload in buf:
+            d = dict(zip(payload_cols, payload))
+            d["__ts_ms"] = t_ms
+            d["__seq"] = sq
+            events.append(d)
+        for i, e in enumerate(events):
+            e["__events"] = events  # DEFINE's PREV() navigation
+            e["__idx"] = i
+        finals, floor_key = closed_matches(events, pattern, wm, floor_key)
+        rows = []
+        for m in finals:
+            bindings: dict[str, list[dict]] = {}
+            for step_name, ev in m:
+                bindings.setdefault(step_name, []).append(ev)
+            out = [k[0], next_id]
+            for mfn, _alias in measure_fns:
+                try:
+                    out.append(mfn(None, bindings))
+                except (KeyError, IndexError):
+                    out.append(None)
+            rows.append(out)
+            next_id += 1
+        buf = [r for r in buf if r[0] >= wm - within]
+        for e in events:  # strip the self-referential nav fields
+            e.pop("__events", None)
+            e.pop("__idx", None)
+        state.update(
+            (
+                [_json.dumps(r) for r in buf],
+                wm,
+                next_id,
+                _json.dumps(floor_key),
+                seq,
+            )
+        )
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

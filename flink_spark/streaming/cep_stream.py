@@ -18,14 +18,17 @@ state cleanup too, or state is unbounded):
   match anchored there (every future event has ts > watermark). Matches
   from closed anchors are final → emitted, in start order, with the
   after-match skip floor carried in state so pruning works across
-  batches;
+  batches. Anchors close in start order, so emitted matches never race
+  an open earlier-start anchor;
 - events below ``watermark − within_ms`` can no longer participate in
   any OPEN anchor's window and are evicted — state is O(events inside
   one within-window per key), the reference's NFA state bound.
 
 Emitted matches are exactly the batch `find_matches` output restricted
 to closed anchors; the equivalence test feeds the same rows in three
-micro-batches and compares against the batch operator.
+micro-batches and compares against the batch operator. The SQL surface
+(`match_recognize_stream` in flink_spark/match_recognize.py) shares the
+closure/floor machinery below — the StreamExecMatch analogue.
 """
 
 from __future__ import annotations
@@ -35,11 +38,74 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401  (callers compose)
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_spark.cep import Pattern, find_matches
 from flink_spark.streaming.stateful import _key_type
+
+
+def ingest_batch(
+    buf: list, wm: int, seq: int, pdfs, ts_col: str,
+    payload_cols: list[str], delay_ms: int,
+) -> tuple[list, int, int]:
+    """Append a micro-batch's rows to the per-key buffer (dropping rows
+    at-or-below the previous watermark) and advance the watermark."""
+    wm_prev = wm
+    for pdf in pdfs:
+        for row in pdf[[ts_col, *payload_cols]].itertuples(index=False):
+            t_ms = int(
+                pd.Series([row[0]])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                .iloc[0]
+                // 1_000_000
+            )
+            if t_ms <= wm_prev:
+                continue  # late beyond the watermark: dropped
+            seq += 1
+            buf.append([t_ms, seq, [str(v) for v in row[1:]]])
+            wm = max(wm, t_ms - delay_ms)
+    buf.sort(key=lambda r: (r[0], r[1]))
+    return buf, wm, seq
+
+
+def closed_matches(
+    events: list[dict], pattern: Pattern, wm: int, floor_key
+) -> tuple[list, list | None]:
+    """Final (conclusively closed) matches at watermark ``wm`` plus the
+    updated cross-batch after-match floor. Events need __ts_ms/__seq."""
+    within = pattern.within_ms
+    finals = []
+    for m in find_matches(events, pattern, "__ts_ms"):
+        anchor = m[0][1]
+        if anchor["__ts_ms"] + within > wm:
+            continue  # window still open — not final yet
+        mkey = [anchor["__ts_ms"], anchor["__seq"]]
+        if floor_key is not None and mkey < list(floor_key):
+            continue  # pruned by a previous batch's emitted match
+        finals.append(m)
+        last = m[-1][1]
+        if pattern.after_match == "skip_to_next":
+            floor_key = [anchor["__ts_ms"], anchor["__seq"] + 1]
+        elif pattern.after_match == "skip_past_last":
+            floor_key = [last["__ts_ms"], last["__seq"] + 1]
+        elif pattern.after_match in ("skip_to_first", "skip_to_last"):
+            bound = [ev for name, ev in m if name == pattern.skip_to_step]
+            if bound:
+                tgt = (
+                    bound[0]
+                    if pattern.after_match == "skip_to_first"
+                    else bound[-1]
+                )
+                cand = [tgt["__ts_ms"], tgt["__seq"]]
+                if floor_key is None or cand > list(floor_key):
+                    floor_key = cand
+    return finals, floor_key
+
+
+CEP_STATE_SCHEMA = (
+    "buf array<string>, wm long, next_id long, floor string, seq long"
+)
 
 
 def pattern_match_stream(
@@ -79,62 +145,26 @@ def pattern_match_stream(
             )
         else:
             buf, wm, next_id, floor_key, seq = [], -(2 ** 62), 0, None, 0
-        wm_prev = wm
-        for pdf in pdfs:
-            for row in pdf[[ts_col, *payload_cols]].itertuples(index=False):
-                t_ms = int(
-                    pd.Series([row[0]])
-                    .astype("datetime64[ns]")
-                    .astype("int64")
-                    .iloc[0]
-                    // 1_000_000
-                )
-                if t_ms <= wm_prev:
-                    continue  # late beyond the watermark: dropped
-                seq += 1
-                buf.append([t_ms, seq, [str(v) for v in row[1:]]])
-                wm = max(wm, t_ms - delay_ms)
-        buf.sort(key=lambda r: (r[0], r[1]))
+        buf, wm, seq = ingest_batch(
+            buf, wm, seq, pdfs, ts_col, payload_cols, delay_ms
+        )
         events = []
         for t_ms, sq, payload in buf:
             d = dict(zip(payload_cols, payload))
             d["__ts_ms"] = t_ms
             d["__seq"] = sq
             events.append(d)
-        matches = find_matches(events, pattern, "__ts_ms")
+        finals, floor_key = closed_matches(events, pattern, wm, floor_key)
         out = []
-        for m in matches:
-            anchor = m[0][1]
-            if anchor["__ts_ms"] + within > wm:
-                continue  # window still open — not final yet
-            mkey = (anchor["__ts_ms"], anchor["__seq"])
-            if floor_key is not None and list(mkey) < list(floor_key):
-                continue  # pruned by a previous batch's emitted match
+        for m in finals:
             for step_name, ev in m:
                 out.append(
                     [k[0], next_id, step_name, ev["__ts_ms"]]
                     + [ev[c] for c in payload_cols]
                 )
             next_id += 1
-            last = m[-1][1]
-            if pattern.after_match == "skip_to_next":
-                floor_key = [anchor["__ts_ms"], anchor["__seq"] + 1]
-            elif pattern.after_match == "skip_past_last":
-                floor_key = [last["__ts_ms"], last["__seq"] + 1]
-            elif pattern.after_match in ("skip_to_first", "skip_to_last"):
-                bound = [ev for name, ev in m if name == pattern.skip_to_step]
-                if bound:
-                    tgt = (
-                        bound[0]
-                        if pattern.after_match == "skip_to_first"
-                        else bound[-1]
-                    )
-                    cand = [tgt["__ts_ms"], tgt["__seq"]]
-                    if floor_key is None or cand > list(floor_key):
-                        floor_key = cand
         # evict events that can no longer join any OPEN anchor's window
-        low = wm - within
-        buf = [r for r in buf if r[0] >= low]
+        buf = [r for r in buf if r[0] >= wm - within]
         state.update(
             (
                 [json.dumps(r) for r in buf],
@@ -149,10 +179,7 @@ def pattern_match_stream(
     return df.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=out_fields,
-        stateStructType=(
-            "buf array<string>, wm long, next_id long, floor string, "
-            "seq long"
-        ),
+        stateStructType=CEP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -146,3 +146,74 @@ def test_non_greedy_loop_emits_shortest(spark):
     )
     # reluctant X: the first 'c' wins (two bs skipped); one match per A
     assert got == [(1, 0, 2, 4.0)]
+
+
+def test_match_recognize_stream_matches_batch(spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE equals the batch operator when every
+    anchor's WITHIN window closes (flush row per key)."""
+    import pandas as pd
+    from flink_spark.match_recognize import (
+        match_recognize,
+        match_recognize_stream,
+    )
+
+    def rows(lo, hi):
+        out = []
+        for uid in (1, 2):
+            for i in range(lo, hi):
+                t = (
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(minutes=9 * i + uid)
+                ).to_pydatetime()
+                typ = "down" if i % 4 in (1, 2) else "up"
+                out.append((uid, t, typ, float(i)))
+        return out
+
+    schema = ["user_id", "ts", "event_type", "v"]
+    batches = [rows(0, 5), rows(5, 10), rows(10, 15)]
+    batches[2] += [
+        (uid, pd.Timestamp("2024-01-04").to_pydatetime(), "noop", 0.0)
+        for uid in (1, 2)
+    ]
+    src = tmp_path / "mr_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+
+    clause = """
+      PARTITION BY user_id ORDER BY ts
+      MEASURES COUNT(D.*) AS n_down, LAST(U.event_type) AS last_u
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (D+ U)
+      WITHIN INTERVAL '1' HOUR
+      DEFINE D AS D.event_type = 'down', U AS U.event_type = 'up'
+    """
+    mt = {"n_down": "long"}
+
+    sdf = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src / "b0.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    out = match_recognize_stream(sdf, clause, mt)
+    from flink_spark.streaming import core as SC
+
+    SC.run_to_memory(out, "t_mr_stream", "append")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, match_id, n_down, last_u FROM t_mr_stream"
+        ).collect()
+    )
+
+    full = [r for b in batches for r in b]
+    bdf = spark.createDataFrame(full, schema)
+    want = sorted(
+        tuple(r) for r in match_recognize(bdf, clause, mt).collect()
+    )
+    assert len(got) > 0
+    assert got == want
