@@ -183,3 +183,106 @@ def pattern_match_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def pattern_match_stream_with_timeouts(
+    df: DataFrame,
+    pattern: Pattern,
+    key: str,
+    ts_col: str,
+    payload_cols: list[str],
+    delay_ms: int = 0,
+) -> DataFrame:
+    """Streaming pattern_match with the timed-out-partial side channel
+    (CepOperator + TimedOutPartialMatchHandler): when an anchor's
+    within() window closes WITHOUT a complete match, its longest partial
+    is emitted with kind='timeout' — the watermark plays the role the
+    key's last event time plays in the batch variant
+    (cep.find_matches_and_timeouts). Output schema is the batch
+    operator's: (key, kind, match_id, step, ts_ms, <payload strings>);
+    the two kinds number independently."""
+    from flink_spark.cep import _enumerate_from, _longest_partial_from
+
+    if pattern.within_ms is None:
+        raise ValueError("requires within() — see pattern_match_stream")
+    within = pattern.within_ms
+    out_fields = ", ".join(
+        [f"{key} {_key_type(df, key)}", "kind string", "match_id long",
+         "step string", "ts_ms long"]
+        + [f"{c} string" for c in payload_cols]
+    )
+    out_cols = [key, "kind", "match_id", "step", "ts_ms"] + payload_cols
+
+    def fn(
+        k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf = [json.loads(r) for r in state.get[0]]
+            wm, next_id, floor_key, seq, next_tid = (
+                state.get[1], state.get[2],
+                json.loads(state.get[3]), state.get[4], state.get[5],
+            )
+        else:
+            buf, wm, next_id, floor_key, seq, next_tid = (
+                [], -(2 ** 62), 0, None, 0, 0,
+            )
+        buf, wm, seq = ingest_batch(
+            buf, wm, seq, pdfs, ts_col, payload_cols, delay_ms
+        )
+        events = []
+        for t_ms, sq, payload in buf:
+            d = dict(zip(payload_cols, payload))
+            d["__ts_ms"] = t_ms
+            d["__seq"] = sq
+            events.append(d)
+        finals, floor_key = closed_matches(events, pattern, wm, floor_key)
+        out = []
+        for m in finals:
+            for step_name, ev in m:
+                out.append(
+                    [k[0], "match", next_id, step_name, ev["__ts_ms"]]
+                    + [ev[c] for c in payload_cols]
+                )
+            next_id += 1
+        # timeout channel: closed anchors with NO complete match emit
+        # their longest partial (independent of the skip floor — the
+        # reference reports timed-out partials regardless of pruning)
+        for i, ev0 in enumerate(events):
+            if ev0["__ts_ms"] + within > wm:
+                continue  # anchor window still open
+            has_complete = False
+            for _m in _enumerate_from(events, i, pattern, "__ts_ms"):
+                has_complete = True
+                break
+            if has_complete:
+                continue
+            partial = _longest_partial_from(events, i, pattern, "__ts_ms")
+            if partial and partial[0][1] == i:
+                for step_name, idx in partial:
+                    ev = events[idx]
+                    out.append(
+                        [k[0], "timeout", next_tid, step_name,
+                         ev["__ts_ms"]]
+                        + [ev[c] for c in payload_cols]
+                    )
+                next_tid += 1
+        buf = [r for r in buf if r[0] >= wm - within]
+        state.update(
+            (
+                [json.dumps(r) for r in buf],
+                wm,
+                next_id,
+                json.dumps(floor_key),
+                seq,
+                next_tid,
+            )
+        )
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_fields,
+        stateStructType=CEP_STATE_SCHEMA + ", next_tid long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -667,3 +667,74 @@ def test_stream_cep_matches_batch_across_microbatches(spark, tmp_path):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_cep_timeouts_match_batch(spark, tmp_path):
+    """Streaming timed-out-partial side output equals the batch
+    find_matches_and_timeouts channel once every window closes."""
+    import pandas as pd
+    from flink_spark.cep import Pattern, pattern_match_with_timeouts
+    from flink_spark.streaming.cep_stream import (
+        pattern_match_stream_with_timeouts,
+    )
+
+    def rows(lo, hi):
+        out = []
+        for uid in (1, 2):
+            for i in range(lo, hi):
+                t = (
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(minutes=11 * i + uid)
+                ).to_pydatetime()
+                # clicks often; purchases rarely → plenty of timeouts
+                typ = "purchase" if i % 5 == 4 else "click"
+                out.append((uid, t, typ, float(i)))
+        return out
+
+    schema = ["user_id", "ts", "event_type", "value"]
+    batches = [rows(0, 4), rows(4, 8), rows(8, 12)]
+    batches[2] += [
+        (uid, pd.Timestamp("2024-01-05").to_pydatetime(), "noop", 0.0)
+        for uid in (1, 2)
+    ]
+    src = tmp_path / "cep_to_src"
+    src.mkdir()
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}.parquet")
+        )
+
+    pat = (
+        Pattern.begin("a")
+        .where(lambda e, b: e["event_type"] == "click")
+        .followed_by("b")
+        .where(lambda e, b: e["event_type"] == "purchase")
+        .within(30 * 60 * 1000)
+    )
+
+    sdf = (
+        spark.readStream.schema(
+            spark.read.parquet(str(src / "b0.parquet")).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    out = pattern_match_stream_with_timeouts(
+        sdf, pat, "user_id", "ts", ["event_type", "value"]
+    )
+    SC.run_to_memory(out, "t_cep_to", "append")
+    got = _sorted_rows(spark.sql(
+        "SELECT user_id, kind, match_id, step, ts_ms, event_type, value "
+        "FROM t_cep_to"
+    ))
+
+    full = [r for b in batches for r in b]
+    bdf = spark.createDataFrame(full, schema)
+    want = _sorted_rows(
+        pattern_match_with_timeouts(
+            bdf, pat, "user_id", "ts", ["event_type"],
+            ["event_type", "value"],
+        )
+    )
+    assert any(r[1] == "timeout" for r in got)
+    assert got == want
