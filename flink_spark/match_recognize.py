@@ -490,7 +490,11 @@ def match_recognize_stream(
                     out.append(None)
             rows.append(out)
             next_id += 1
-        buf = [r for r in buf if r[0] >= wm - within]
+        # STRICT bound: an event at exactly wm - within can only belong
+        # to matches anchored at ts <= wm - within, all of which are
+        # closed (already emitted) — keeping it would re-emit them
+        # on the next batch under no_skip
+        buf = [r for r in buf if r[0] > wm - within]
         for e in events:  # strip the self-referential nav fields
             e.pop("__events", None)
             e.pop("__idx", None)

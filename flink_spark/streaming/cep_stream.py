@@ -164,7 +164,11 @@ def pattern_match_stream(
                 )
             next_id += 1
         # evict events that can no longer join any OPEN anchor's window
-        buf = [r for r in buf if r[0] >= wm - within]
+        # STRICT bound: an event at exactly wm - within can only belong
+        # to matches anchored at ts <= wm - within, all of which are
+        # closed (already emitted) — keeping it would re-emit them
+        # on the next batch under no_skip
+        buf = [r for r in buf if r[0] > wm - within]
         state.update(
             (
                 [json.dumps(r) for r in buf],
@@ -266,7 +270,11 @@ def pattern_match_stream_with_timeouts(
                         + [ev[c] for c in payload_cols]
                     )
                 next_tid += 1
-        buf = [r for r in buf if r[0] >= wm - within]
+        # STRICT bound: an event at exactly wm - within can only belong
+        # to matches anchored at ts <= wm - within, all of which are
+        # closed (already emitted) — keeping it would re-emit them
+        # on the next batch under no_skip
+        buf = [r for r in buf if r[0] > wm - within]
         state.update(
             (
                 [json.dumps(r) for r in buf],

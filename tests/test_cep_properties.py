@@ -191,3 +191,62 @@ def test_mr_within_interval_units(hours):
     assert built.within_ms == hours * 3_600_000
     # concatenation is strict contiguity per the SQL standard
     assert all(s.contiguity == "strict" for s in built.steps)
+
+
+# -- streaming closure properties (pure python, no Spark): simulate
+# watermark advancement over random event sequences and check the
+# incremental emission equals one batch pass --
+
+from flink_spark.cep import find_matches_and_timeouts
+from flink_spark.streaming.cep_stream import closed_matches
+
+
+def _mk_events(vals):
+    return [
+        {"__ts_ms": i * 10, "__seq": i, "v": v} for i, v in enumerate(vals)
+    ]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=14),
+    st.integers(min_value=2, max_value=6),
+    st.sampled_from(["no_skip", "skip_to_next", "skip_past_last"]),
+    st.lists(st.integers(min_value=1, max_value=5), min_size=1, max_size=4),
+)
+def test_incremental_closure_equals_batch(vals, w_steps, skip, cuts):
+    """Feeding the same events through successive watermark advances
+    (closed_matches with the carried floor, evicting as the operator
+    does) emits exactly the batch find_matches output — for every skip
+    strategy and any sequence of watermark cut points."""
+    events = _mk_events(vals)
+    within = w_steps * 10
+    p = (
+        Pattern.begin("a").where(A).followed_by("b").where(B).within(within)
+    )
+    if skip == "skip_to_next":
+        p.after_match_skip_to_next()
+    elif skip == "skip_past_last":
+        p.after_match_skip_past_last()
+
+    # batch over the full sequence, restricted to anchors that close
+    # under the final watermark (= max ts here)
+    final_wm = events[-1]["__ts_ms"]
+    want, _ = closed_matches(events, p, final_wm, None)
+    want_keys = [
+        tuple((s, ev["__seq"]) for s, ev in m) for m in want
+    ]
+
+    # incremental: watermark advances through arbitrary intermediate
+    # cuts; buffer evicts below wm - within each step
+    got_keys = []
+    floor = None
+    buf = list(events)
+    wms = sorted({min(final_wm, sum(cuts[: i + 1]) * 10) for i in range(len(cuts))} | {final_wm})
+    for wm in wms:
+        finals, floor = closed_matches(buf, p, wm, floor)
+        got_keys.extend(
+            tuple((s, ev["__seq"]) for s, ev in m) for m in finals
+        )
+        buf = [e for e in buf if e["__ts_ms"] > wm - within]
+    assert got_keys == want_keys
