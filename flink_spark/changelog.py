@@ -84,6 +84,33 @@ def retracting_sum(
     )
 
 
+def retracting_min_max(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    kind_col: str = "row_kind",
+) -> DataFrame:
+    """MIN/MAX over a changelog. Unlike SUM, min/max are not algebraic
+    under retraction — retracting the current extreme requires knowing
+    the runner-up — so the reference keeps a value→count backing map
+    (MinWithRetractAggFunction.java / MaxWithRetractAggFunction.java).
+    The relational spelling of that map: net count per (key, value),
+    then min/max over values whose net count is positive. Two shuffles,
+    both map-side combinable; the first's cardinality is the number of
+    DISTINCT values per key (the backing map's size), not the row count.
+    """
+    w = retract_weight(F.col(kind_col))
+    per_val = df.groupBy(*keys, F.col(value_col).alias("__v")).agg(
+        F.sum(w).alias("__net")
+    )
+    live = per_val.where(F.col("__net") > 0)
+    return live.groupBy(*keys).agg(
+        F.min("__v").alias("min_value"),
+        F.max("__v").alias("max_value"),
+        F.countDistinct("__v").alias("n_live_values"),
+    )
+
+
 def apply_upserts(
     target: DataFrame,
     changes: DataFrame,

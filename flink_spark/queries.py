@@ -2141,6 +2141,40 @@ def changelog_retract_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CL.retracting_sum(cdc, ["user_bucket"], "value")
 
 
+@query(
+    "changelog_retract_minmax",
+    """
+    WITH cdc AS (
+      SELECT user_id % 10 AS user_bucket, round(value, 3) AS v,
+             CASE WHEN event_type = 'signup' THEN 1
+                  WHEN event_type = 'error' THEN -1
+                  ELSE 1 END AS w
+      FROM events),
+    per_val AS (
+      SELECT user_bucket, v, sum(w) AS net
+      FROM cdc GROUP BY 1, 2)
+    SELECT user_bucket, min(v) AS min_value, max(v) AS max_value,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_live_values
+    FROM per_val WHERE net > 0
+    GROUP BY user_bucket
+    """,
+)
+def changelog_retract_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable MIN/MAX over a changelog — the value→net-count
+    backing-map design of Min/MaxWithRetractAggFunction.java, spelled
+    relationally (net count per (key, value), extremes over live
+    values). Values rounded to 3 decimals so the distinct-value grouping
+    is engine-stable."""
+    from flink_spark import changelog as CL
+
+    cdc = (
+        _cdc_from_events(spark, sf_dir)
+        .withColumn("user_bucket", F.col("user_id") % 10)
+        .withColumn("value", F.round("value", 3))
+    )
+    return CL.retracting_min_max(cdc, ["user_bucket"], "value")
+
+
 # ---------------------------------------------------------------------------
 # Extended query families — imported last so their @query decorators run
 # against the registry above.
