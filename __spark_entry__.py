@@ -51,7 +51,9 @@ import glob as _glob
 _CHECKED: set[str] = set()
 for _f in sorted(_glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
     _CHECKED |= _load_checked(os.path.basename(_f))
-_REFIXED = ["emb_cosine_topk"]
+# Round 4: agg_approx_count_distinct now carries an exact-count +
+# tolerance-flag oracle (was `no_oracle`) — re-check it.
+_REFIXED = ["agg_approx_count_distinct"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -191,13 +191,37 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")  # approximate — no exact oracle by design
+@query(
+    "agg_approx_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPROX_COUNT_DISTINCT (HLL++). Values are approximate, so the driver
-    records the weaker rows-only check."""
+    """APPROX_COUNT_DISTINCT (HLL++, rsd=0.5%). The approximate value itself
+    can't be hash-compared, so the query emits the exact count plus a boolean
+    asserting the HLL estimate lands within ±2% of it — the oracle returns the
+    exact count and literal TRUE, making the tolerance check itself part of
+    the hash. Reference: ApproximateCountDistinct in
+    flink-table BuiltInFunctionDefinitions + HllSketchAggFunction."""
     li = Catalog(spark, sf_dir).lineitem
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.005).alias("_approx"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.02 * F.col("exact_parts")
+            ).alias("approx_within_2pct"),
+        )
     )
 
 
