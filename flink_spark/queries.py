@@ -2207,6 +2207,8 @@ def changelog_retract_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 from flink_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 from flink_spark import queries_tpch2 as _queries_tpch2  # noqa: E402,F401
 from flink_spark import queries_tpcds as _queries_tpcds  # noqa: E402,F401
+from flink_spark import queries_tpcds2 as _queries_tpcds2  # noqa: E402,F401
+from flink_spark import queries_tpcds3 as _queries_tpcds3  # noqa: E402,F401
 from flink_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from flink_spark import queries_ext2 as _queries_ext2  # noqa: E402,F401
 from flink_spark import queries_ext3 as _queries_ext3  # noqa: E402,F401
