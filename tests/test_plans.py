@@ -38,6 +38,10 @@ def plan_of(spark, name: str) -> str:
         ("tpch_q5_regional_revenue", 3),  # all dims broadcast
         ("tpcds_q19_shape", 4),  # 4-dim star
         ("tpch_q9_product_profit", 3),
+        ("tpcds_q72_shape", 7),  # 9-relation join: 7 broadcast dim edges
+        ("tpcds_q17_shape", 1),  # three-fact: part dim broadcast
+        ("tpcds_q25_shape", 2),  # three-fact: supplier+nation broadcast
+        ("tpcds_q21_shape", 2),  # part+supplier broadcast
     ],
 )
 def test_dimension_joins_broadcast(spark, name, min_bhj):
@@ -81,6 +85,29 @@ def test_filters_reach_parquet_scan(spark, name):
 def test_scale_tiers_never_plan_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in Q.QUERIES if n.startswith("tpcds_"))
+)
+def test_tpcds_shapes_never_plan_cartesian(spark, name):
+    """Every TPC-DS shape must plan joins (broadcast/shuffled-hash/sort-
+    merge), never a cartesian — q88's declared single-row cross joins are
+    BroadcastNestedLoop over one-row sides, which is fine and distinct."""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_three_fact_join_reuses_partition_key(spark):
+    """q25: the three fact branches all aggregate and join on the same
+    (pk, sk) key. Each branch shuffles once for its aggregate; the joins
+    must not introduce ADDITIONAL re-partitionings of the branch outputs
+    (AQE may plan them as broadcast or co-partitioned SMJ — both avoid a
+    second shuffle of every branch)."""
+    plan = plan_of(spark, "tpcds_q25_shape")
+    # 3 branch aggs (partial+final pairs share one Exchange each) + 1
+    # final group-by + at most one join-side alignment.
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
 
 
 def test_topk_corpus_side_not_shuffled(spark):
