@@ -182,8 +182,22 @@ def ngram_jaccard_pairs(
     use only); with a blocking column (e.g. an LSH band) it is the
     verify stage of the candidate pipeline. Set arithmetic is done by
     counting shared shingles: |A∩B| via join on shingle, |A∪B| = |A|+|B|-∩.
+
+    The distinct shingle set feeds THREE consumers (both intersection
+    join sides and the size table), so it is persisted — one
+    shingle+window+distinct pass over the corpus instead of three.
+    (A map-only Python shingler was measured 2× SLOWER than the JVM
+    explode+lead spelling here — Arrow-serializing 50× more output rows
+    than input rows out of a Python stage costs more than the two JVM
+    exchanges it saves. The JVM spelling stays.)
     """
-    sh = text_shingles(df, id_col, text_col, shingle_n).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    sh = (
+        text_shingles(df, id_col, text_col, shingle_n)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -227,10 +241,17 @@ def near_dedup_pipeline(
     docs only, never the all-pairs cross product that the standalone
     `ngram_jaccard_pairs` (correctness tier) pays.
     """
+    from pyspark.storagelevel import StorageLevel
+
     cands = minhash_lsh_pairs(
         df, id_col, text_col, shingle_n, num_hashes, rows_per_band
     )
-    sh = text_shingles(df, id_col, text_col, shingle_n).distinct()
+    # three consumers (both intersection sides + sizes): one shingle pass
+    sh = (
+        text_shingles(df, id_col, text_col, shingle_n)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     # candidate-restricted intersection: fan each pair out to d1's
     # shingles, then match d2's shingles — both joins are equi-joins
@@ -256,12 +277,94 @@ def near_dedup_pipeline(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """SimHash signature as an n-char bit string.
+    """SimHash signature as an n-char bit string — map-only numpy tier.
 
     Per doc: for each bit position i, sum a ±1 vote per distinct token
     (vote = bit i of md5(token), weighted by token frequency); bit is 1
     when the sum is positive. md5-derived bits keep it oracle-checkable.
-    One groupBy(doc) after a token explode — single shuffle.
+
+    Implementation: ONE ``mapInPandas`` pass — tokenize, count, and
+    vote per doc inside the Arrow batch, with a per-task token→bitvector
+    cache (Zipfian vocabularies make the cache hit rate high, so md5
+    runs ~once per vocab word per task, not once per token occurrence).
+    All arithmetic is integer (±1·tf votes), so the result is exact.
+    Compared to the previous JVM spelling (explode → groupBy(doc, tok)
+    → 32 shift/mask aggregates → groupBy(doc)): zero shuffles instead
+    of two, and no 32-aggregate expression wall — at 100 TB a pure
+    scan-side transform. ``simhash_fold`` keeps the all-JVM spelling
+    for deployments that must not spawn Python workers."""
+    if bits > 128:
+        raise ValueError("simhash supports at most 128 bits (one md5 digest)")
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    nbytes = (bits + 7) // 8
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        vocab: dict[str, np.ndarray] = {}
+
+        def bitvec(tok: str) -> np.ndarray:
+            bv = vocab.get(tok)
+            if bv is None:
+                digest = hashlib.md5(tok.encode()).digest()[:nbytes]
+                bv = (
+                    np.unpackbits(np.frombuffer(digest, dtype=np.uint8))[
+                        :bits
+                    ].astype(np.int8)
+                    * 2
+                    - 1
+                )
+                vocab[tok] = bv
+            return bv
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # Vectorized voting: explode every token occurrence (±1 per
+            # occurrence ≡ tf-weighted distinct-token votes), stack the
+            # per-token bit rows, and reduce per doc with ONE reduceat —
+            # no per-token numpy calls in the doc loop.
+            doc_tokens = [
+                [t for t in (tx or "").split(" ") if t]
+                for tx in pdf[text_col].values
+            ]
+            keep = [i for i, tks in enumerate(doc_tokens) if tks]
+            if not keep:  # all-empty docs: JVM/oracle drop them
+                continue
+            counts = np.array([len(doc_tokens[i]) for i in keep])
+            flat = [t for i in keep for t in doc_tokens[i]]
+            codes, uniques = pd.factorize(flat)
+            vmat = np.stack([bitvec(t) for t in uniques])  # vocab × bits
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            votes = np.add.reduceat(
+                vmat[codes], starts, axis=0, dtype=np.int64
+            )
+            ids = pdf[id_col].values[keep]
+            ones = votes > 0
+            sigs = [
+                "".join("1" if b else "0" for b in ones[r])
+                for r in range(len(keep))
+            ]
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return (
+        _spread(df)
+        .select(id_col, text_col)
+        .mapInPandas(run, f"{id_col} {id_t}, simhash string")
+    )
+
+
+def simhash_fold(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash, all-JVM spelling (no Python workers): token explode →
+    groupBy(doc, token) tf → md5 bit votes as shift/mask aggregates →
+    groupBy(doc). Two shuffles; kept as the pure-JVM tier and the
+    cross-check for the map-only numpy implementation above.
     """
     if bits > 128:
         raise ValueError("simhash supports at most 128 bits (one md5 digest)")

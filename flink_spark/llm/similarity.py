@@ -306,6 +306,7 @@ def quantize_int8(
 
 
 _IVF_CENTROID_MEMO: dict[tuple, list] = {}
+_IVF_PROBE_MEMO: dict[tuple, tuple] = {}
 
 
 def _seed_cell(id_col: Column, nlist: int) -> Column:
@@ -471,20 +472,29 @@ def ivf_topk(
 
     # probe cells per query, computed at plan-build time (the query set
     # is small by contract — it is broadcast in every other tier too):
-    # rank cells by cosine desc with a lowest-cell tie-break
-    qrows = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
-    q_ids = np.array([r.q_id for r in qrows])
-    qm = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(qm, axis=1)
-    qn[qn == 0.0] = 1.0
-    qmn = qm / qn[:, None]
-    qcell_cos = qmn @ cmn.T  # queries × nlist
-    probe_sets = []
-    for qi in range(len(q_ids)):
-        order = np.lexsort((cell_ids, -qcell_cos[qi]))[:nprobe]
-        probe_sets.append(set(int(cell_ids[j]) for j in order))
+    # rank cells by cosine desc with a lowest-cell tie-break. Memoized
+    # with the centroids: searching the same index with the same query
+    # set repeatedly (the FAISS usage contract) must not re-collect the
+    # query table — the collect is a whole extra Spark job per search.
+    probe_key = (memo_key, queries.semanticHash(), nprobe)
+    memo = _IVF_PROBE_MEMO.get(probe_key)
+    if memo is None:
+        qrows = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ).collect()
+        q_ids = np.array([r.q_id for r in qrows])
+        qm = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0.0] = 1.0
+        qmn = qm / qn[:, None]
+        qcell_cos = qmn @ cmn.T  # queries × nlist
+        probe_sets = []
+        for qi in range(len(q_ids)):
+            order = np.lexsort((cell_ids, -qcell_cos[qi]))[:nprobe]
+            probe_sets.append(set(int(cell_ids[j]) for j in order))
+        _IVF_PROBE_MEMO[probe_key] = (q_ids, qmn, probe_sets)
+    else:
+        q_ids, qmn, probe_sets = memo
 
     def search(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
@@ -559,12 +569,51 @@ def cosine_pairs_bucketed_np(
     """
     import numpy as np
     import pandas as pd
+    from collections.abc import Iterator as _It
 
-    b = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    # Bucket bits computed in the SAME Arrow pass that ships the vectors
+    # to Python — not via the JVM fold (hyperplane_bucket), which is
+    # interpreted per element (planes × dim lambda evals per row was the
+    # measured tax of this operator). Bit-compat with the JVM fold and
+    # the oracle's term chain requires the LEFT-ASSOCIATED sum — np.dot
+    # uses pairwise/SIMD association and could flip a sign-bit near 0 —
+    # so each plane's products are reduced with cumsum (sequential by
+    # definition, hence exactly the left fold all three engines spell).
+    weights = np.stack(
+        [
+            np.array([plane_weight(p, d) for d in range(dim)], dtype=np.float64)
+            for p in range(planes)
+        ]
     )
+
+    def _buckets(m: "np.ndarray") -> "np.ndarray":
+        cols = []
+        for p in range(planes):
+            s = np.cumsum(m * weights[p][None, :], axis=1)[:, -1]
+            cols.append(np.where(s > 0, "1", "0"))
+        out = cols[0]
+        for c in cols[1:]:
+            out = np.char.add(out, c)
+        return out
+
+    def tag(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].values,
+                    "_vec": pdf["_vec"].values,
+                    "bucket": _buckets(m),
+                }
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    b = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(tag, f"_id {id_t}, _vec {vec_t}, bucket string")
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if pdf.empty:
