@@ -414,7 +414,7 @@ JOIN sa ON sp.sk = sa.sk
 JOIN supplier ON s_suppkey = sp.sk
 JOIN part ON p_partkey = sp.pk
 WHERE r * n * 10 <= tot * 3
-ORDER BY supp, part_name
+ORDER BY supp, part_name, revenue, pk
 LIMIT 100
 """
 
