@@ -99,3 +99,48 @@ def parse_url(col: Column, part: str, key: str | None = None) -> Column:
     if key is not None:
         return F.parse_url(col, F.lit(part), F.lit(key))
     return F.parse_url(col, F.lit(part))
+
+
+def json_query(col: Column, path: str) -> Column:
+    """Flink JSON_QUERY (BuiltInFunctionDefinitions.java:1906) — returns the
+    JSON TEXT of an array/object at ``path`` (vs JSON_VALUE's scalar).
+    Spark's get_json_object already serializes non-scalar hits minified."""
+    return F.get_json_object(col, path)
+
+
+def json_exists(col: Column, path: str) -> Column:
+    """Flink JSON_EXISTS (BuiltInFunctionDefinitions.java:1883): TRUE iff
+    ``path`` resolves in the document (FALSE ON ERROR default)."""
+    return F.get_json_object(col, path).isNotNull()
+
+
+def is_json(col: Column) -> Column:
+    """Flink IS JSON predicate (BuiltInFunctionDefinitions.java:1967):
+    TRUE iff the string parses as JSON — Spark 4's try_parse_json
+    returns NULL (not an error) on malformed input."""
+    return F.try_parse_json(col).isNotNull()
+
+
+def json_value_default(col: Column, path: str, default: str) -> Column:
+    """JSON_VALUE(... DEFAULT d ON EMPTY / ON ERROR): get_json_object is
+    NULL both for a missing path (EMPTY) and a malformed document
+    (ERROR), so one coalesce covers Flink's two default clauses."""
+    return F.coalesce(F.get_json_object(col, path), F.lit(default))
+
+
+def overlay(col: Column, replace: str, pos: int, length: int | None = None) -> Column:
+    """Flink OVERLAY(s PLACING r FROM p [FOR l]) → Spark same-name fn;
+    FOR omitted replaces len(r) characters (both engines' default)."""
+    if length is None:
+        return F.overlay(col, F.lit(replace), F.lit(pos))
+    return F.overlay(col, F.lit(replace), F.lit(pos), F.lit(length))
+
+
+def encode_utf8(col: Column) -> Column:
+    """Flink ENCODE(string, charset) → Spark encode (binary out)."""
+    return F.encode(col, "utf-8")
+
+
+def decode_utf8(col: Column) -> Column:
+    """Flink DECODE(binary, charset) → Spark decode (string out)."""
+    return F.decode(col, "utf-8")

@@ -82,3 +82,45 @@ def session(df: DataFrame, ts: str, gap: str, *keys: str) -> DataFrame:
         "session_id",
         F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1,
     )
+
+
+def session_dynamic(
+    df: DataFrame,
+    ts: str,
+    gap_ms_col: str,
+    *keys: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Dynamic-gap SESSION windows (DynamicEventTimeSessionWindows.java:44,
+    flink-streaming-java/.../windowing/assigners/): each element carries
+    its own gap — an element at t opens/extends a session to t+gap(t),
+    and session windows that overlap merge (MergingWindowAssigner).
+
+    The merge fixpoint is equivalent to a single ordered scan: a new
+    session starts exactly when an element's time exceeds the running
+    max of (time + gap) over all earlier elements of the key. That is a
+    declarative running-max window (one shuffle on the key, one
+    per-partition sort) — identical asymptotics to the reference's
+    merging window state, and SQL-oracle-expressible.
+
+    ``gap_ms_col`` is a per-row gap in milliseconds (the reference's
+    SessionWindowTimeGapExtractor.extract). Adds `session_id` (0-based
+    per key).
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts)] + [F.col(c) for c in (order_cols or [])]
+    w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    tms = F.unix_millis(F.col(ts))
+    prev_end = F.max(tms + F.col(gap_ms_col)).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_session = (
+        F.when(prev_end.isNull(), F.lit(1))
+        .when(tms > prev_end, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)) - 1,
+    )

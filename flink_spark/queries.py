@@ -2212,3 +2212,4 @@ from flink_spark import queries_tpcds3 as _queries_tpcds3  # noqa: E402,F401
 from flink_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from flink_spark import queries_ext2 as _queries_ext2  # noqa: E402,F401
 from flink_spark import queries_ext3 as _queries_ext3  # noqa: E402,F401
+from flink_spark import queries_ext4 as _queries_ext4  # noqa: E402,F401

@@ -1,0 +1,177 @@
+"""Round-4 operator coverage: the remaining SQL-standard JSON forms
+(JSON_QUERY / JSON_EXISTS / IS JSON / JSON_VALUE ON EMPTY|ERROR
+defaults — BuiltInFunctionDefinitions.java:1883-1967), OVERLAY and
+ENCODE/DECODE from the §2.8 string list, and dynamic-gap session
+windows (DynamicEventTimeSessionWindows.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.catalog import Catalog
+from flink_spark.functions import scalar as FS
+from flink_spark.operators import tvf_windows as TVF
+from flink_spark.queries import query
+
+
+# ---------------------------------------------------------------------------
+# §2.8 JSON forms beyond JSON_VALUE
+# ---------------------------------------------------------------------------
+
+# Both engines build the identical JSON document from order columns, so
+# the extraction functions (which re-serialize minified on both sides)
+# are value-hash comparable. The "c" object is present only for 'F'
+# orders, giving JSON_EXISTS / ON EMPTY genuinely varying outputs.
+_J_SPARK = None  # built inline below
+_J_SQL = (
+    "'{\"k\":' || o_orderkey || ',\"tags\":[\"' || o_orderpriority || "
+    "'\",\"' || o_orderstatus || '\"]' || "
+    "CASE WHEN o_orderstatus = 'F' "
+    "THEN ',\"c\":{\"p\":' || o_custkey || '}}' ELSE '}' END"
+)
+
+
+@query(
+    "scalar_json_query_exists",
+    f"""
+    WITH j AS (SELECT o_orderkey, {_J_SQL} AS doc FROM orders)
+    SELECT o_orderkey,
+           json_extract(doc, '$.tags')::VARCHAR AS jq_tags,
+           json_extract(doc, '$.c')::VARCHAR AS jq_obj,
+           (json_extract(doc, '$.c.p') IS NOT NULL) AS je_hit,
+           (json_extract(doc, '$.zz') IS NOT NULL) AS je_miss,
+           json_valid(doc) AS isj_good,
+           json_valid(translate(doc, '{{', '(')) AS isj_bad,
+           coalesce(json_extract_string(doc, '$.c.p'), '-1') AS jv_default,
+           coalesce(CASE WHEN json_valid(translate(doc, '{{', '('))
+                         THEN json_extract_string(
+                             translate(doc, '{{', '('), '$.k')
+                    END, 'ERR') AS jv_on_error
+    FROM j
+    """,
+)
+def scalar_json_query_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_QUERY / JSON_EXISTS / IS JSON / JSON_VALUE DEFAULT ON
+    EMPTY|ERROR (BuiltInFunctionDefinitions.java:1883-1967). All forms
+    stay JVM-side: get_json_object + try_parse_json, no Python UDF."""
+    o = Catalog(spark, sf_dir).orders
+    doc = F.concat(
+        F.lit('{"k":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"tags":["'),
+        F.col("o_orderpriority"),
+        F.lit('","'),
+        F.col("o_orderstatus"),
+        F.lit('"]'),
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.concat(
+                F.lit(',"c":{"p":'), F.col("o_custkey").cast("string"), F.lit("}}")
+            ),
+        ).otherwise(F.lit("}")),
+    )
+    bad = F.translate(doc, "{", "(")  # every '{' → '(' → malformed
+    return o.select(
+        "o_orderkey",
+        FS.json_query(doc, "$.tags").alias("jq_tags"),
+        FS.json_query(doc, "$.c").alias("jq_obj"),
+        FS.json_exists(doc, "$.c.p").alias("je_hit"),
+        FS.json_exists(doc, "$.zz").alias("je_miss"),
+        FS.is_json(doc).alias("isj_good"),
+        FS.is_json(bad).alias("isj_bad"),
+        FS.json_value_default(doc, "$.c.p", "-1").alias("jv_default"),
+        FS.json_value_default(bad, "$.k", "ERR").alias("jv_on_error"),
+    )
+
+
+@query(
+    "scalar_overlay_encode",
+    """
+    SELECT o_orderkey,
+           substr(o_orderpriority, 1, 1) || 'XX' || substr(o_orderpriority, 5)
+               AS ov_for,
+           substr(o_orderpriority, 1, 1) || '+' || substr(o_orderpriority, 2)
+               AS ov_insert,
+           o_orderpriority AS enc_roundtrip,
+           upper(to_hex(encode(o_orderstatus))) AS enc_hex
+    FROM orders
+    """,
+)
+def scalar_overlay_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAY(PLACING FROM FOR) + ENCODE/DECODE charset round trip
+    (BuiltInFunctionDefinitions §2.8 string battery remainder). The
+    oracle spells OVERLAY as the substr composition both engines define
+    it by; ENCODE output is compared via hex so the binary column
+    hash-compares as text."""
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        FS.overlay(F.col("o_orderpriority"), "XX", 2, 3).alias("ov_for"),
+        FS.overlay(F.col("o_orderpriority"), "+", 2, 0).alias("ov_insert"),
+        FS.decode_utf8(FS.encode_utf8(F.col("o_orderpriority"))).alias(
+            "enc_roundtrip"
+        ),
+        F.hex(FS.encode_utf8(F.col("o_orderstatus"))).alias("enc_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows (DynamicEventTimeSessionWindows.java:44)
+# ---------------------------------------------------------------------------
+
+_GAP_SQL = (
+    "CASE WHEN event_type IN ('view', 'click') THEN 1800000 "
+    "ELSE 7200000 END"
+)
+
+
+@query(
+    "tvf_session_dynamic",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, {_GAP_SQL} AS gap_ms FROM events),
+    s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN max(epoch_ms(ts) + gap_ms) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL THEN 1
+                  WHEN epoch_ms(ts) > max(epoch_ms(ts) + gap_ms) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_s
+      FROM g),
+    sid AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_s) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                 AS BIGINT) AS session_id
+      FROM s)
+    SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+    FROM sid GROUP BY user_id, session_id
+    """,
+)
+def tvf_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: view/click events extend a session by
+    30 min, other events by 2 h (per-element gap extractor —
+    DynamicEventTimeSessionWindows.java:44). One shuffle on user_id, one
+    per-partition sort, then the per-session aggregate reuses the same
+    partitioning (no second exchange)."""
+    ev = Catalog(spark, sf_dir).events
+    gapped = ev.withColumn(
+        "gap_ms",
+        F.when(F.col("event_type").isin("view", "click"), F.lit(1_800_000))
+        .otherwise(F.lit(7_200_000)),
+    )
+    sess = TVF.session_dynamic(
+        gapped, "ts", "gap_ms", "user_id", order_cols=["event_id"]
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_millis("ts")).alias("start_ms"),
+        F.max(F.unix_millis("ts")).alias("end_ms"),
+    )

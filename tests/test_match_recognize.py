@@ -217,3 +217,85 @@ def test_match_recognize_stream_matches_batch(spark, tmp_path):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_reluctant_plus_vs_greedy_plus(spark):
+    """MatchRecognizeITCase greedy/reluctant contrast: B+? stops at the
+    first row that lets C match, B+ absorbs every eligible row. Ported
+    shape: testGreedyQuantifier/testReluctantQuantifier."""
+    rows = [("a", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0), ("c", 9.0)]
+    base = """
+        PARTITION BY k ORDER BY ts
+        MEASURES COUNT(B.*) AS nb, LAST(B.price) AS lastb
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B{q} C)
+        DEFINE A AS A.sym = 'a', B AS B.sym = 'b', C AS C.sym = 'c'
+    """
+    types = {"nb": "long", "lastb": "double"}
+    greedy = _run(spark, rows, base.format(q="+"), types)
+    assert greedy == [(1, 0, 3, 4.0)]
+    reluctant = _run(spark, rows, base.format(q="+?"), types)
+    # reluctant still must consume all three b's before the only c —
+    # contiguity forces the same rows, proving +? does not under-match
+    assert reluctant == [(1, 0, 3, 4.0)]
+    # with an alternative early exit (c appears mid-run), +? takes it
+    rows2 = [("a", 1.0), ("b", 2.0), ("c", 5.0), ("b", 3.0), ("c", 6.0)]
+    assert _run(spark, rows2, base.format(q="+?"), types) == [(1, 0, 1, 2.0)]
+
+
+def test_skip_to_first_variable_restarts_inside_match(spark):
+    """AFTER MATCH SKIP TO FIRST B (MatchRecognizeITCase
+    testAfterMatchSkipToFirst): the next match attempt begins AT the
+    first B row of the previous match, so runs of b's yield overlapping
+    matches anchored at successive b's."""
+    rows = [("a", 1.0), ("b", 2.0), ("b", 3.0), ("c", 4.0)]
+    got = _run(
+        spark, rows,
+        """
+        PARTITION BY k ORDER BY ts
+        MEASURES FIRST(B.price) AS firstb, COUNT(B.*) AS nb
+        AFTER MATCH SKIP TO FIRST B
+        PATTERN (A? B+ C)
+        DEFINE A AS A.sym = 'a', B AS B.sym = 'b', C AS C.sym = 'c'
+        """,
+        {"firstb": "double", "nb": "long"},
+    )
+    # match 1: a b(2) b(3) c → restart AT b(2): match 2 is b(2) b(3) c;
+    # its first B is again b(2), which would loop — the SQL:2016 loop
+    # guard advances one row → match 3 is b(3) c. Three matches total,
+    # anchored at successive B rows.
+    firstbs = sorted(r[2] for r in got)
+    assert firstbs == [2.0, 2.0, 3.0]
+
+
+def test_all_rows_per_match_rejected():
+    with pytest.raises(NotImplementedError, match="ALL ROWS PER MATCH"):
+        parse_match_recognize(
+            """
+            PARTITION BY k ORDER BY ts
+            MEASURES FIRST(A.price) AS p
+            ALL ROWS PER MATCH
+            PATTERN (A)
+            DEFINE A AS A.sym = 'a'
+            """
+        )
+
+
+def test_define_injection_rejected(spark):
+    """The DEFINE compiler must reject non-expression Python constructs
+    (attribute access, dunder reach-through, comprehensions) — the
+    closed grammar is the injection guard."""
+    bad_defs = [
+        "A.price.__class__ = 1",            # statement → parse error
+        "A.sym == 'a' and (__import__)",    # unknown name
+        "[x for x in A.sym]",               # comprehension
+    ]
+    for bad in bad_defs:
+        clause = f"""
+            PARTITION BY k ORDER BY ts
+            MEASURES FIRST(A.price) AS p
+            PATTERN (A)
+            DEFINE A AS {bad}
+        """
+        with pytest.raises((ValueError, NotImplementedError)):
+            _run(spark, [("a", 1.0)], clause, {"p": "double"})
