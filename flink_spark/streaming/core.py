@@ -144,16 +144,25 @@ def capture_late_rows(df: DataFrame, ts_col: str, watermark_ts) -> DataFrame:
     return df.where(F.col(ts_col) < watermark_ts)
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    checkpoint: str | None = None,
+):
     """Drive a streaming DataFrame to completion into an in-memory table
-    (test/driver harness; real sinks are writeStream.format(...))."""
-    q = (
+    (test/driver harness; real sinks are writeStream.format(...)).
+    ``checkpoint`` pins the state-store location so tests can audit
+    retained state afterwards via spark.read.format("statestore")."""
+    w = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.processAllAvailable()
     q.stop()
     return q

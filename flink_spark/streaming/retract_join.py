@@ -50,12 +50,22 @@ def retract_join_stream(
     seq_col: str,
     left_payload: list[str],
     right_payload: list[str],
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Inner equi-join of two +I/-D changelog streams.
 
     Output: (row_kind, key, <left_payload>, <right_payload>) — itself a
     changelog stream ('+I' join appears / '-D' join disappears).
     Both inputs need ``row_kind`` and a ``seq_col`` total order.
+
+    State per key is a payload-keyed COUNT MAP per side (O(1) upsert per
+    arriving row — the reference's JoinRecordStateView backed by
+    MapState<Row, Integer>, StreamingJoinOperator.java:36). ``ttl_ms``
+    mirrors Flink's table.exec.state.ttl / StateTtlConfig
+    (flink-core/.../state/StateTtlConfig.java): a key idle for ttl_ms of
+    processing time drops its state — without it, the state of an
+    ever-growing key space is unbounded (the reference documents the
+    same trade-off for regular streaming joins).
     """
     key_type = left.schema[key].dataType.simpleString()
     lsel = left.select(
@@ -82,12 +92,22 @@ def retract_join_stream(
     def fn(
         k: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # per-side live-row multisets: [payload_list, count]
+        if ttl_ms is not None and state.hasTimedOut:
+            # StateTtlConfig expiry: the key sat idle past the TTL —
+            # drop both side views (reference cleans up incrementally;
+            # the observable contract is identical)
+            state.remove()
+            yield pd.DataFrame([], columns=out_cols)
+            return
+        # per-side live-row count maps: payload-json -> count (O(1)
+        # upsert — MapState<Row, Integer> in JoinRecordStateView)
         if state.exists:
-            lrows = [json.loads(v) for v in state.get[0]]
-            rrows = [json.loads(v) for v in state.get[1]]
+            lrows = {e[0]: e[1] for v in state.get[0]
+                     for e in [json.loads(v)]}
+            rrows = {e[0]: e[1] for v in state.get[1]
+                     for e in [json.loads(v)]}
         else:
-            lrows, rrows = [], []
+            lrows, rrows = {}, {}
         rows = []
         for pdf in pdfs:
             rows.extend(pdf.to_dict("records"))
@@ -101,30 +121,26 @@ def retract_join_stream(
             else:
                 mine, other = rrows, lrows
                 payload = [r[f"__r_{c}"] for c in right_payload]
+            pkey = json.dumps(payload)
             if kind == "+I":
-                for entry in mine:
-                    if entry[0] == payload:
-                        entry[1] += 1
-                        break
-                else:
-                    mine.append([payload, 1])
+                mine[pkey] = mine.get(pkey, 0) + 1
                 emit_kind = "+I"
             elif kind == "-D":
-                for i, entry in enumerate(mine):
-                    if entry[0] == payload:
-                        entry[1] -= 1
-                        if entry[1] == 0:
-                            mine.pop(i)
-                        break
-                else:
+                have = mine.get(pkey, 0)
+                if not have:
                     continue  # delete of an unknown row: no-op
+                if have == 1:
+                    del mine[pkey]
+                else:
+                    mine[pkey] = have - 1
                 emit_kind = "-D"
             else:
                 raise ValueError(
                     f"row_kind {kind!r}: normalize +U/-U upstream "
                     "(changelog.drop_update_before / normalize)"
                 )
-            for other_payload, cnt in other:
+            for other_pkey, cnt in other.items():
+                other_payload = json.loads(other_pkey)
                 if r["__side"] == 0:
                     joined = [emit_kind, k[0]] + payload + other_payload
                 else:
@@ -132,10 +148,12 @@ def retract_join_stream(
                 out.extend([joined] * cnt)
         state.update(
             (
-                [json.dumps(e) for e in lrows],
-                [json.dumps(e) for e in rrows],
+                [json.dumps([p, c]) for p, c in lrows.items()],
+                [json.dumps([p, c]) for p, c in rrows.items()],
             )
         )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=out_cols)
 
     return unioned.groupBy(key).applyInPandasWithState(
@@ -143,5 +161,9 @@ def retract_join_stream(
         outputStructType=out_fields,
         stateStructType="l array<string>, r array<string>",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -738,3 +738,193 @@ def test_stream_cep_timeouts_match_batch(spark, tmp_path):
     )
     assert any(r[1] == "timeout" for r in got)
     assert got == want
+
+
+def test_stream_count_trigger_purges_closed_windows(spark, tmp_path):
+    """WindowOperator cleanup contract (WindowOperator.java:282-433):
+    once the watermark passes a window's end, its (key, window) trigger
+    state is dropped. The state-store audit reads the checkpoint back:
+    only windows the final watermark has NOT closed may retain state."""
+    import datetime as dt
+    import os
+
+    from flink_spark.streaming.triggers import count_trigger_window_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(h, v):
+        return (1, t0 + dt.timedelta(hours=h), v)
+
+    # 10-minute windows across 5 hours, fed over 5 micro-batches;
+    # watermark delay 1 min → every window except hour-4's is closed
+    # by the final watermark.
+    batches = [[row(h, 1.0), row(h + 0.01, 2.0)] for h in range(5)]
+    stream = _feed_batches(
+        spark, str(tmp_path), batches, "k long, ts timestamp, v double"
+    )
+    stream = SC.with_bounded_out_of_orderness(stream, "ts", "1 minute")
+    out = count_trigger_window_agg(stream, "k", "ts", "v", "10 minutes", 2)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    SC.run_to_memory(out, "t_ct_purge", "update", checkpoint=ckpt)
+    # every batch produced its count firing (2 elements per window)
+    fired = spark.sql(
+        "SELECT DISTINCT window_start_ms FROM t_ct_purge"
+    ).count()
+    assert fired == 5
+    state = spark.read.format("statestore").load(ckpt)
+    # retained state must be bounded by OPEN windows (those the final
+    # watermark never passed): 5 windows were created, >= 4 are closed
+    retained = state.count()
+    assert retained <= 1, f"closed-window state retained: {retained} rows"
+
+
+def test_stream_continuous_trigger_purge_emits_final_and_drops(spark, tmp_path):
+    """ContinuousEventTimeTrigger also fires at window end (onEventTime)
+    before cleanup: elements unseen by any grid firing surface exactly
+    once at window_end, then the window state is dropped."""
+    import datetime as dt
+    import os
+
+    from flink_spark.streaming.triggers import (
+        continuous_event_time_trigger_agg,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # two 1-hour windows; second batch pushes the watermark past
+    # window 1's end so its cleanup fires
+    b1 = [(1, t0 + dt.timedelta(minutes=m), 1.0) for m in (1, 5)]
+    b2 = [(1, t0 + dt.timedelta(hours=3), 9.0)]
+    stream = _feed_batches(
+        spark, str(tmp_path), [b1, b2], "k long, ts timestamp, v double"
+    )
+    stream = SC.with_bounded_out_of_orderness(stream, "ts", "1 minute")
+    out = continuous_event_time_trigger_agg(
+        stream, "k", "ts", "v", "1 hour", interval_ms=600_000
+    )
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    SC.run_to_memory(out, "t_cet_purge", "update", checkpoint=ckpt)
+    rows = spark.sql(
+        "SELECT * FROM t_cet_purge ORDER BY fire_time_ms"
+    ).collect()
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    # batch-1 tail firing at 00:05 (2 elements) — then the watermark
+    # jump to ~03:00 closes window 1: final firing AT window end
+    finals = [r for r in rows if r.fire_time_ms == base + 3_600_000]
+    assert len(finals) == 1 and finals[0].n_elements == 2
+    state = spark.read.format("statestore").load(ckpt)
+    # window 1 state dropped; only hour-3's window may remain
+    assert state.count() <= 1
+
+
+def test_stream_retract_join_ttl_and_o1_state(spark, tmp_path):
+    """StateTtlConfig analogue on the retraction join: a key idle past
+    the TTL drops both side views, so a later +I joins against empty
+    state instead of the pre-TTL rows."""
+    import os
+    import time
+
+    from flink_spark.streaming.retract_join import retract_join_stream
+
+    schema = "k long, seq long, row_kind string, a string"
+    rschema = "k long, seq long, row_kind string, b string"
+    ldir, rdir = os.path.join(str(tmp_path), "l"), os.path.join(str(tmp_path), "r")
+
+    def feed(dir_, sch, rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(dir_)
+
+    feed(ldir, schema, [(1, 1, "+I", "L1")])
+    feed(rdir, rschema, [(1, 2, "+I", "R1")])
+    ls = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(ldir)
+    rs = spark.readStream.schema(rschema).option("maxFilesPerTrigger", "1").parquet(rdir)
+    out = retract_join_stream(ls, rs, "k", "seq", ["a"], ["b"], ttl_ms=3_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_rj_ttl")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM t_rj_ttl").count() >= 1:
+                break
+            time.sleep(0.5)
+        # initial join emitted
+        assert spark.sql(
+            "SELECT * FROM t_rj_ttl WHERE a='L1' AND b='R1'"
+        ).count() == 1
+        time.sleep(8)  # idle past TTL; maintenance batches fire expiry
+        feed(ldir, schema, [(1, 3, "+I", "L2")])
+        time.sleep(6)  # L2 processed against post-TTL (empty) state
+        rows = spark.sql("SELECT * FROM t_rj_ttl WHERE a='L2'").collect()
+        # R1's state expired → no L2xR1 join row
+        assert rows == []
+    finally:
+        q.stop()
+
+
+def test_stream_processing_timeout_trigger_fires_slow_key(spark, tmp_path):
+    """ProcessingTimeoutTrigger.of(CountTrigger(5), 3s): a key that
+    never reaches the count threshold still fires ~3s of processing
+    time after its first pending element; a count firing is tagged
+    'count' and resets the deadline (no duplicate timeout firing for
+    already-surfaced elements)."""
+    import datetime as dt
+    import os
+    import time
+
+    from flink_spark.streaming.triggers import processing_timeout_trigger_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "k long, ts timestamp, v double"
+    in_dir = os.path.join(str(tmp_path), "in")
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # 3 elements < fire_every=5 → only the timeout can surface them
+    feed([(1, t0, 1.0), (1, t0, 2.0), (1, t0, 3.0)])
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(in_dir)
+    out = processing_timeout_trigger_agg(
+        stream, "k", "ts", "v", "1 day", fire_every=5, timeout_ms=3_000
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_ptt")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM t_ptt WHERE fired_by = 'timeout'"
+            ).collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert rows, "timeout firing never arrived"
+        assert rows[0].n_elements == 3 and rows[0].run_sum == 6.0
+        # now push past the count threshold: 5 more → count firing
+        feed([(1, t0, 1.0)] * 5)
+        while time.time() < deadline:
+            crows = spark.sql(
+                "SELECT * FROM t_ptt WHERE fired_by = 'count'"
+            ).collect()
+            if crows:
+                break
+            time.sleep(0.5)
+        assert crows and crows[0].n_elements == 8
+        # the timeout firing for the first 3 elements appears exactly once
+        trows = spark.sql(
+            "SELECT * FROM t_ptt WHERE fired_by = 'timeout' AND n_elements = 3"
+        ).collect()
+        assert len(trows) == 1
+    finally:
+        q.stop()
