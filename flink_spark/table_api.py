@@ -572,6 +572,15 @@ class TableEnvironment:
         return Table(self.spark.sql(sql), self)
 
     def execute_sql(self, sql: str) -> DataFrame:
+        """execute_sql:821 — Flink-dialect DDL (CREATE TABLE with
+        WATERMARK/computed columns, CREATE VIEW, DROP) is handled by the
+        DDL front-end (flink_spark/ddl.py, Parser.tdd:53-57); everything
+        else goes straight to Spark SQL."""
+        from flink_spark.ddl import execute_ddl
+
+        handled = execute_ddl(self.spark, sql)
+        if handled is not None:
+            return handled
         return self.spark.sql(sql)
 
     def create_temporary_view(self, name: str, table: Table | DataFrame) -> None:

@@ -1,0 +1,151 @@
+"""Flink-DDL front-end (Parser.tdd:53-57): CREATE TABLE with computed
+columns + WATERMARK routed into the Spark catalog, batch and streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark.ddl import execute_ddl, parse_create_table
+from flink_spark.table_api import TableEnvironment
+from tests.conftest import SF_DIR
+
+
+def test_parse_full_create_table():
+    spec = parse_create_table("""
+        CREATE TABLE ev (
+            event_id BIGINT NOT NULL,
+            ts TIMESTAMP(3),
+            user_id BIGINT,
+            event_type STRING,
+            value DOUBLE,
+            props STRING,
+            day_str AS date_format(ts, 'yyyy-MM-dd'),
+            PRIMARY KEY (event_id) NOT ENFORCED,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '/x', 'format' = 'parquet')
+    """)
+    assert spec.name == "ev"
+    assert ("event_id", "bigint") in spec.physical
+    assert ("ts", "timestamp") in spec.physical
+    assert spec.computed == [("day_str", "date_format(ts, 'yyyy-MM-dd')")]
+    assert spec.watermark == ("ts", "5 seconds")
+    assert spec.primary_key == ["event_id"]
+    assert spec.options["format"] == "parquet"
+
+
+def test_type_lowering_nested():
+    spec = parse_create_table("""
+        CREATE TABLE t (
+            a DECIMAL(18, 4), b ARRAY<INT>, c MAP<STRING, DOUBLE>,
+            d ROW<x INT, y STRING>, e VARCHAR(10)
+        ) WITH ('connector' = 'filesystem', 'path' = '/x')
+    """)
+    types = dict(spec.physical)
+    assert types["a"] == "decimal(18,4)"
+    assert types["b"] == "array<int>"
+    assert types["c"] == "map<string,double>"
+    assert types["d"] == "struct<x: int, y: string>"
+    assert types["e"] == "string"
+
+
+def test_ddl_batch_round_trip(spark):
+    env = TableEnvironment(spark)
+    res = env.execute_sql(f"""
+        CREATE TABLE ddl_orders (
+            o_orderkey BIGINT,
+            o_custkey BIGINT,
+            o_orderstatus STRING,
+            o_totalprice DOUBLE,
+            o_orderdate DATE,
+            o_orderpriority STRING,
+            price_band AS CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{SF_DIR}/orders.parquet',
+                'format' = 'parquet')
+    """)
+    assert res.collect()[0].result == "OK"
+    got = env.sql_query(
+        "SELECT price_band, count(*) AS n FROM ddl_orders GROUP BY price_band"
+    )._df
+    want = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .withColumn(
+            "price_band",
+            F.when(F.col("o_totalprice") > 100000, "hi").otherwise("lo"),
+        )
+        .groupBy("price_band")
+        .count()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    env.execute_sql("DROP TABLE ddl_orders")
+
+
+def test_ddl_streaming_watermark_agg(spark, tmp_path):
+    """Streaming DDL table: watermark from the DDL drives an append-mode
+    windowed aggregate (the CREATE TABLE ... WATERMARK → withWatermark
+    → window path end-to-end)."""
+    import datetime as dt
+    import os
+
+    from flink_spark.streaming import core as SC
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=10 * i), float(i)) for i in range(12)]
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(rows, "id long, ts timestamp, v double").write.parquet(src)
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE ddl_stream (
+            id BIGINT, ts TIMESTAMP(3), v DOUBLE,
+            WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE
+        ) WITH ('connector' = 'filesystem', 'path' = '{src}',
+                'format' = 'parquet', 'scan.streaming' = 'true')
+    """)
+    stream = spark.table("ddl_stream")
+    assert stream.isStreaming
+    agg = stream.groupBy(F.window("ts", "1 hour")).agg(
+        F.sum("v").alias("total")
+    )
+    SC.run_to_memory(agg, "t_ddl_stream", "append")
+    got = {
+        r["window"].start.minute + r["window"].start.hour * 60: r.total
+        for r in spark.sql("SELECT * FROM t_ddl_stream").collect()
+    }
+    # hour 0 closed by the final watermark: ids 0..5 → 15.0
+    assert got.get(0) == 15.0
+
+
+def test_ddl_datagen_and_view(spark):
+    env = TableEnvironment(spark)
+    env.execute_sql("""
+        CREATE TABLE gen (ts TIMESTAMP(3), n BIGINT)
+        WITH ('connector' = 'datagen', 'number-of-rows' = '5')
+    """)
+    assert spark.table("gen").count() == 5
+    env.execute_sql("CREATE VIEW gen_v AS SELECT n * 2 AS n2 FROM gen")
+    assert spark.table("gen_v").agg(F.max("n2")).collect()[0][0] == 8
+    env.execute_sql("DROP VIEW gen_v")
+    env.execute_sql("DROP TABLE gen")
+
+
+def test_ddl_unknown_clauses_error(spark):
+    env = TableEnvironment(spark)
+    with pytest.raises(NotImplementedError, match="METADATA|metadata"):
+        env.execute_sql("""
+            CREATE TABLE t (ts TIMESTAMP(3) METADATA FROM 'timestamp')
+            WITH ('connector' = 'filesystem', 'path' = '/x')
+        """)
+    with pytest.raises(ValueError, match="connector"):
+        env.execute_sql("""
+            CREATE TABLE t (a INT) WITH ('connector' = 'hbase')
+        """)
+    with pytest.raises(ValueError, match="unrecognized CREATE"):
+        env.execute_sql("CREATE CATALOG c WITH ('type' = 'x')")
+    with pytest.raises(ValueError, match="unsupported Flink type"):
+        parse_create_table(
+            "CREATE TABLE t (a GEOMETRY) WITH ('connector' = 'filesystem', 'path' = '/x')"
+        )
