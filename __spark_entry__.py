@@ -63,6 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allq = dict(_q.QUERIES)
     front = [n for n in allq if n not in _CHECKED]
     front += [n for n in _REFIXED if n in allq and n not in front]
+    # Round 4 added 53 TPC-DS shapes (full 99-family coverage), which
+    # overflows the 50-slot window; put the handful of new non-TPC-DS
+    # entries first so they aren't displaced — overflow TPC-DS rows are
+    # front-loaded automatically next round (still locally verified
+    # every pytest run via tests/test_oracle_queries.py meanwhile).
+    front.sort(key=lambda n: (n.startswith("tpcds_"),))
     back = [n for n in allq if n not in front]
     # Back-fill prioritizes the TPC-DS family so the round's window holds
     # the full 40+ tpcds_* contract the reference's batch gate models.

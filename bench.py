@@ -81,8 +81,46 @@ def _duckdb_conn(sf_dir: str, threads: int):
     return con
 
 
+_DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+_SF1_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "benchdata", "sf1"
+)
+
+
+def _resolve_sf_dir() -> str:
+    """Prefer the generated sf1 dataset for the default bench run.
+
+    VERDICT r3 item 2: at sf0.1 the per-job scheduling floor is 30-90% of
+    most Spark timings, so the 2x throughput gate was argued from floor
+    decomposition instead of measured. ``tools/gen_scale.py`` scales the
+    driver fixtures 10x (FK-consistent key-offset replication; replica
+    text vowel-permuted so dedup-tier workloads keep their corpus shape),
+    and both engines read the identical scaled parquet. An explicit
+    non-default $SPARK_GRAFT_SF_DIR still wins, so the driver (or a
+    human) can pin any scale.
+    """
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env and os.path.abspath(env) != _DEFAULT_SF_DIR:
+        return env
+    if not os.path.isdir(_SF1_DIR):
+        import subprocess
+
+        gen = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools", "gen_scale.py"
+        )
+        try:
+            subprocess.run(
+                [sys.executable, gen, "10", _SF1_DIR], check=True, timeout=600
+            )
+        except Exception as exc:  # fall back to the driver fixtures
+            print(f"# sf1 generation failed ({exc!r}); benching at sf0.1",
+                  file=sys.stderr)
+            return env or _DEFAULT_SF_DIR
+    return _SF1_DIR
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = _resolve_sf_dir()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     spark = get_spark(app_name="flink_spark_bench")
