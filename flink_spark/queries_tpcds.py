@@ -29,7 +29,8 @@ Spark and the DuckDB oracle) and are CAST to DOUBLE only on output.
 Scale notes (100 TB): every dimension here is orders-of-magnitude
 smaller than the fact table, so Catalyst broadcast-joins them (verified
 via explain — BroadcastHashJoin on every dim edge); the fact table
-shuffles exactly once, on the GROUP BY key. The year() filters reach
+shuffles exactly once, on the GROUP BY key. Date filters are spelled as
+pushable timestamp ranges (not year()-wrapped columns) and reach
 the parquet scan as pushed predicates on l_shipdate/o_orderdate.
 """
 
@@ -138,7 +139,9 @@ SELECT CAST(year(o_orderdate) AS INT) AS d_year,
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey
-WHERE p_size < 15 AND year(o_orderdate) = 1996
+WHERE p_size < 15
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY year(o_orderdate), p_type
 ORDER BY sum_agg DESC, category
 LIMIT 100
@@ -149,7 +152,7 @@ LIMIT 100
 def tpcds_q42_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q42 shape: date-restricted year × category revenue rollup.
 
-    The year() predicate is pushed to the orders scan before the join.
+    The date-range predicate is pushed to the orders scan before the join.
     """
     return _sql(spark, sf_dir, _Q42)
 
@@ -161,7 +164,8 @@ SELECT CAST(year(o_orderdate) AS INT) AS d_year,
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey
-WHERE year(o_orderdate) = 1997
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY year(o_orderdate), p_brand
 ORDER BY d_year, ext_price DESC, brand
 LIMIT 100
@@ -295,10 +299,12 @@ def tpcds_q88_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q14 = f"""
 WITH both_years AS (
   SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE year(o_orderdate) = 1996
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
   INTERSECT
   SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  WHERE year(o_orderdate) = 1997)
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
 SELECT p_brand AS brand,
        CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS cross_year_revenue,
        CAST(count(*) AS BIGINT) AS n_lines
@@ -388,13 +394,14 @@ WITH y96 AS (
   SELECT p_brand, sum({_DEC_REVENUE}) AS rev
   FROM lineitem JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
-  WHERE year(o_orderdate) = 1996
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
   GROUP BY p_brand),
 y97 AS (
   SELECT p_brand, sum({_DEC_REVENUE}) AS rev
   FROM lineitem JOIN part ON l_partkey = p_partkey
   JOIN orders ON l_orderkey = o_orderkey
-  WHERE year(o_orderdate) = 1997
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
   GROUP BY p_brand)
 SELECT p_brand AS brand, CAST(sum(rev) AS DOUBLE) AS total_rev,
        CAST(count(*) AS BIGINT) AS n_channels

@@ -67,7 +67,7 @@ WITH m AS (
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN part ON l_partkey = p_partkey
-  WHERE year(o_orderdate) IN (1996, 1997)
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
   GROUP BY p_brand, year(o_orderdate), month(o_orderdate))
 SELECT m1.b AS brand, m1.mo AS mon,
        CAST(m1.r AS DOUBLE) AS rev_1996,

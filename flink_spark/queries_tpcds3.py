@@ -140,7 +140,7 @@ WITH store AS (
   SELECT c_nationkey AS nk, CAST(quarter(o_orderdate) AS INT) AS q,
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
   FROM orders JOIN customer ON o_custkey = c_custkey
-  WHERE year(o_orderdate) = 1996
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
   GROUP BY c_nationkey, quarter(o_orderdate)),
 web AS (
   SELECT c_nationkey AS nk, CAST(quarter(o_orderdate) AS INT) AS q,
@@ -148,7 +148,7 @@ web AS (
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
-  WHERE year(o_orderdate) = 1996 AND l_linestatus = 'O'
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_linestatus = 'O'
   GROUP BY c_nationkey, quarter(o_orderdate))
 SELECT n_name AS nation,
        CAST(ws2.total AS DOUBLE) / CAST(ws1.total AS DOUBLE) AS web_growth,
@@ -181,11 +181,11 @@ def tpcds_q31_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle keeps the literal EXISTS OR EXISTS form — same semantics.
 _Q35_SPARK = """
 WITH k96 AS (SELECT DISTINCT o_custkey AS ck FROM orders
-             WHERE year(o_orderdate) = 1996),
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
 ku AS (SELECT DISTINCT o_custkey AS ck FROM orders
-       WHERE year(o_orderdate) = 1997 AND o_orderpriority = '1-URGENT'),
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_orderpriority = '1-URGENT'),
 kl AS (SELECT DISTINCT o_custkey AS ck FROM orders
-       WHERE year(o_orderdate) = 1997 AND o_orderpriority = '5-LOW'),
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_orderpriority = '5-LOW'),
 kor AS (SELECT ck FROM ku UNION SELECT ck FROM kl)
 SELECT c_mktsegment AS seg, n_name AS nation,
        CAST(count(*) AS BIGINT) AS cnt,
@@ -205,11 +205,11 @@ SELECT c_mktsegment AS seg, n_name AS nation,
 FROM customer
 JOIN nation ON n_nationkey = c_nationkey
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-              AND year(o_orderdate) = 1996)
+              AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
   AND (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-               AND year(o_orderdate) = 1997 AND o_orderpriority = '1-URGENT')
+               AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_orderpriority = '1-URGENT')
        OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                  AND year(o_orderdate) = 1997 AND o_orderpriority = '5-LOW'))
+                  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' AND o_orderpriority = '5-LOW'))
 GROUP BY c_mktsegment, n_name
 ORDER BY seg, nation
 """
@@ -256,11 +256,11 @@ def tpcds_q36_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q38 = """
 SELECT CAST(count(*) AS BIGINT) AS n_loyal
 FROM (
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
   INTERSECT
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
   INTERSECT
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 )
 """
 
@@ -280,7 +280,7 @@ WITH m AS (
          sum({_QTY}) AS s, sum({_QTY} * {_QTY}) AS ss,
          count(*) AS n
   FROM lineitem
-  WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) IN (1, 2)
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
   GROUP BY l_partkey, quarter(l_shipdate))
 SELECT m1.pk AS partkey,
        CAST(m1.s AS DOUBLE) / m1.n AS mean_q1,
@@ -319,7 +319,7 @@ SELECT n_name AS nation,
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON n_nationkey = s_nationkey
-WHERE year(l_shipdate) = 1997
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name
 ORDER BY nation
 """
@@ -431,14 +431,14 @@ _Q69 = """
 SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt
 FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-              AND year(o_orderdate) = 1996)
+              AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                  AND year(o_orderdate) = 1996
+                  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
                   AND o_orderpriority = '1-URGENT')
   AND NOT EXISTS (SELECT 1 FROM orders o2
                   JOIN lineitem ON l_orderkey = o2.o_orderkey
                   WHERE o2.o_custkey = c_custkey
-                  AND year(o2.o_orderdate) = 1996
+                  AND o2.o_orderdate >= TIMESTAMP '1996-01-01' AND o2.o_orderdate < TIMESTAMP '1997-01-01'
                   AND l_returnflag = 'R')
 GROUP BY c_mktsegment
 ORDER BY seg
@@ -466,7 +466,7 @@ WITH all_ch AS (
   ) u
   JOIN orders ON u.l_orderkey = o_orderkey
   JOIN part ON u.l_partkey = p_partkey
-  WHERE year(o_orderdate) IN (1996, 1997)
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
   GROUP BY p_brand, year(o_orderdate))
 SELECT cur.b AS brand,
        CAST(prev.q AS DOUBLE) AS prev_qty,
@@ -527,11 +527,11 @@ def tpcds_q77_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q87 = """
 SELECT CAST(count(*) AS BIGINT) AS n_lapsed
 FROM (
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
   EXCEPT
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
   EXCEPT
-  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 )
 """
 
@@ -549,7 +549,7 @@ WITH m AS (
   SELECT p_type AS ty, p_brand AS brand,
          CAST(month(l_shipdate) AS INT) AS mo, sum({_REV}) AS r
   FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE year(l_shipdate) = 1997
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   GROUP BY p_type, p_brand, month(l_shipdate)),
 w AS (
   SELECT ty, brand, mo, r,
@@ -646,9 +646,9 @@ def tpcds_q94_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q97 = """
 WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
-           WHERE year(o_orderdate) = 1996),
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
 b AS (SELECT DISTINCT o_custkey AS ck FROM orders
-      WHERE year(o_orderdate) = 1997)
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
 SELECT
   CAST(sum(CASE WHEN a.ck IS NOT NULL AND b.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1996,
   CAST(sum(CASE WHEN a.ck IS NULL AND b.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_1997,

@@ -268,7 +268,7 @@ def tpcds_q54_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q55 = f"""
 SELECT p_brand AS brand, CAST(sum({_REV}) AS DOUBLE) AS ext_price
 FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 11
+WHERE l_shipdate >= TIMESTAMP '1997-11-01' AND l_shipdate < TIMESTAMP '1997-12-01'
 GROUP BY p_brand
 ORDER BY ext_price DESC, brand
 LIMIT 100
@@ -566,7 +566,8 @@ WITH modes AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE year(l_shipdate) = 1997),
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'),
 pivoted AS (
   SELECT wh, mode, {_q66_months('rev')}
   FROM modes GROUP BY wh, mode)

@@ -594,3 +594,148 @@ def tpcds_q99_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted bucket edges (60/80/100 days) on a different fact slice,
     mirroring the reference's separate q99 entry."""
     return _sql(spark, sf_dir, _Q99)
+
+
+# ---------------------------------------------------------------------------
+# a/b variants: the reference's batch gate runs 103 VARIANTS (99 families
+# + 14a/b, 23a/b, 24a/b, 39a/b — TpcdsTestProgram.java:76-85). The *_shape
+# entries above model the "a" member of each pair; these four model the
+# "b" member's distinguishing plan twist.
+# ---------------------------------------------------------------------------
+
+_Q14B = f"""
+WITH both_years AS (
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  INTERSECT
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'),
+this_year AS (
+  SELECT p_brand AS brand, sum({_REV}) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN both_years b ON lineitem.l_partkey = b.l_partkey
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY p_brand),
+last_year AS (
+  SELECT p_brand AS brand, sum({_REV}) AS r
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN both_years b ON lineitem.l_partkey = b.l_partkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY p_brand)
+SELECT t.brand AS brand,
+       CAST(t.r AS DOUBLE) AS this_year_sales,
+       CAST(l.r AS DOUBLE) AS last_year_sales
+FROM this_year t JOIN last_year l ON t.brand = l.brand
+ORDER BY brand
+LIMIT 100
+"""
+
+
+@query("tpcds_q14b_shape", _Q14B)
+def tpcds_q14b_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14b shape: where q14a rolls the cross-channel
+    (INTERSECT-derived) item set into one report, q14b compares this
+    week vs last year's same week over that set — here the shared
+    both_years key set semi-filters two period aggregates joined side
+    by side. The CTE is evaluated once per branch; both branches share
+    the broadcast key set."""
+    return _sql(spark, sf_dir, _Q14B)
+
+
+_Q23B = f"""
+WITH frequent AS (
+  SELECT l_partkey AS pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey
+  HAVING count(*) > 4),
+spend AS (
+  SELECT c_name AS cust, sum({_REV}) AS total_spend
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN frequent f ON lineitem.l_partkey = f.pk
+  GROUP BY c_name)
+SELECT cust, CAST(total_spend AS DOUBLE) AS total_spend
+FROM spend
+ORDER BY total_spend DESC, cust
+LIMIT 10
+"""
+
+
+@query("tpcds_q23b_shape", _Q23B)
+def tpcds_q23b_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23b shape: q23a totals sales of frequent items; q23b
+    instead ranks the top customers buying them — the frequency-derived
+    key set semi-filters the fact, then a per-customer rollup feeds a
+    top-10. Same derived-broadcast-dim property as q23a with the
+    aggregate-then-TakeOrdered tail."""
+    return _sql(spark, sf_dir, _Q23B)
+
+
+_Q24B = f"""
+WITH sales AS (
+  SELECT c_name AS cust, p_type AS ty, sum({_REV}) AS net
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_name, p_type),
+thr AS (
+  SELECT sum(net) AS s, count(*) AS n FROM sales)
+SELECT cust, ty, CAST(net AS DOUBLE) AS paid
+FROM sales, thr
+WHERE net * n * 10 > s
+ORDER BY cust, ty
+LIMIT 100
+"""
+
+
+@query("tpcds_q24b_shape", _Q24B)
+def tpcds_q24b_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24b shape: the b variant differs from a only in the item
+    slice (color literal) and threshold; here the cells are
+    (customer, type) at a 10% threshold vs a's (customer, brand) at 5%.
+    Same broadcast-threshold plan."""
+    return _sql(spark, sf_dir, _Q24B)
+
+
+_Q39B = f"""
+WITH m AS (
+  SELECT l_partkey AS pk,
+         CAST(quarter(l_shipdate) AS INT) AS mo,
+         sum({_QTY}) AS s, sum({_QTY} * {_QTY}) AS ss,
+         count(*) AS n
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY l_partkey, quarter(l_shipdate))
+SELECT m1.pk AS partkey,
+       CAST(m1.s AS DOUBLE) / m1.n AS mean_q1,
+       CAST(m2.s AS DOUBLE) / m2.n AS mean_q2
+FROM m m1
+JOIN m m2 ON m1.pk = m2.pk
+WHERE m1.mo = 1 AND m2.mo = 2
+  AND m1.n > 1 AND m2.n > 1
+  AND 4 * m1.n * (m1.n * CAST(m1.ss AS DOUBLE) - CAST(m1.s AS DOUBLE) * CAST(m1.s AS DOUBLE))
+      > CAST(m1.s AS DOUBLE) * CAST(m1.s AS DOUBLE) * (m1.n - 1)
+  AND m2.s * m1.n < m1.s * m2.n
+ORDER BY partkey
+"""
+
+
+@query("tpcds_q39b_shape", _Q39B)
+def tpcds_q39b_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39b shape: q39a keeps items volatile in BOTH periods;
+    q39b tightens the first-period test and adds a direction — volatile
+    in the first quarter AND declining mean into the second (the mean
+    comparison cross-multiplied over exact DECIMAL sums). Same
+    single-aggregate self-join spine as q39a."""
+    return _sql(spark, sf_dir, _Q39B)

@@ -41,6 +41,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Input-split sizing: the default 128m gives a sub-100 MB local
+        # parquet file exactly ONE scan task, idling the other 31 cores
+        # on every fact scan (measured: single-task 6M-row lineitem scans
+        # dominated the sf1 bench). Locally we split small so scans
+        # saturate local[32]; a real cluster reading 100 TB should keep
+        # the 128m default (set SPARK_GRAFT_MAX_PARTITION_BYTES) — there
+        # the file count, not the split size, provides parallelism.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         # The events table stores TIMESTAMP(NANOS) which Spark's parquet

@@ -164,6 +164,25 @@ def socket_text_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
+def normalize_kafka_records(df: DataFrame, *, value_as_string: bool = True) -> DataFrame:
+    """The record-shape half of the Kafka source contract, split out so it
+    is testable without a broker: given a DataFrame with the Kafka wire
+    schema (key/value binary, topic, partition, offset, timestamp), apply
+    the same deserialization the reference's KafkaRecordDeserializationSchema
+    performs (valueOnly(StringDeserializer) being the common case —
+    flink-connectors/flink-connector-kafka/.../KafkaRecordDeserializationSchema.java).
+
+    The broker-less ITCase (tests/test_sources_sinks.py) drives this over a
+    static DataFrame with the exact wire schema, standing in for the
+    reference's KafkaTableITCase the way its own tests use a mock source.
+    """
+    if value_as_string:
+        df = df.withColumn("value", F.col("value").cast("string")).withColumn(
+            "key", F.col("key").cast("string")
+        )
+    return df
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -177,7 +196,10 @@ def kafka_stream(
     (earliest/latest/JSON per-partition); Flink's OffsetsInitializer
     committed-offset mode becomes the checkpoint's own progress.
 
-    Construct-only in this environment (no broker in the container).
+    Construct-only in this environment (no broker in the container);
+    the record-normalization half is exercised broker-less via
+    ``normalize_kafka_records``, and the unbounded-socket ingestion path
+    via the socket round-trip ITCase.
     """
     topic_list = topics if isinstance(topics, str) else ",".join(topics)
     reader = (
@@ -188,12 +210,7 @@ def kafka_stream(
     )
     if options:
         reader = reader.options(**options)
-    df = reader.load()
-    if value_as_string:
-        df = df.withColumn("value", F.col("value").cast("string")).withColumn(
-            "key", F.col("key").cast("string")
-        )
-    return df
+    return normalize_kafka_records(reader.load(), value_as_string=value_as_string)
 
 
 def jdbc_source(

@@ -42,6 +42,11 @@ def plan_of(spark, name: str) -> str:
         ("tpcds_q17_shape", 1),  # three-fact: part dim broadcast
         ("tpcds_q25_shape", 2),  # three-fact: supplier+nation broadcast
         ("tpcds_q21_shape", 2),  # part+supplier broadcast
+        ("tpcds_q46_shape", 4),  # customer + nation x2 roles + supplier
+        ("tpcds_q18_shape", 3),  # rollup star: orders/customer/nation
+        ("tpcds_q91_shape", 3),  # returns report star
+        ("tpcds_q62_shape", 3),  # lag-bucket star: orders edge may SMJ
+        ("tpcds_q13_shape", 2),  # OR-residual star: both dims broadcast
     ],
 )
 def test_dimension_joins_broadcast(spark, name, min_bhj):
@@ -56,6 +61,9 @@ def test_dimension_joins_broadcast(spark, name, min_bhj):
         "tpch_q1_pricing_summary",  # l_shipdate filter
         "tpch_q6_forecast_revenue",  # range predicates
         "tpch_q3_shipping_priority",
+        "tpcds_q55_shape",  # year/month predicate folds to shipdate scan
+        "tpcds_q37_shape",  # price + quantity + date bands all pushed
+        "tpcds_q96_shape",  # three conjunctive bands pushed
     ],
 )
 def test_filters_reach_parquet_scan(spark, name):

@@ -120,6 +120,89 @@ def test_socket_kafka_jdbc_construct_only(spark):
         sources.jdbc_source(spark, "jdbc:invalid://nope", "t").collect()
 
 
+def test_kafka_record_normalization_broker_less(spark):
+    """Kafka contract without a broker: a static DataFrame with the exact
+    Kafka wire schema (key/value BINARY + topic/partition/offset/timestamp)
+    goes through the same record deserialization kafka_stream applies —
+    the valueOnly(StringDeserializer) path of the reference's
+    KafkaRecordDeserializationSchema."""
+    from pyspark.sql.types import BinaryType, TimestampType
+
+    wire = StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("timestampType", IntegerType()),
+        ]
+    )
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (b"k1", b'{"v": 1}', "orders", 0, 0, ts, 0),
+        (None, b"plain text", "orders", 1, 7, ts, 0),
+    ]
+    raw = spark.createDataFrame(rows, wire)
+    out = sources.normalize_kafka_records(raw).collect()
+    assert [(r.key, r.value) for r in out] == [
+        ("k1", '{"v": 1}'), (None, "plain text")
+    ]
+    # offsets/partitions ride through untouched (offset bookkeeping is
+    # the checkpoint's job, matching OffsetsInitializer semantics)
+    assert [(r.partition, r.offset) for r in out] == [(0, 0), (1, 7)]
+
+
+def test_socket_round_trip_ingestion(spark, tmp_path):
+    """Unbounded-ingestion ITCase without a broker: a real TCP server
+    feeds lines to the socket source; the stream lands in a memory sink.
+    This is the docker-less stand-in for the Kafka ingestion path (same
+    unbounded source API surface, different transport)."""
+    import socket as pysocket
+    import threading
+    import time as pytime
+
+    lines = ["alpha", "beta", "gamma"]
+    server = pysocket.socket(pysocket.AF_INET, pysocket.SOCK_STREAM)
+    server.setsockopt(pysocket.SOL_SOCKET, pysocket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            pytime.sleep(8)  # keep the socket open while batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    df = sources.socket_text_stream(spark, "127.0.0.1", port)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("socket_rt")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        got: set[str] = set()
+        deadline = pytime.time() + 30
+        while pytime.time() < deadline and got != set(lines):
+            q.processAllAvailable()
+            got = {
+                r.value
+                for r in spark.sql("SELECT value FROM socket_rt").collect()
+            }
+        assert got == set(lines)
+    finally:
+        q.stop()
+        server.close()
+
+
 def test_exactly_once_file_sink_replay_dedup(spark, tmp_path):
     """Two-phase commit: re-delivering the same batch id must not
     duplicate output (Sink V2 / GlobalCommitter contract)."""
