@@ -186,6 +186,11 @@ def parse_create_table(sql: str) -> TableSpec:
     return TableSpec(name, physical, computed, watermark, pk, options)
 
 
+# Specs registered through the DDL front-end, so INSERT INTO can route
+# writes back to the table's connector (Flink's TableSink path).
+_REGISTERED: dict[str, TableSpec] = {}
+
+
 def register_table(spark: SparkSession, spec: TableSpec) -> DataFrame:
     """Materialize the spec as a temp view; returns the DataFrame."""
     connector = spec.options.get("connector")
@@ -197,6 +202,15 @@ def register_table(spark: SparkSession, spec: TableSpec) -> DataFrame:
             raise ValueError("filesystem connector needs a 'path' option")
         if fmt not in ("parquet", "csv", "json"):
             raise ValueError(f"unsupported format {fmt!r} (parquet/csv/json)")
+        # A sink table's path may not exist yet (INSERT INTO creates the
+        # files); materialize an empty directory so the schema-provided
+        # read resolves to an empty table instead of PATH_NOT_FOUND —
+        # Flink's filesystem connector accepts empty/missing dirs too.
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hp):
+            fs.mkdirs(hp)
         fmt_opts = {
             k.split(".", 1)[1]: v
             for k, v in spec.options.items()
@@ -237,6 +251,7 @@ def register_table(spark: SparkSession, spec: TableSpec) -> DataFrame:
     if spec.watermark and streaming:
         df = df.withWatermark(spec.watermark[0], spec.watermark[1])
     df.createOrReplaceTempView(spec.name)
+    _REGISTERED[spec.name] = spec
     return df
 
 
@@ -249,6 +264,51 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+(?:TEMPORARY\s+)?(TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$",
     re.I,
 )
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)$", re.I | re.S
+)
+
+
+def _insert_into(
+    spark: SparkSession, name: str, mode_kw: str, query: str
+) -> DataFrame:
+    """INSERT INTO/OVERWRITE a DDL-registered filesystem table — Flink's
+    TableSink path (executeSql("INSERT INTO ...") submits a write job).
+    The SELECT runs through Spark SQL, columns are aligned to the
+    declared physical schema by name (Flink validates the same), files
+    land via the table's format at its path, and the temp view is
+    re-registered so subsequent reads see the new files."""
+    spec = _REGISTERED[name]
+    if spec.options.get("connector") != "filesystem":
+        raise ValueError(
+            f"INSERT INTO {name}: only filesystem-connector tables accept "
+            "writes in this front-end"
+        )
+    q = query.strip()
+    if re.match(r"^VALUES\b", q, re.I):
+        q = f"SELECT * FROM ({q})"
+    out = spark.sql(q)
+    cols = [c for c, _ in spec.physical]
+    if sorted(out.columns) == sorted(cols):
+        out = out.select(*cols)  # align by name
+    elif len(out.columns) == len(cols):
+        out = out.toDF(*cols)  # positional, Flink's implicit mapping
+    else:
+        raise ValueError(
+            f"INSERT INTO {name}: query produces {len(out.columns)} columns "
+            f"({out.columns}), table declares {len(cols)} ({cols})"
+        )
+    out = out.select(
+        *[F.col(c).cast(t) for c, t in spec.physical]
+    )
+    fmt = spec.options.get("format", "parquet")
+    mode = "overwrite" if mode_kw.upper() == "OVERWRITE" else "append"
+    out.write.mode(mode).format(fmt).save(spec.options["path"])
+    register_table(spark, spec)  # refresh the view over the new files
+    n = out.count()
+    return spark.createDataFrame([(n,)], "rows_inserted bigint")
 
 
 def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
@@ -265,7 +325,11 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
     dm = _DROP_RE.match(stripped)
     if dm:
         spark.catalog.dropTempView(dm.group(2))
+        _REGISTERED.pop(dm.group(2), None)
         return spark.createDataFrame([("OK",)], "result string")
+    im = _INSERT_RE.match(stripped.rstrip(";"))
+    if im and im.group(2) in _REGISTERED:
+        return _insert_into(spark, im.group(2), im.group(1), im.group(3))
     if re.match(r"^\s*CREATE\s", stripped, re.I):
         raise ValueError(
             f"unrecognized CREATE statement for the Flink-DDL front-end: "

@@ -407,3 +407,44 @@ def simhash_fold(
         *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(bits)]
     )
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word n-gram with a held-out evaluation set (the standard
+    n-gram-overlap rule used by public LLM data pipelines, e.g. GPT-3's
+    13-gram and Dolma's paragraph-overlap decontamination — arXiv:
+    2005.14165 §2.2, arXiv:2402.00159 §4).
+
+    Returns ``train`` with a ``contaminated`` boolean added.
+
+    Scale shape: both sides explode to (shingle, id) and meet in ONE
+    equi-join on the shingle digest — the eval side is benchmarks
+    (orders of magnitude smaller than the corpus), so its distinct
+    shingle set broadcasts; the corpus is never self-joined and never
+    shuffled beyond the per-doc shingle window. md5 digests join 16-byte
+    keys instead of full n-gram text.
+    """
+    t_sh = text_shingles(train, id_col, text_col, n=n).select(
+        F.col(id_col), F.md5("shingle").alias("dig")
+    )
+    e_sh = (
+        text_shingles(eval_set, id_col, text_col, n=n)
+        .select(F.md5("shingle").alias("dig"))
+        .distinct()
+    )
+    hit = (
+        t_sh.join(F.broadcast(e_sh), "dig")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return train.join(hit, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )

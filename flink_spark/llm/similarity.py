@@ -708,3 +708,64 @@ def brute_force_topk_np(
             "q_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim")
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style cluster-then-prune embedding dedup (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication" — public arXiv:2303.09540): k-means-cluster
+    the corpus, then within each cluster drop all but one member of
+    every near-duplicate pair. Composition of the repo's existing
+    tiers: one deterministic Lloyd round (md5-seeded cells → M-step
+    centroids → E-step assignment, exactly ``emb_kmeans_lloyd``'s round
+    construction) followed by a within-cluster cosine prune where the
+    LOWER id is kept (the canonical-representative rule).
+
+    Returns one row per cluster: (cell, n_members, n_pruned, n_kept).
+
+    Scale shape: the pairwise stage joins only within a cluster — with
+    nlist sized so clusters are O(corpus/nlist) bounded, the quadratic
+    term is per-cluster, never corpus-wide (the SemDeDup design point);
+    the centroid table is nlist rows and broadcasts. For very hot
+    clusters compose with ``cosine_pairs_bucketed`` inside the cell.
+    """
+    seeded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        _seed_cell(F.col(id_col), nlist).cast("long").alias("cell"),
+    )
+    cents = ivf_centroids(seeded, "vec_id", "emb", nlist=nlist)
+    assigned = ivf_assign(seeded.drop("cell"), cents, "vec_id", "emb")
+
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("d1"), F.col("emb").alias("e1")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("d2"), F.col("emb").alias("e2")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("d1") < F.col("d2"))
+        .where(F.round(cosine(F.col("e1"), F.col("e2")), 6) >= threshold)
+    )
+    pruned = pairs.groupBy("cell").agg(
+        F.count_distinct("d2").alias("n_pruned")
+    )
+    members = assigned.groupBy("cell").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(pruned, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce(F.col("n_pruned"), F.lit(0)).cast("long").alias("n_pruned"),
+            (F.col("n_members") - F.coalesce(F.col("n_pruned"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -14,6 +14,7 @@ from flink_spark.catalog import Catalog
 from flink_spark.functions import scalar as FS
 from flink_spark.operators import tvf_windows as TVF
 from flink_spark.queries import query
+from flink_spark.llm import similarity as sim
 
 
 # ---------------------------------------------------------------------------
@@ -174,4 +175,96 @@ def tvf_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min(F.unix_millis("ts")).alias("start_ms"),
         F.max(F.unix_millis("ts")).alias("end_ms"),
+    )
+
+
+def _semantic_dedup_oracle(nlist: int = 4, threshold: float = 0.4) -> str:
+    a = "ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1))"
+    nib = f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+    return f"""
+    WITH a0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                       CAST({nib} % {nlist} AS BIGINT) AS cell
+                FROM embeddings),
+    c1 AS (SELECT cell, list(cv ORDER BY pos) AS centroid FROM (
+        SELECT cell, pos, round(avg(v), 6) AS cv FROM (
+          SELECT cell, unnest(range(0, len(emb))) AS pos,
+                 unnest(emb) AS v FROM a0)
+        GROUP BY 1, 2) GROUP BY cell),
+    a1 AS (SELECT vec_id, emb, cell FROM (
+        SELECT s.vec_id, s.emb, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY list_cosine_similarity(s.emb, c.centroid) DESC,
+                          c.cell) AS rn
+        FROM a0 s CROSS JOIN c1 c) WHERE rn = 1),
+    pruned AS (
+        SELECT a.cell, count(DISTINCT b.vec_id) AS n_pruned
+        FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {threshold}
+        GROUP BY a.cell),
+    members AS (SELECT cell, count(*) AS n_members FROM a1 GROUP BY cell)
+    SELECT m.cell,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CAST(coalesce(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+           CAST(m.n_members - coalesce(p.n_pruned, 0) AS BIGINT) AS n_kept
+    FROM members m LEFT JOIN pruned p ON m.cell = p.cell
+    """
+
+
+@query("emb_semantic_dedup", _semantic_dedup_oracle())
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (llm/similarity.py semantic_dedup):
+    one deterministic Lloyd round clusters the embeddings, then each
+    cluster prunes the higher-id member of every cosine>=0.4 pair —
+    cluster-then-prune keeps the pairwise stage per-cluster instead of
+    corpus-wide, the property that makes embedding dedup tractable at
+    100 TB. Verified against a fully unrolled DuckDB oracle (same
+    md5-seeded round as emb_kmeans_lloyd)."""
+    e = Catalog(spark, sf_dir).embeddings
+    return sim.semantic_dedup(e, "vec_id", "embedding", nlist=4, threshold=0.4)
+
+
+def _decontaminate_oracle(n: int = 8, nbuckets: int = 8) -> str:
+    a = "ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))"
+    nib = f"(CASE WHEN {a} <= 57 THEN {a} - 48 ELSE {a} - 87 END)"
+    gram = " || ' ' || ".join(
+        "ws[i]" if j == 0 else f"ws[i+{j}]" for j in range(n)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws,
+                      {nib} % {nbuckets} AS bkt
+               FROM documents),
+    sh AS (SELECT doc_id, source, bkt,
+                  unnest([{gram} for i in range(1, len(ws) - {n - 1})]) AS s
+           FROM d WHERE len(ws) >= {n}),
+    ev AS (SELECT DISTINCT md5(s) AS dig FROM sh WHERE bkt = 0),
+    hits AS (SELECT DISTINCT doc_id FROM sh
+             WHERE bkt <> 0 AND md5(s) IN (SELECT dig FROM ev))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM d WHERE bkt <> 0
+    GROUP BY source
+    """
+
+
+@query("doc_decontaminate", _decontaminate_oracle())
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/dedup.py decontaminate): the
+    held-out set is the docs in md5-bucket 0 (a deterministic stand-in
+    for a benchmark corpus); every training doc sharing an 8-gram with
+    it is flagged, reported as per-source contamination counts. The
+    eval shingle digests broadcast into one equi-join — the corpus is
+    never self-joined."""
+    from flink_spark.llm import dedup as lsh
+
+    d = Catalog(spark, sf_dir).documents.withColumn(
+        "bkt", sim._seed_cell(F.col("doc_id"), 8)
+    )
+    train = d.where(F.col("bkt") != 0)
+    ev = d.where(F.col("bkt") == 0)
+    flagged = lsh.decontaminate(train, ev, "doc_id", "text", n=8)
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
     )

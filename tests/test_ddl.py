@@ -149,3 +149,42 @@ def test_ddl_unknown_clauses_error(spark):
         parse_create_table(
             "CREATE TABLE t (a GEOMETRY) WITH ('connector' = 'filesystem', 'path' = '/x')"
         )
+
+
+def test_ddl_insert_into_filesystem_round_trip(spark, tmp_path):
+    """INSERT INTO / INSERT OVERWRITE on a DDL-registered filesystem
+    table — the TableSink path: executeSql submits the write, files land
+    via the declared format, and the re-registered view reads them."""
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "sink_t")
+    env.execute_sql(f"""
+        CREATE TABLE sink_t (k INT, name STRING, amount BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    r = env.execute_sql(
+        "INSERT INTO sink_t VALUES (1, 'a', 10), (2, 'b', 20)"
+    )
+    assert r.collect()[0].rows_inserted == 2
+    assert spark.sql("SELECT count(*) c FROM sink_t").collect()[0].c == 2
+
+    # append semantics: a second INSERT INTO adds rows
+    env.execute_sql(
+        "INSERT INTO sink_t SELECT k + 10, name, amount * 2 FROM sink_t"
+    )
+    assert spark.sql("SELECT count(*) c FROM sink_t").collect()[0].c == 4
+
+    # INSERT OVERWRITE replaces the table contents
+    env.execute_sql("INSERT OVERWRITE sink_t VALUES (9, 'z', 99)")
+    rows = spark.sql("SELECT k, name, amount FROM sink_t").collect()
+    assert [(r.k, r.name, r.amount) for r in rows] == [(9, "z", 99)]
+
+    # writes to non-filesystem tables are a clear error
+    env.execute_sql("""
+        CREATE TABLE gen_t (a BIGINT, b BIGINT)
+        WITH ('connector' = 'datagen', 'number-of-rows' = '5')
+    """)
+    with pytest.raises(ValueError, match="filesystem"):
+        env.execute_sql("INSERT INTO gen_t VALUES (1, 2)")
+    env.execute_sql("DROP TABLE sink_t")
+    env.execute_sql("DROP TABLE gen_t")

@@ -88,6 +88,7 @@ def test_filters_reach_parquet_scan(spark, name):
         "emb_ann_ivf",  # map-only GEMM search, no join at all
         "doc_exact_dedup",
         "dedup_last_per_key",
+        "emb_semantic_dedup",  # per-cluster pairs; centroids broadcast
     ],
 )
 def test_scale_tiers_never_plan_cartesian(spark, name):
