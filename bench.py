@@ -119,6 +119,73 @@ def _resolve_sf_dir() -> str:
     return _SF1_DIR
 
 
+def _stream_bench(spark, sf_dir: str) -> dict | None:
+    """Structured-Streaming throughput probe: the events table replayed
+    through a bounded file stream (availableNow) into a watermarked
+    tumbling-window aggregate and a memory sink — the engine's streaming
+    hot path (watermark tracking + state store + window emission), the
+    axis the batch ratios don't cover. Reported as end-to-end rows/s
+    plus the same aggregate's batch wall-clock, so the micro-batch
+    machinery's overhead factor is visible. DuckDB has no streaming
+    runtime, so this row is absolute, not a ratio."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    try:
+        path = os.path.join(sf_dir, "events.parquet")
+        batch = spark.read.parquet(path)
+        n_rows = batch.count()
+        if dict(batch.dtypes).get("ts") == "bigint":  # nanosAsLong fixtures
+            fix_ts = lambda df: df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            fix_ts = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+        def agg(df):
+            return (
+                fix_ts(df)
+                .withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "10 minutes"), "event_type")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            )
+
+        t0 = time.perf_counter()
+        agg(batch).count()
+        batch_s = time.perf_counter() - t0
+
+        # FileStreamSource requires a directory; stage the single fixture
+        # file behind a symlink (a real deployment streams a directory of
+        # arriving files — this replays the same layout)
+        with tempfile.TemporaryDirectory() as src_dir, \
+                tempfile.TemporaryDirectory() as ckpt:
+            os.symlink(path, os.path.join(src_dir, "part-00000.parquet"))
+            stream = spark.readStream.schema(batch.schema).parquet(src_dir)
+            t0 = time.perf_counter()
+            q = (
+                agg(stream)
+                .writeStream.format("memory")
+                .queryName("bench_stream")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            stream_s = time.perf_counter() - t0
+        spark.sql("DROP TABLE IF EXISTS bench_stream")
+        return {
+            "rows": n_rows,
+            "wall_s": round(stream_s, 3),
+            "rows_per_s": round(n_rows / stream_s),
+            "batch_equiv_s": round(batch_s, 3),
+        }
+    except Exception as exc:  # the batch bench must still emit
+        print(f"# streaming bench failed: {exc!r}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = _resolve_sf_dir()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -198,6 +265,8 @@ def main() -> None:
         for n in oracle_s
         if oracle_s[n] > 0
     }
+    streaming = _stream_bench(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     paired_spark = sum(timings[n] for n in oracle_s)
     paired_oracle = sum(oracle_s.values())
@@ -226,6 +295,7 @@ def main() -> None:
                 "headline_ratio": headline_ratio,
                 "throughput_ratio_floor_adjusted": throughput_ratio,
                 "spark_floor_s": floor_s,
+                "streaming": streaming,
                 "baseline": "duckdb_same_machine_same_parquet",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

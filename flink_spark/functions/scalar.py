@@ -144,3 +144,13 @@ def encode_utf8(col: Column) -> Column:
 def decode_utf8(col: Column) -> Column:
     """Flink DECODE(binary, charset) → Spark decode (string out)."""
     return F.decode(col, "utf-8")
+
+
+def temporal_overlaps(
+    s1: Column, e1: Column, s2: Column, e2: Column
+) -> Column:
+    """Flink temporalOverlaps / SQL (s1, e1) OVERLAPS (s2, e2)
+    (BuiltInFunctionDefinitions.java `temporalOverlaps`): true when the
+    two periods share any instant. Spark SQL has no OVERLAPS row syntax;
+    the half-open interval test is the standard equivalent."""
+    return (s1 <= e2) & (s2 <= e1)
