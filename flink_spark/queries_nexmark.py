@@ -1,0 +1,245 @@
+"""Nexmark-shaped streaming query suite, batch semantics.
+
+The reference's streaming perf contract is the (out-of-tree) Nexmark
+suite (SURVEY.md §6; public spec: github.com/nexmark/nexmark — the
+auction/person/bid queries q1-q8). The fixtures carry one event stream
+(`events`: event_id, ts, user_id, event_type, value, props), so each
+query is re-grounded on it: bids ↦ events rows (user_id = bidder,
+value = price, event_type = category), persons ↦ customer.
+
+Every entry here is the query's BATCH spelling with a DuckDB oracle
+(driver-verifiable); tests/test_nexmark_stream.py runs the SAME
+pipelines through Structured Streaming (file replay → availableNow →
+memory sink) and asserts the streaming result equals the batch result —
+the unified-batch-streaming contract Flink's planner makes for these
+queries, verified rather than claimed.
+
+All timestamps are emitted as epoch millis (never raw ts — the
+TIMESTAMP(NANOS) fixture footgun) and DOUBLEs are rounded where
+engines could differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.catalog import Catalog
+from flink_spark.queries import query
+
+
+# n1: currency conversion — map-only reprice (Nexmark q1).
+@query(
+    "nexmark_n1_currency",
+    """
+    SELECT event_id, user_id,
+           round(value * 0.908, 6) AS price_eur
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def nexmark_n1_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q1 (currency conversion): stateless reprice of the bid
+    stream — pure map, fuses into the scan, zero state. The streaming
+    twin is the same select on readStream."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.round(F.col("value") * 0.908, 6).alias("price_eur")
+    )
+
+
+# n2: selection — key/price filter (Nexmark q2).
+@query(
+    "nexmark_n2_selection",
+    """
+    SELECT event_id, user_id, round(value, 6) AS price
+    FROM events
+    WHERE event_type = 'purchase' AND event_id % 123 = 0
+    """,
+)
+def nexmark_n2_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q2 (selection): bids on a sampled set of auction ids —
+    stateless filter; both predicates push to the scan."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 123 == 0)
+    ).select("event_id", "user_id", F.round("value", 6).alias("price"))
+
+
+# n3: local-item join — stream enriched by a dimension (Nexmark q3).
+@query(
+    "nexmark_n3_local_join",
+    """
+    SELECT e.event_id, c.c_name AS bidder, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id % 1000 = c.c_custkey
+    WHERE e.event_type = 'signup'
+      AND c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+)
+def nexmark_n3_local_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q3 (local item suggestion): the person dim filtered by
+    state/category joined to new auctions — here customer broadcasts
+    into the event stream (the streaming twin is a stream-static join,
+    which Structured Streaming runs without state)."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.where(F.col("event_type") == "signup")
+    c = cat.customer.where(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    )
+    return ev.join(
+        F.broadcast(c), ev.user_id % 1000 == c.c_custkey
+    ).select("event_id", F.col("c_name").alias("bidder"),
+             F.col("c_mktsegment").alias("segment"))
+
+
+# n4: average price per category over windows (Nexmark q4 shape).
+@query(
+    "nexmark_n4_avg_by_category",
+    """
+    SELECT event_type AS category,
+           CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS win_start_ms,
+           round(sum(value), 6) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_bids
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def nexmark_n4_avg_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q4 (average price per category): windowed aggregate per
+    category — the streaming twin is the watermarked tumbling-window
+    groupBy; batch spelling uses the same hour truncation. One shuffle
+    on (category, window)."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy(
+        F.col("event_type").alias("category"),
+        F.date_trunc("hour", "ts").alias("win"),
+    ).agg(
+        F.round(F.sum("value"), 6).alias("total_price"),
+        F.count("*").alias("n_bids"),
+    ).select(
+        "category",
+        F.unix_millis("win").alias("win_start_ms"),
+        "total_price",
+        "n_bids",
+    )
+
+
+# n5: hot items — which auction got the most bids per window (Nexmark q5).
+@query(
+    "nexmark_n5_hot_items",
+    """
+    WITH per_item AS (
+      SELECT date_trunc('hour', ts) AS win, user_id, count(*) AS n
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT win, user_id, n,
+             rank() OVER (PARTITION BY win ORDER BY n DESC, user_id) AS rk
+      FROM per_item)
+    SELECT CAST(epoch_ms(win) AS BIGINT) AS win_start_ms,
+           user_id AS hot_user, CAST(n AS BIGINT) AS n_events
+    FROM ranked WHERE rk = 1
+    """,
+)
+def nexmark_n5_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q5 (hot items): the most-bid auction per window — window
+    count then a per-window rank-1, the aggregate-then-top1 pattern.
+    The rank input is the per-window agg (small); one shuffle for the
+    count, the window sort rides the agg output."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    per = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(F.date_trunc("hour", "ts").alias("win"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("win").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        per.withColumn("rk", F.rank().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.unix_millis("win").alias("win_start_ms"),
+            F.col("user_id").alias("hot_user"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )
+
+
+# n7: highest bid per window, with the bidder joined back (Nexmark q7).
+@query(
+    "nexmark_n7_highest_bid",
+    """
+    WITH mx AS (
+      SELECT date_trunc('hour', ts) AS win, max(value) AS mv
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1)
+    SELECT CAST(epoch_ms(e_win) AS BIGINT) AS win_start_ms,
+           round(mv, 6) AS max_price,
+           min(user_id) AS bidder
+    FROM (SELECT date_trunc('hour', ts) AS e_win, user_id, value
+          FROM events WHERE event_type = 'purchase') e
+    JOIN mx ON e.e_win = mx.win AND e.value = mx.mv
+    GROUP BY e_win, mv
+    """,
+)
+def nexmark_n7_highest_bid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q7 (highest bid): the maximal bid per window joined back
+    to recover the bidder (min user id as the deterministic tie-break)
+    — the agg + self-join-on-extremum pattern Flink plans as a window
+    max plus join; here the max table is tiny and broadcasts."""
+    ev = Catalog(spark, sf_dir).events.where(F.col("event_type") == "purchase")
+    binned = ev.select(
+        F.date_trunc("hour", "ts").alias("win"), "user_id", "value"
+    )
+    mx = binned.groupBy("win").agg(F.max("value").alias("mv"))
+    return (
+        binned.join(
+            F.broadcast(mx),
+            (binned.win == mx.win) & (binned.value == mx.mv),
+        )
+        .drop(mx.win)
+        .groupBy("win", "mv")
+        .agg(F.min("user_id").alias("bidder"))
+        .select(
+            F.unix_millis("win").alias("win_start_ms"),
+            F.round("mv", 6).alias("max_price"),
+            "bidder",
+        )
+    )
+
+
+# n8: monitor new users — two event streams window-joined (Nexmark q8).
+@query(
+    "nexmark_n8_new_users",
+    """
+    WITH signups AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS win
+      FROM events WHERE event_type = 'signup'),
+    purchases AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS win
+      FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id, CAST(epoch_ms(s.win) AS BIGINT) AS win_start_ms
+    FROM signups s JOIN purchases p
+      ON s.user_id = p.user_id AND s.win = p.win
+    """,
+)
+def nexmark_n8_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q8 (monitor new users): persons who registered AND sold
+    in the same window — two filtered views of the stream window-joined
+    on (user, window), Flink's WindowJoin showcase. Both sides reduce
+    to distinct (user, window) sets before the join, so the join input
+    is bounded by active users per window."""
+    ev = Catalog(spark, sf_dir).events
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", F.date_trunc("hour", "ts").alias("win"))
+        .distinct()
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("hour", "ts").alias("win"))
+        .distinct()
+    )
+    return s.join(p, ["user_id", "win"]).select(
+        "user_id", F.unix_millis("win").alias("win_start_ms")
+    )

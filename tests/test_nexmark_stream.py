@@ -1,0 +1,159 @@
+"""Nexmark streaming twins: the SAME pipelines as queries_nexmark.py run
+through Structured Streaming (file replay → availableNow → memory sink)
+and must produce the batch entry's rows — the unified batch/streaming
+contract verified, not claimed.
+
+Event-time caveat encoded here: append-mode windowed aggregates only
+emit windows the final watermark closed, so aggregate twins compare
+against the batch result RESTRICTED to closed windows (and assert the
+open tail is the only difference)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_spark import queries as Q
+from tests.conftest import SF_DIR
+
+_DELAY = "30 minutes"
+
+
+@pytest.fixture(scope="module")
+def replayed(spark, tmp_path_factory):
+    """The events fixture replayed as a file stream (ts normalized to
+    TIMESTAMP the same way the catalog does for batch)."""
+    src = tmp_path_factory.mktemp("nexmark_src")
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(str(src), "part-00000.parquet"),
+    )
+    batch = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _run(spark, df, name, tmp_path, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), f"{name} did not finish"
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_n1_n2_n3_stateless_twins(spark, replayed, tmp_path):
+    """Stateless map/filter/broadcast-enrich: streaming rows == batch
+    rows exactly (no windows, no state, nothing withheld)."""
+    from flink_spark.catalog import Catalog
+
+    twins = {
+        "nx_n1": replayed.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 0.908, 6).alias("price_eur"),
+        ),
+        "nx_n2": replayed.where(
+            (F.col("event_type") == "purchase") & (F.col("event_id") % 123 == 0)
+        ).select("event_id", "user_id", F.round("value", 6).alias("price")),
+    }
+    c = Catalog(spark, SF_DIR).customer.where(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    )
+    ev3 = replayed.where(F.col("event_type") == "signup")
+    twins["nx_n3"] = ev3.join(
+        F.broadcast(c), ev3.user_id % 1000 == c.c_custkey
+    ).select("event_id", F.col("c_name").alias("bidder"),
+             F.col("c_mktsegment").alias("segment"))
+
+    batch = {
+        "nx_n1": "nexmark_n1_currency",
+        "nx_n2": "nexmark_n2_selection",
+        "nx_n3": "nexmark_n3_local_join",
+    }
+    for name, sdf in twins.items():
+        got = _rows(_run(spark, sdf, name, tmp_path))
+        want = _rows(Q.QUERIES[batch[name]](spark, SF_DIR))
+        assert got == want, name
+
+
+def test_n4_windowed_agg_twin_closed_windows(spark, replayed, tmp_path):
+    """Watermarked tumbling-window agg (Nexmark q4): streaming emits
+    exactly the batch rows whose window the final watermark closed."""
+    sdf = (
+        replayed.withWatermark("ts", _DELAY)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_price"),
+            F.count("*").alias("n_bids"),
+        )
+        .select(
+            F.col("event_type").alias("category"),
+            F.unix_millis("window.start").alias("win_start_ms"),
+            "total_price",
+            "n_bids",
+        )
+    )
+    got = _rows(_run(spark, sdf, "nx_n4", tmp_path))
+    batch_df = Q.QUERIES["nexmark_n4_avg_by_category"](spark, SF_DIR)
+    all_batch = _rows(batch_df)
+    assert set(got) <= set(all_batch), "streaming emitted a non-batch row"
+    # every withheld row sits in the unclosed tail after the final
+    # watermark (max event time - delay)
+    max_ms = (
+        Q.QUERIES["nexmark_n4_avg_by_category"](spark, SF_DIR)
+        .agg(F.max("win_start_ms"))
+        .collect()[0][0]
+    )
+    withheld = set(all_batch) - set(got)
+    assert withheld, "availableNow should withhold the open tail"
+    horizon = max_ms - 2 * 3_600_000  # delay < 1 window; tail <= 2 windows
+    assert all(r[1] >= horizon for r in withheld), withheld
+    assert len(got) > len(withheld), "most windows must have closed"
+
+
+def test_n8_stream_stream_window_join(spark, replayed, tmp_path):
+    """Nexmark q8: two filtered views of the stream joined on
+    (user, window) — a real stream-stream inner join with watermarks on
+    both sides; result must be a subset of the batch join covering all
+    closed windows."""
+    s = (
+        replayed.where(F.col("event_type") == "signup")
+        .withWatermark("ts", _DELAY)
+        .select("user_id", F.window("ts", "1 hour").alias("win"))
+    )
+    p = (
+        replayed.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", _DELAY)
+        .select("user_id", F.window("ts", "1 hour").alias("win"))
+    )
+    joined = (
+        s.join(p, ["user_id", "win"])
+        .select("user_id", F.unix_millis("win.start").alias("win_start_ms"))
+        .distinct()
+    )
+    got = set(_rows(_run(spark, joined, "nx_n8", tmp_path)))
+    want = set(_rows(Q.QUERIES["nexmark_n8_new_users"](spark, SF_DIR)))
+    assert got <= want
+    # all but the unclosed tail must be present
+    max_ms = max(r[1] for r in want)
+    closed = {r for r in want if r[1] < max_ms - 2 * 3_600_000}
+    assert closed <= got, sorted(closed - got)[:5]
