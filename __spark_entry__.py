@@ -63,12 +63,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allq = dict(_q.QUERIES)
     front = [n for n in allq if n not in _CHECKED]
     front += [n for n in _REFIXED if n in allq and n not in front]
-    # Round 4 added 53 TPC-DS shapes (full 99-family coverage), which
-    # overflows the 50-slot window; put the handful of new non-TPC-DS
-    # entries first so they aren't displaced — overflow TPC-DS rows are
-    # front-loaded automatically next round (still locally verified
-    # every pytest run via tests/test_oracle_queries.py meanwhile).
-    front.sort(key=lambda n: (n.startswith("tpcds_"),))
+    # Round 4 added ~100 new entries (full 103-variant TPC-DS coverage,
+    # Nexmark suite, SemDeDup, decontamination), far past the 50-slot
+    # window. Priority inside the window: (1) the round's named
+    # deliverables whose done-criterion is a driver row (JSON battery,
+    # dynamic session gap, the refixed approx-count-distinct), then
+    # (2) the TPC-DS family (the reference's own batch gate — fills the
+    # rest of the window), then everything else. Overflow rows are
+    # front-loaded automatically next round and are meanwhile verified
+    # every pytest run via tests/test_oracle_queries.py.
+    _PRIORITY = [
+        "scalar_json_query_exists", "scalar_overlay_encode",
+        "tvf_session_dynamic", "agg_approx_count_distinct",
+    ]
+    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    front.sort(
+        key=lambda n: (rank.get(n, 99), not n.startswith("tpcds_"))
+    )
     back = [n for n in allq if n not in front]
     # Back-fill prioritizes the TPC-DS family so the round's window holds
     # the full 40+ tpcds_* contract the reference's batch gate models.
