@@ -43,6 +43,9 @@ HEADLINE = [
     "tpcds_q19_shape",
     "tpcds_q42_shape",
     "tpcds_q52_shape",
+    "tpcds_q72_shape",
+    "tpcds_q49_shape",
+    "tpcds_q4_shape",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
     "join_interval_clicks_purchases",
