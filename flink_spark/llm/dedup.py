@@ -325,30 +325,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
                 continue
             # Vectorized voting: explode every token occurrence (±1 per
             # occurrence ≡ tf-weighted distinct-token votes), stack the
-            # per-token bit rows, and reduce per doc with ONE reduceat —
-            # no per-token numpy calls in the doc loop.
-            doc_tokens = [
-                [t for t in (tx or "").split(" ") if t]
-                for tx in pdf[text_col].values
-            ]
-            keep = [i for i, tks in enumerate(doc_tokens) if tks]
-            if not keep:  # all-empty docs: JVM/oracle drop them
+            # per-token bit rows, and reduce per doc with ONE reduceat.
+            # Tokenization runs on pandas' C string paths (str.split +
+            # explode), not a per-doc Python loop, and the signature
+            # bit-strings come from one byte-matrix view instead of a
+            # per-row join — the whole batch is O(few) vectorized ops
+            # plus one cached md5 per new vocab word.
+            pdf = pdf.reset_index(drop=True)
+            exploded = pdf[text_col].fillna("").str.split(" ").explode()
+            exploded = exploded[exploded != ""]
+            if exploded.empty:  # all-empty docs: JVM/oracle drop them
                 continue
-            counts = np.array([len(doc_tokens[i]) for i in keep])
-            flat = [t for i in keep for t in doc_tokens[i]]
-            codes, uniques = pd.factorize(flat)
+            counts = exploded.groupby(level=0, sort=True).size()
+            keep = counts.index.to_numpy()
+            codes, uniques = pd.factorize(exploded.to_numpy())
             vmat = np.stack([bitvec(t) for t in uniques])  # vocab × bits
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            starts = np.concatenate(
+                ([0], np.cumsum(counts.to_numpy())[:-1])
+            )
             votes = np.add.reduceat(
                 vmat[codes], starts, axis=0, dtype=np.int64
             )
-            ids = pdf[id_col].values[keep]
-            ones = votes > 0
-            sigs = [
-                "".join("1" if b else "0" for b in ones[r])
-                for r in range(len(keep))
-            ]
-            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+            chars = np.where(votes > 0, b"1", b"0").astype("S1")
+            sigs = np.ascontiguousarray(chars).view(f"S{bits}").ravel()
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "simhash": np.char.decode(sigs, "ascii"),
+                }
+            )
 
     id_t = df.schema[id_col].dataType.simpleString()
     return (
