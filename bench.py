@@ -4,10 +4,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "oracle_s": {...}, "ratio": {...}, "headline_ratio": R, "sf": ...}.
 
 Timing methodology (applied to BOTH engines identically): each query runs
-three times — one warm-up (absorbing one-time costs that don't exist in
+(one warm-up plus two timed, min reported; absorbing one-time costs that don't exist in
 steady state: Spark codegen compile + parquet footer reads, DuckDB
-buffer-pool fill) and two timed runs of which the MIN is reported
-(straggler guard on a shared machine). Cold (first-run) totals are also
+buffer-pool fill; min-of-2 is the straggler guard — at sf1 the bench
+runs 31 queries x both engines, so run count is budgeted to keep the
+driver's per-round bench under ~15 min). Cold (first-run) totals are also
 emitted (``queries_cold``) so the warm-up cost stays visible.
 
 The reference repo publishes no absolute numbers (its perf suite is
@@ -222,7 +223,7 @@ def main() -> None:
         n = df.count()
         cold[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t1 = time.perf_counter()
             Q.QUERIES[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t1)
@@ -252,7 +253,7 @@ def main() -> None:
                 continue
             con.execute(sql).fetchall()  # warm-up run
             best = float("inf")
-            for _ in range(3):
+            for _ in range(2):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
