@@ -109,3 +109,29 @@ def fingerprint(col: Column) -> Column:
     norm = F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " ")
     norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
     return F.md5(norm)
+
+
+# PII redaction patterns shared with the DuckDB oracle (RE2/Java-regex
+# compatible subset: no lookaround, no backreferences). Order matters:
+# URLs first (their host/path digits must become part of [URL], not
+# [NUM]), then emails, then long digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^ ]+", "[URL]"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"[0-9]{5,}", "[NUM]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub URL / email / long-number spans from a text column — the
+    standard pre-training privacy pass (map-only, JVM regexp_replace
+    chain, stays in whole-stage codegen; no Python in the hot path).
+
+    The pattern list is intentionally the lookaround-free subset that
+    means the same thing to Java regex (Spark) and RE2 (DuckDB), so the
+    pass is oracle-verifiable byte-for-byte.
+    """
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -268,3 +268,75 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_train"),
         F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
     )
+
+
+_PII_DECORATED = (
+    "text || ' contact user' || CAST(doc_id AS {str}) || '@example.com"
+    " or call ' || CAST(doc_id * 7919 + 10007 AS {str})"
+    " || ' via http://site-' || CAST(doc_id AS {str}) || '.example/page'"
+)
+
+
+@query(
+    "doc_pii_redact",
+    f"""
+    WITH decorated AS (
+      SELECT doc_id, source,
+             {_PII_DECORATED.format(str='VARCHAR')} AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id, source, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 'https?://[^ ]+', '[URL]', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '[EMAIL]', 'g'),
+                 '[0-9]{{5,}}', '[NUM]', 'g') AS rt
+      FROM decorated)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(t) - length(rt)) AS BIGINT) AS chars_redacted,
+           CAST(sum(CASE WHEN rt LIKE '%[EMAIL]%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_email,
+           CAST(sum(CASE WHEN rt LIKE '%[URL]%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_url,
+           CAST(sum(CASE WHEN rt LIKE '%[NUM]%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_num,
+           CAST(sum(CASE WHEN rt LIKE '%@%' OR rt LIKE '%http%' THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_leaked
+    FROM red
+    GROUP BY source
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (llm/text.py redact_pii): the fixture corpus
+    carries no PII, so each doc is first decorated with deterministic
+    synthetic PII derived from its id (an email, a long phone-like
+    number, a URL), then scrubbed — per-source report of redacted chars
+    and per-type hit counts, with an `n_leaked` column that must be 0
+    (the redaction-completeness assertion, hash-checked against the
+    oracle running the identical RE2/Java-compatible patterns)."""
+    from flink_spark.llm import text as T
+
+    d = Catalog(spark, sf_dir).documents
+    sid = F.col("doc_id").cast("string")
+    decorated = d.withColumn(
+        "t",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), sid,
+            F.lit("@example.com or call "),
+            (F.col("doc_id") * 7919 + 10007).cast("string"),
+            F.lit(" via http://site-"), sid, F.lit(".example/page"),
+        ),
+    )
+    red = decorated.withColumn("rt", T.redact_pii(F.col("t")))
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("t") - F.length("rt")).alias("chars_redacted"),
+        F.sum(F.col("rt").contains("[EMAIL]").cast("long")).alias("n_email"),
+        F.sum(F.col("rt").contains("[URL]").cast("long")).alias("n_url"),
+        F.sum(F.col("rt").contains("[NUM]").cast("long")).alias("n_num"),
+        F.sum(
+            (F.col("rt").contains("@") | F.col("rt").contains("http"))
+            .cast("long")
+        ).alias("n_leaked"),
+    )
