@@ -188,3 +188,44 @@ def test_ddl_insert_into_filesystem_round_trip(spark, tmp_path):
         env.execute_sql("INSERT INTO gen_t VALUES (1, 2)")
     env.execute_sql("DROP TABLE sink_t")
     env.execute_sql("DROP TABLE gen_t")
+
+
+def test_ddl_csv_pipe_tpch_harness_parity(spark, tmp_path):
+    """The reference's TPC-H e2e harness reads |-delimited CSV filesystem
+    tables (test_tpch.sh:22,34 + source.sql). Mirror it: export lineitem
+    to pipe-CSV, register it through Flink DDL with the csv connector
+    options, and the q1-style aggregate over the CSV table must equal
+    the same aggregate over the parquet fixture."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    path = str(tmp_path / "lineitem_csv")
+    src.select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_linestatus",
+    ).write.option("sep", "|").csv(path)
+
+    env = TableEnvironment(spark)
+    env.execute_sql(f"""
+        CREATE TABLE lineitem_csv (
+            l_orderkey BIGINT,
+            l_quantity DOUBLE,
+            l_extendedprice DOUBLE,
+            l_returnflag STRING,
+            l_linestatus STRING
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'csv', 'csv.sep' = '|')
+    """)
+
+    agg = """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty,
+               round(sum(l_extendedprice), 2) AS price
+        FROM {t} GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+    src.createOrReplaceTempView("lineitem_pq")
+    got = spark.sql(agg.format(t="lineitem_csv")).collect()
+    want = spark.sql(agg.format(t="lineitem_pq")).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    env.execute_sql("DROP TABLE lineitem_csv")
