@@ -287,11 +287,44 @@ def _insert_into(
             "writes in this front-end"
         )
     q = query.strip()
+    # Flink supports an explicit column list: INSERT INTO t (c1, c2)
+    # SELECT ... — unmentioned columns are padded with NULLs
+    # (SqlValidatorImpl target-column expansion).
+    explicit_cols: list[str] | None = None
+    clm = re.match(r"^\(([^)]*)\)\s*(.+)$", q, re.S)
+    if clm and all(
+        re.fullmatch(r"\w+", c.strip()) for c in clm.group(1).split(",")
+    ):
+        explicit_cols = [c.strip() for c in clm.group(1).split(",")]
+        declared = {c for c, _ in spec.physical}
+        unknown = [c for c in explicit_cols if c not in declared]
+        if unknown:
+            raise ValueError(
+                f"INSERT INTO {name} ({', '.join(explicit_cols)}): "
+                f"column(s) {unknown} not in table schema"
+            )
+        q = clm.group(2).strip()
     if re.match(r"^VALUES\b", q, re.I):
         q = f"SELECT * FROM ({q})"
     out = spark.sql(q)
     cols = [c for c, _ in spec.physical]
-    if sorted(out.columns) == sorted(cols):
+    if explicit_cols is not None:
+        if len(out.columns) != len(explicit_cols):
+            raise ValueError(
+                f"INSERT INTO {name} ({', '.join(explicit_cols)}): query "
+                f"produces {len(out.columns)} columns, list names "
+                f"{len(explicit_cols)}"
+            )
+        out = out.toDF(*explicit_cols)
+        # pad unmentioned declared columns with typed NULLs (Flink's
+        # partial-insert semantics)
+        out = out.select(
+            *[
+                (F.col(c) if c in explicit_cols else F.lit(None)).alias(c)
+                for c in cols
+            ]
+        )
+    elif sorted(out.columns) == sorted(cols):
         out = out.select(*cols)  # align by name
     elif len(out.columns) == len(cols):
         out = out.toDF(*cols)  # positional, Flink's implicit mapping
@@ -304,10 +337,28 @@ def _insert_into(
         *[F.col(c).cast(t) for c, t in spec.physical]
     )
     fmt = spec.options.get("format", "parquet")
+    # Apply the table's declared format options on the WRITE side too —
+    # a 'csv.sep'='|' table must produce pipe-delimited files, or the
+    # re-registered view (which reads with sep='|') misparses every row.
+    fmt_opts = {
+        k.split(".", 1)[1]: v
+        for k, v in spec.options.items()
+        if k.startswith(f"{fmt}.")
+    }
     mode = "overwrite" if mode_kw.upper() == "OVERWRITE" else "append"
-    out.write.mode(mode).format(fmt).save(spec.options["path"])
+    # Materialize once: count on the cached plan, then write the same
+    # materialization — a nondeterministic SELECT (rand(), proctime) or
+    # self-referencing append would otherwise disagree between the write
+    # and a post-write recount, and the recount doubles the cost.
+    out = out.cache()
+    try:
+        n = out.count()
+        out.write.mode(mode).format(fmt).options(**fmt_opts).save(
+            spec.options["path"]
+        )
+    finally:
+        out.unpersist()
     register_table(spark, spec)  # refresh the view over the new files
-    n = out.count()
     return spark.createDataFrame([(n,)], "rows_inserted bigint")
 
 

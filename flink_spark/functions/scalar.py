@@ -152,5 +152,10 @@ def temporal_overlaps(
     """Flink temporalOverlaps / SQL (s1, e1) OVERLAPS (s2, e2)
     (BuiltInFunctionDefinitions.java `temporalOverlaps`): true when the
     two periods share any instant. Spark SQL has no OVERLAPS row syntax;
-    the half-open interval test is the standard equivalent."""
-    return (s1 <= e2) & (s2 <= e1)
+    this is the closed-endpoint (inclusive) interval test Calcite's
+    convertOverlaps emits. Flink first normalizes each (timePoint, end)
+    pair so lo <= hi before comparing — a caller passing a reversed
+    period gets the same answer as Flink here."""
+    lo1, hi1 = F.least(s1, e1), F.greatest(s1, e1)
+    lo2, hi2 = F.least(s2, e2), F.greatest(s2, e2)
+    return (lo1 <= hi2) & (lo2 <= hi1)

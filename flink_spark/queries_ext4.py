@@ -234,7 +234,7 @@ def _decontaminate_oracle(n: int = 8, nbuckets: int = 8) -> str:
                       {nib} % {nbuckets} AS bkt
                FROM documents),
     sh AS (SELECT doc_id, source, bkt,
-                  unnest([{gram} for i in range(1, len(ws) - {n - 1})]) AS s
+                  unnest([{gram} for i in range(1, len(ws) - {n - 2})]) AS s
            FROM d WHERE len(ws) >= {n}),
     ev AS (SELECT DISTINCT md5(s) AS dig FROM sh WHERE bkt = 0),
     hits AS (SELECT DISTINCT doc_id FROM sh

@@ -229,3 +229,70 @@ def test_ddl_csv_pipe_tpch_harness_parity(spark, tmp_path):
     want = spark.sql(agg.format(t="lineitem_pq")).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     env.execute_sql("DROP TABLE lineitem_csv")
+
+
+def test_ddl_insert_csv_applies_format_options(spark, tmp_path):
+    """INSERT INTO a 'csv.sep'='|' table must WRITE pipe-delimited files
+    — register_table reads with sep='|', so a comma-delimited write
+    would silently collapse every row into one misparsed column."""
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "pipe_t")
+    env.execute_sql(f"""
+        CREATE TABLE pipe_t (k INT, name STRING, amount BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'csv', 'csv.sep' = '|')
+    """)
+    env.execute_sql("INSERT INTO pipe_t VALUES (1, 'a', 10), (2, 'b', 20)")
+    rows = sorted(
+        (r.k, r.name, r.amount)
+        for r in spark.sql("SELECT * FROM pipe_t").collect()
+    )
+    assert rows == [(1, "a", 10), (2, "b", 20)]
+    # the files on disk really are pipe-delimited
+    import glob
+
+    raw = []
+    for f in glob.glob(f"{path}/part-*"):
+        with open(f) as fh:
+            raw += [ln.strip() for ln in fh if ln.strip()]
+    assert sorted(raw) == ["1|a|10", "2|b|20"]
+    env.execute_sql("DROP TABLE pipe_t")
+
+
+def test_ddl_insert_explicit_column_list(spark, tmp_path):
+    """Flink supports INSERT INTO t (c1, c2) SELECT ... — unmentioned
+    columns are padded with NULLs (SqlValidatorImpl target-column
+    expansion)."""
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "partial_t")
+    env.execute_sql(f"""
+        CREATE TABLE partial_t (k INT, name STRING, amount BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    env.execute_sql("INSERT INTO partial_t (amount, k) VALUES (10, 1)")
+    r = spark.sql("SELECT k, name, amount FROM partial_t").collect()[0]
+    assert (r.k, r.name, r.amount) == (1, None, 10)
+    with pytest.raises(ValueError, match="not in table schema"):
+        env.execute_sql("INSERT INTO partial_t (nope) VALUES (1)")
+    env.execute_sql("DROP TABLE partial_t")
+
+
+def test_ddl_insert_nondeterministic_count_consistent(spark, tmp_path):
+    """rows_inserted must describe the rows actually written — the
+    materialization is cached and counted once, not re-executed after
+    the write (a rand() SELECT would otherwise disagree)."""
+    env = TableEnvironment(spark)
+    path = str(tmp_path / "rand_t")
+    env.execute_sql(f"""
+        CREATE TABLE rand_t (v DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    r = env.execute_sql(
+        "INSERT INTO rand_t SELECT rand() AS v FROM range(1000) WHERE rand() < 0.5"
+    )
+    n_reported = r.collect()[0].rows_inserted
+    n_on_disk = spark.sql("SELECT count(*) c FROM rand_t").collect()[0].c
+    assert n_reported == n_on_disk
+    env.execute_sql("DROP TABLE rand_t")
