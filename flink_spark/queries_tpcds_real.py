@@ -1,0 +1,707 @@
+"""The reference's ACTUAL TPC-DS benchmark queries, run unmodified.
+
+Round 4's 103 ``tpcds_*_shape`` entries reproduced each query's plan
+family on the TPC-H-ish fixture schema; this module closes the honesty
+gap by executing the REAL query texts against a real TPC-DS schema.
+
+Query texts: TPC-DS benchmark SQL (TPC-published query templates
+instantiated with the default dsqgen parameters), exactly as the
+reference's end-to-end batch gate runs them
+(flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/query{N}.sql,
+executed by TpcdsTestProgram.java:76-85). They are benchmark SQL, not
+engine code. Each text runs UNMODIFIED through ``spark.sql`` — column
+canonicalization (positional rename + double/bigint casts so the
+DuckDB compare is type-stable) happens on the returned DataFrame,
+never in the executed SQL.
+
+Data: flink_spark/tpcds_data.py generates a deterministic dsdgen-lite
+corpus (~sf0.01, 14 tables, decimal money columns) under
+``SPARK_GRAFT_TPCDS_DIR`` (default /root/repo/benchdata/tpcds); the
+DuckDB oracle reads the same parquet via ``read_parquet`` CTEs, so both
+engines see byte-identical inputs.
+
+Dialect notes (oracle side only): DuckDB rejects q72's unqualified
+``ORDER BY d_week_seq`` (ambiguous between d1/d2/d3) which
+Spark/Calcite resolve to the select-list column; the oracle qualifies
+it as ``d1.d_week_seq``. Row order is irrelevant to the compare.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_spark.catalog import Catalog
+from flink_spark.queries import query
+from flink_spark.tpcds_data import ensure
+
+TPCDS_DIR = os.environ.get("SPARK_GRAFT_TPCDS_DIR", "/root/repo/benchdata/tpcds")
+
+TPCDS_TABLES = (
+    "date_dim", "item", "customer", "customer_address",
+    "customer_demographics", "household_demographics", "store",
+    "warehouse", "promotion", "store_sales", "catalog_sales",
+    "web_sales", "inventory", "catalog_returns",
+)
+
+# sessions (by id) whose temp views currently point at the TPC-DS schema
+_dfs: dict[int, dict[str, DataFrame]] = {}
+
+
+def _register_tpcds(spark: SparkSession) -> None:
+    """Point temp views at the TPC-DS corpus (generating it if absent).
+
+    Re-registered on every call: ``customer`` collides with the TPC-H
+    fixture table of the same name, and fixture queries restore it, so
+    the view state is not sticky. DataFrames are memoized per session —
+    only the cheap createOrReplaceTempView catalog call repeats.
+    """
+    d = ensure(TPCDS_DIR)
+    cache = _dfs.setdefault(id(spark), {})
+    for t in TPCDS_TABLES:
+        if t not in cache:
+            cache[t] = spark.read.parquet(f"{d}/{t}.parquet")
+        cache[t].createOrReplaceTempView(t)
+
+
+def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
+    """Execute the real query text; restore the shadowed fixture view.
+
+    spark.sql() analyzes the plan eagerly, so the returned DataFrame
+    stays bound to the TPC-DS relations even after ``customer`` is
+    re-pointed at the fixture table for subsequent fixture queries.
+    """
+    _register_tpcds(spark)
+    text, names, casts = _TPCDS_REAL[qid]
+    try:
+        df = spark.sql(text)
+    finally:
+        try:
+            Catalog(spark, sf_dir).table("customer").createOrReplaceTempView(
+                "customer"
+            )
+        except Exception:
+            pass  # fixture data absent (pure-TPC-DS session): nothing to restore
+    df = df.toDF(*names)
+    for c, t in casts.items():
+        df = df.withColumn(c, F.col(c).cast("double" if t == "double6" else t))
+    return df
+
+
+def _oracle_real(qid: str) -> str:
+    """DuckDB oracle: same text over read_parquet CTEs of the same files,
+    wrapped in a positional column-list rename + type-stabilizing casts."""
+    text, names, casts = _TPCDS_REAL[qid]
+    for old, new in _ORACLE_DIALECT.get(qid, ()):
+        assert old in text, f"dialect patch target missing in q{qid}"
+        text = text.replace(old, new)
+    prelude = ", ".join(
+        f"{t} AS (SELECT * FROM read_parquet('{TPCDS_DIR}/{t}.parquet'))"
+        for t in TPCDS_TABLES
+    )
+    def _cast(c: str) -> str:
+        t = casts.get(c)
+        if t is None:
+            return c
+        if t == "double6":
+            # Spark's avg(decimal(7,2)) is decimal(11,6) — exactly 6 dp —
+            # while DuckDB's avg(decimal) is a raw double; round to the
+            # same 6 dp before the type-stabilizing cast.
+            return f"CAST(round({c}, 6) AS DOUBLE) AS {c}"
+        return f"CAST({c} AS {t.upper()}) AS {c}"
+
+    cols = ", ".join(_cast(c) for c in names)
+    return (
+        f"WITH {prelude}\n"
+        f"SELECT {cols} FROM (\n"
+        f"SELECT * FROM (\n{text}\n) AS _q({', '.join(names)})\n) AS _f"
+    )
+
+
+# oracle-side dialect repairs (never applied to the Spark-executed text)
+_ORACLE_DIALECT: dict[str, tuple[tuple[str, str], ...]] = {
+    "14a": (
+        # Spark/Calcite sort NULLS FIRST for ASC; DuckDB defaults to
+        # NULLS LAST — with LIMIT 100 straddling the ROLLUP
+        # super-aggregate rows, the selected row SET differs.
+        (
+            "order by channel,i_brand_id,i_class_id,i_category_id",
+            "order by channel NULLS FIRST, i_brand_id NULLS FIRST, "
+            "i_class_id NULLS FIRST, i_category_id NULLS FIRST",
+        ),
+    ),
+    "72": (
+        (
+            "order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq",
+            "order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq",
+        ),
+    ),
+}
+
+
+# qid -> (verbatim reference query text, canonical output names, casts)
+_TPCDS_REAL: dict[str, tuple[str, list[str], dict[str, str]]] = {
+
+    "3": (
+        r"""
+select  dt.d_year 
+       ,item.i_brand_id brand_id 
+       ,item.i_brand brand
+       ,sum(ss_ext_sales_price) sum_agg
+ from  date_dim dt 
+      ,store_sales
+      ,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+   and store_sales.ss_item_sk = item.i_item_sk
+   and item.i_manufact_id = 128
+   and dt.d_moy=11
+ group by dt.d_year
+      ,item.i_brand
+      ,item.i_brand_id
+ order by dt.d_year
+         ,sum_agg desc
+         ,brand_id
+ limit 100
+""",
+        ['d_year', 'brand_id', 'brand', 'sum_agg'],
+        {'sum_agg': 'double'},
+    ),
+    "7": (
+        r"""
+select  i_item_id, 
+        avg(cast(ss_quantity as decimal(7, 2))) agg1,
+        avg(ss_list_price) agg2,
+        avg(ss_coupon_amt) agg3,
+        avg(ss_sales_price) agg4 
+ from store_sales, customer_demographics, date_dim, item, promotion
+ where ss_sold_date_sk = d_date_sk and
+       ss_item_sk = i_item_sk and
+       ss_cdemo_sk = cd_demo_sk and
+       ss_promo_sk = p_promo_sk and
+       cd_gender = 'M' and
+       cd_marital_status = 'S' and
+       cd_education_status = 'College' and
+       (p_channel_email = 'N' or p_channel_event = 'N') and
+       d_year = 2000
+ group by i_item_id
+ order by i_item_id
+ limit 100
+""",
+        ['i_item_id', 'agg1', 'agg2', 'agg3', 'agg4'],
+        {'agg1': 'double6', 'agg2': 'double6', 'agg3': 'double6', 'agg4': 'double6'},
+    ),
+    "19": (
+        r"""
+select  i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,
+ 	sum(ss_ext_sales_price) ext_price
+ from date_dim, store_sales, item,customer,customer_address,store
+ where d_date_sk = ss_sold_date_sk
+   and ss_item_sk = i_item_sk
+   and i_manager_id=8
+   and d_moy=11
+   and d_year=1998
+   and ss_customer_sk = c_customer_sk 
+   and c_current_addr_sk = ca_address_sk
+   and substr(ca_zip,1,5) <> substr(s_zip,1,5) 
+   and ss_store_sk = s_store_sk 
+ group by i_brand
+      ,i_brand_id
+      ,i_manufact_id
+      ,i_manufact
+ order by ext_price desc
+         ,i_brand
+         ,i_brand_id
+         ,i_manufact_id
+         ,i_manufact
+limit 100 
+""",
+        ['brand_id', 'brand', 'i_manufact_id', 'i_manufact', 'ext_price'],
+        {'ext_price': 'double'},
+    ),
+    "34": (
+        r"""
+select c_last_name
+       ,c_first_name
+       ,c_salutation
+       ,c_preferred_cust_flag
+       ,ss_ticket_number
+       ,cnt from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,count(*) cnt
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk  
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and (date_dim.d_dom between 1 and 3 or date_dim.d_dom between 25 and 28)
+    and (household_demographics.hd_buy_potential = '>10000' or
+         household_demographics.hd_buy_potential = 'Unknown')
+    and household_demographics.hd_vehicle_count > 0
+    and (case when household_demographics.hd_vehicle_count > 0 
+	then cast(household_demographics.hd_dep_count as decimal(7, 2))/ cast(household_demographics.hd_vehicle_count as decimal(7, 2))
+	else null 
+	end)  > 1.2
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_county in ('Williamson County','Williamson County','Williamson County','Williamson County',
+                           'Williamson County','Williamson County','Williamson County','Williamson County')
+    group by ss_ticket_number,ss_customer_sk) dn,customer
+    where ss_customer_sk = c_customer_sk
+      and cnt between 15 and 20
+    order by c_last_name,c_first_name,c_salutation,c_preferred_cust_flag desc, ss_ticket_number
+""",
+        ['c_last_name', 'c_first_name', 'c_salutation', 'c_preferred_cust_flag', 'ss_ticket_number', 'cnt'],
+        {},
+    ),
+    "42": (
+        r"""
+select  dt.d_year
+ 	,item.i_category_id
+ 	,item.i_category
+ 	,sum(ss_ext_sales_price)
+ from 	date_dim dt
+ 	,store_sales
+ 	,item
+ where dt.d_date_sk = store_sales.ss_sold_date_sk
+ 	and store_sales.ss_item_sk = item.i_item_sk
+ 	and item.i_manager_id = 1  	
+ 	and dt.d_moy=11
+ 	and dt.d_year=2000
+ group by 	dt.d_year
+ 		,item.i_category_id
+ 		,item.i_category
+ order by       sum(ss_ext_sales_price) desc,dt.d_year
+ 		,item.i_category_id
+ 		,item.i_category
+limit 100 
+""",
+        ['d_year', 'i_category_id', 'i_category', 'sum_sales'],
+        {'sum_sales': 'double'},
+    ),
+    "55": (
+        r"""
+select  i_brand_id brand_id, i_brand brand,
+ 	sum(ss_ext_sales_price) ext_price
+ from date_dim, store_sales, item
+ where d_date_sk = ss_sold_date_sk
+ 	and ss_item_sk = i_item_sk
+ 	and i_manager_id=28
+ 	and d_moy=11
+ 	and d_year=1999
+ group by i_brand, i_brand_id
+ order by ext_price desc, i_brand_id
+limit 100 
+""",
+        ['brand_id', 'brand', 'ext_price'],
+        {'ext_price': 'double'},
+    ),
+    "68": (
+        r"""
+select  c_last_name
+       ,c_first_name
+       ,ca_city
+       ,bought_city
+       ,ss_ticket_number
+       ,extended_price
+       ,extended_tax
+       ,list_price
+ from (select ss_ticket_number
+             ,ss_customer_sk
+             ,ca_city bought_city
+             ,sum(ss_ext_sales_price) extended_price 
+             ,sum(ss_ext_list_price) list_price
+             ,sum(ss_ext_tax) extended_tax 
+       from store_sales
+           ,date_dim
+           ,store
+           ,household_demographics
+           ,customer_address 
+       where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         and store_sales.ss_store_sk = store.s_store_sk  
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and store_sales.ss_addr_sk = customer_address.ca_address_sk
+        and date_dim.d_dom between 1 and 2 
+        and (household_demographics.hd_dep_count = 4 or
+             household_demographics.hd_vehicle_count= 3)
+        and date_dim.d_year in (1999,1999+1,1999+2)
+        and store.s_city in ('Fairview','Midway')
+       group by ss_ticket_number
+               ,ss_customer_sk
+               ,ss_addr_sk,ca_city) dn
+      ,customer
+      ,customer_address current_addr
+ where ss_customer_sk = c_customer_sk
+   and customer.c_current_addr_sk = current_addr.ca_address_sk
+   and current_addr.ca_city <> bought_city
+   and bought_city is not null
+ order by c_last_name
+         ,ss_ticket_number
+ limit 100
+""",
+        ['c_last_name', 'c_first_name', 'ca_city', 'bought_city', 'ss_ticket_number', 'extended_price', 'extended_tax', 'list_price'],
+        {'extended_price': 'double', 'extended_tax': 'double', 'list_price': 'double'},
+    ),
+    "73": (
+        r"""
+select c_last_name
+       ,c_first_name
+       ,c_salutation
+       ,c_preferred_cust_flag 
+       ,ss_ticket_number
+       ,cnt from
+   (select ss_ticket_number
+          ,ss_customer_sk
+          ,count(*) cnt
+    from store_sales,date_dim,store,household_demographics
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    and store_sales.ss_store_sk = store.s_store_sk  
+    and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    and date_dim.d_dom between 1 and 2 
+    and (household_demographics.hd_buy_potential = '>10000' or
+         household_demographics.hd_buy_potential = 'Unknown')
+    and household_demographics.hd_vehicle_count > 0
+    and case when household_demographics.hd_vehicle_count > 0 then 
+             cast(household_demographics.hd_dep_count as decimal(7, 2))/ cast(household_demographics.hd_vehicle_count as decimal(7, 2)) else null end > 1
+    and date_dim.d_year in (1999,1999+1,1999+2)
+    and store.s_county in ('Williamson County','Franklin Parish','Bronx County','Orange County')
+    group by ss_ticket_number,ss_customer_sk) dj,customer
+    where ss_customer_sk = c_customer_sk
+      and cnt between 1 and 5
+    order by cnt desc, c_last_name asc
+""",
+        ['c_last_name', 'c_first_name', 'c_salutation', 'c_preferred_cust_flag', 'ss_ticket_number', 'cnt'],
+        {},
+    ),
+    "4": (
+        r"""
+with year_total as (
+ select c_customer_id customer_id
+       ,c_first_name customer_first_name
+       ,c_last_name customer_last_name
+       ,c_preferred_cust_flag customer_preferred_cust_flag
+       ,c_birth_country customer_birth_country
+       ,c_login customer_login
+       ,c_email_address customer_email_address
+       ,d_year dyear
+       ,sum(((ss_ext_list_price-ss_ext_wholesale_cost-ss_ext_discount_amt)+ss_ext_sales_price)/2) year_total
+       ,'s' sale_type
+ from customer
+     ,store_sales
+     ,date_dim
+ where c_customer_sk = ss_customer_sk
+   and ss_sold_date_sk = d_date_sk
+ group by c_customer_id
+         ,c_first_name
+         ,c_last_name
+         ,c_preferred_cust_flag
+         ,c_birth_country
+         ,c_login
+         ,c_email_address
+         ,d_year
+ union all
+ select c_customer_id customer_id
+       ,c_first_name customer_first_name
+       ,c_last_name customer_last_name
+       ,c_preferred_cust_flag customer_preferred_cust_flag
+       ,c_birth_country customer_birth_country
+       ,c_login customer_login
+       ,c_email_address customer_email_address
+       ,d_year dyear
+       ,sum((((cs_ext_list_price-cs_ext_wholesale_cost-cs_ext_discount_amt)+cs_ext_sales_price)/2) ) year_total
+       ,'c' sale_type
+ from customer
+     ,catalog_sales
+     ,date_dim
+ where c_customer_sk = cs_bill_customer_sk
+   and cs_sold_date_sk = d_date_sk
+ group by c_customer_id
+         ,c_first_name
+         ,c_last_name
+         ,c_preferred_cust_flag
+         ,c_birth_country
+         ,c_login
+         ,c_email_address
+         ,d_year
+union all
+ select c_customer_id customer_id
+       ,c_first_name customer_first_name
+       ,c_last_name customer_last_name
+       ,c_preferred_cust_flag customer_preferred_cust_flag
+       ,c_birth_country customer_birth_country
+       ,c_login customer_login
+       ,c_email_address customer_email_address
+       ,d_year dyear
+       ,sum((((ws_ext_list_price-ws_ext_wholesale_cost-ws_ext_discount_amt)+ws_ext_sales_price)/2) ) year_total
+       ,'w' sale_type
+ from customer
+     ,web_sales
+     ,date_dim
+ where c_customer_sk = ws_bill_customer_sk
+   and ws_sold_date_sk = d_date_sk
+ group by c_customer_id
+         ,c_first_name
+         ,c_last_name
+         ,c_preferred_cust_flag
+         ,c_birth_country
+         ,c_login
+         ,c_email_address
+         ,d_year
+         )
+  select  
+                  t_s_secyear.customer_id
+                 ,t_s_secyear.customer_first_name
+                 ,t_s_secyear.customer_last_name
+                 ,t_s_secyear.customer_preferred_cust_flag
+ from year_total t_s_firstyear
+     ,year_total t_s_secyear
+     ,year_total t_c_firstyear
+     ,year_total t_c_secyear
+     ,year_total t_w_firstyear
+     ,year_total t_w_secyear
+ where t_s_secyear.customer_id = t_s_firstyear.customer_id
+   and t_s_firstyear.customer_id = t_c_secyear.customer_id
+   and t_s_firstyear.customer_id = t_c_firstyear.customer_id
+   and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+   and t_s_firstyear.customer_id = t_w_secyear.customer_id
+   and t_s_firstyear.sale_type = 's'
+   and t_c_firstyear.sale_type = 'c'
+   and t_w_firstyear.sale_type = 'w'
+   and t_s_secyear.sale_type = 's'
+   and t_c_secyear.sale_type = 'c'
+   and t_w_secyear.sale_type = 'w'
+   and t_s_firstyear.dyear = 2001
+   and t_s_secyear.dyear = 2001+1
+   and t_c_firstyear.dyear =  2001
+   and t_c_secyear.dyear =  2001+1
+   and t_w_firstyear.dyear = 2001
+   and t_w_secyear.dyear = 2001+1
+   and t_s_firstyear.year_total > 0
+   and t_c_firstyear.year_total > 0
+   and t_w_firstyear.year_total > 0
+   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+           > case when t_s_firstyear.year_total > 0 then t_s_secyear.year_total / t_s_firstyear.year_total else null end
+   and case when t_c_firstyear.year_total > 0 then t_c_secyear.year_total / t_c_firstyear.year_total else null end
+           > case when t_w_firstyear.year_total > 0 then t_w_secyear.year_total / t_w_firstyear.year_total else null end
+ order by t_s_secyear.customer_id
+         ,t_s_secyear.customer_first_name
+         ,t_s_secyear.customer_last_name
+         ,t_s_secyear.customer_preferred_cust_flag
+limit 100
+""",
+        ['customer_id', 'customer_first_name', 'customer_last_name', 'customer_preferred_cust_flag'],
+        {},
+    ),
+    "14a": (
+        r"""
+with  cross_items as
+ (select i_item_sk ss_item_sk
+ from item,
+ (select iss.i_brand_id brand_id
+     ,iss.i_class_id class_id
+     ,iss.i_category_id category_id
+ from store_sales
+     ,item iss
+     ,date_dim d1
+ where ss_item_sk = iss.i_item_sk
+   and ss_sold_date_sk = d1.d_date_sk
+   and d1.d_year between 1999 AND 1999 + 2
+ intersect 
+ select ics.i_brand_id
+     ,ics.i_class_id
+     ,ics.i_category_id
+ from catalog_sales
+     ,item ics
+     ,date_dim d2
+ where cs_item_sk = ics.i_item_sk
+   and cs_sold_date_sk = d2.d_date_sk
+   and d2.d_year between 1999 AND 1999 + 2
+ intersect
+ select iws.i_brand_id
+     ,iws.i_class_id
+     ,iws.i_category_id
+ from web_sales
+     ,item iws
+     ,date_dim d3
+ where ws_item_sk = iws.i_item_sk
+   and ws_sold_date_sk = d3.d_date_sk
+   and d3.d_year between 1999 AND 1999 + 2)
+ where i_brand_id = brand_id
+      and i_class_id = class_id
+      and i_category_id = category_id
+),
+ avg_sales as
+ (select avg(quantity*list_price) average_sales
+  from (select ss_quantity quantity
+             ,ss_list_price list_price
+       from store_sales
+           ,date_dim
+       where ss_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2
+       union all 
+       select cs_quantity quantity 
+             ,cs_list_price list_price
+       from catalog_sales
+           ,date_dim
+       where cs_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2 
+       union all
+       select ws_quantity quantity
+             ,ws_list_price list_price
+       from web_sales
+           ,date_dim
+       where ws_sold_date_sk = d_date_sk
+         and d_year between 1999 and 1999 + 2) x)
+  select  channel, i_brand_id,i_class_id,i_category_id,sum(sales), sum(number_sales)
+ from(
+       select 'store' channel, i_brand_id,i_class_id
+             ,i_category_id,sum(ss_quantity*ss_list_price) sales
+             , count(*) number_sales
+       from store_sales
+           ,item
+           ,date_dim
+       where ss_item_sk in (select ss_item_sk from cross_items)
+         and ss_item_sk = i_item_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_year = 1999+2 
+         and d_moy = 11
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(ss_quantity*ss_list_price) > (select average_sales from avg_sales)
+       union all
+       select 'catalog' channel, i_brand_id,i_class_id,i_category_id, sum(cs_quantity*cs_list_price) sales, count(*) number_sales
+       from catalog_sales
+           ,item
+           ,date_dim
+       where cs_item_sk in (select ss_item_sk from cross_items)
+         and cs_item_sk = i_item_sk
+         and cs_sold_date_sk = d_date_sk
+         and d_year = 1999+2 
+         and d_moy = 11
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(cs_quantity*cs_list_price) > (select average_sales from avg_sales)
+       union all
+       select 'web' channel, i_brand_id,i_class_id,i_category_id, sum(ws_quantity*ws_list_price) sales , count(*) number_sales
+       from web_sales
+           ,item
+           ,date_dim
+       where ws_item_sk in (select ss_item_sk from cross_items)
+         and ws_item_sk = i_item_sk
+         and ws_sold_date_sk = d_date_sk
+         and d_year = 1999+2
+         and d_moy = 11
+       group by i_brand_id,i_class_id,i_category_id
+       having sum(ws_quantity*ws_list_price) > (select average_sales from avg_sales)
+ ) y
+ group by rollup (channel, i_brand_id,i_class_id,i_category_id)
+ order by channel,i_brand_id,i_class_id,i_category_id
+ limit 100
+""",
+        ['channel', 'i_brand_id', 'i_class_id', 'i_category_id', 'sum_sales', 'sum_number_sales'],
+        {'sum_sales': 'double', 'sum_number_sales': 'bigint'},
+    ),
+    "23a": (
+        r"""
+with frequent_ss_items as 
+ (select substr(i_item_desc,1,30) itemdesc,i_item_sk item_sk,d_date solddate,count(*) cnt
+  from store_sales
+      ,date_dim 
+      ,item
+  where ss_sold_date_sk = d_date_sk
+    and ss_item_sk = i_item_sk 
+    and d_year in (2000,2000+1,2000+2,2000+3)
+  group by substr(i_item_desc,1,30),i_item_sk,d_date
+  having count(*) >4),
+ max_store_sales as
+ (select max(csales) tpcds_cmax 
+  from (select c_customer_sk,sum(ss_quantity*ss_sales_price) csales
+        from store_sales
+            ,customer
+            ,date_dim 
+        where ss_customer_sk = c_customer_sk
+         and ss_sold_date_sk = d_date_sk
+         and d_year in (2000,2000+1,2000+2,2000+3) 
+        group by c_customer_sk)),
+ best_ss_customer as
+ (select c_customer_sk,sum(ss_quantity*ss_sales_price) ssales
+  from store_sales
+      ,customer
+  where ss_customer_sk = c_customer_sk
+  group by c_customer_sk
+  having sum(ss_quantity*ss_sales_price) > (50/100.0) * (select
+  *
+from
+ max_store_sales))
+  select  sum(sales)
+ from (select cs_quantity*cs_list_price sales
+       from catalog_sales
+           ,date_dim 
+       where d_year = 2000 
+         and d_moy = 2 
+         and cs_sold_date_sk = d_date_sk 
+         and cs_item_sk in (select item_sk from frequent_ss_items)
+         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+      union all
+      select ws_quantity*ws_list_price sales
+       from web_sales 
+           ,date_dim 
+       where d_year = 2000 
+         and d_moy = 2 
+         and ws_sold_date_sk = d_date_sk 
+         and ws_item_sk in (select item_sk from frequent_ss_items)
+         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)) 
+ limit 100
+""",
+        ['sum_sales'],
+        {'sum_sales': 'double'},
+    ),
+    "72": (
+        r"""
+select  i_item_desc
+      ,w_warehouse_name
+      ,d1.d_week_seq
+      ,sum(case when p_promo_sk is null then 1 else 0 end) no_promo
+      ,sum(case when p_promo_sk is not null then 1 else 0 end) promo
+      ,count(*) total_cnt
+from catalog_sales
+join inventory on (cs_item_sk = inv_item_sk)
+join warehouse on (w_warehouse_sk=inv_warehouse_sk)
+join item on (i_item_sk = cs_item_sk)
+join customer_demographics on (cs_bill_cdemo_sk = cd_demo_sk)
+join household_demographics on (cs_bill_hdemo_sk = hd_demo_sk)
+join date_dim d1 on (cs_sold_date_sk = d1.d_date_sk)
+join date_dim d2 on (inv_date_sk = d2.d_date_sk)
+join date_dim d3 on (cs_ship_date_sk = d3.d_date_sk)
+left outer join promotion on (cs_promo_sk=p_promo_sk)
+left outer join catalog_returns on (cr_item_sk = cs_item_sk and cr_order_number = cs_order_number)
+where d1.d_week_seq = d2.d_week_seq
+  and inv_quantity_on_hand < cs_quantity 
+  and d3.d_date > d1.d_date + INTERVAL '5' day
+  and hd_buy_potential = '>10000'
+  and d1.d_year = 1999
+  and cd_marital_status = 'D'
+group by i_item_desc,w_warehouse_name,d1.d_week_seq
+order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq
+limit 100
+""",
+        ['i_item_desc', 'w_warehouse_name', 'd_week_seq', 'no_promo', 'promo', 'total_cnt'],
+        {'no_promo': 'bigint', 'promo': 'bigint'},
+    ),
+}
+
+
+
+def _make(qid: str):
+    def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _run_real(spark, sf_dir, qid)
+
+    _fn.__name__ = f"tpcds_real_q{qid}"
+    _fn.__doc__ = (
+        f"Real TPC-DS q{qid} text (tpcds-tool/query/query{qid}.sql) on the "
+        "dsdgen-lite schema; see module docstring."
+    )
+    return _fn
+
+
+for _qid in _TPCDS_REAL:
+    query(f"tpcds_real_q{_qid}", _oracle_real(_qid))(_make(_qid))
+

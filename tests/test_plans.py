@@ -47,6 +47,13 @@ def plan_of(spark, name: str) -> str:
         ("tpcds_q91_shape", 3),  # returns report star
         ("tpcds_q62_shape", 3),  # lag-bucket star: orders edge may SMJ
         ("tpcds_q13_shape", 2),  # OR-residual star: both dims broadcast
+        # real TPC-DS texts on the dsdgen-lite schema (counts are the
+        # explain-formatted double-count: tree + details)
+        ("tpcds_real_q3", 4),  # date_dim + item both broadcast
+        ("tpcds_real_q19", 8),  # 5-dim star: every dim edge broadcast
+        ("tpcds_real_q72", 16),  # 9-relation join, all dim edges broadcast
+        ("tpcds_real_q68", 8),
+        ("tpcds_real_q7", 8),
     ],
 )
 def test_dimension_joins_broadcast(spark, name, min_bhj):
@@ -64,6 +71,8 @@ def test_dimension_joins_broadcast(spark, name, min_bhj):
         "tpcds_q55_shape",  # year/month predicate folds to shipdate scan
         "tpcds_q37_shape",  # price + quantity + date bands all pushed
         "tpcds_q96_shape",  # three conjunctive bands pushed
+        "tpcds_real_q3",  # i_manufact_id / d_moy reach the scans
+        "tpcds_real_q55",  # i_manager_id / d_moy / d_year reach the scans
     ],
 )
 def test_filters_reach_parquet_scan(spark, name):
