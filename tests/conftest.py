@@ -35,12 +35,14 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # 12 significant digits: strict enough to catch the cross-engine
-        # float drift the driver's value-hash flags (last-ulps fold-order
-        # differences), loose enough to absorb diffs past double precision
-        # on large magnitudes (var of 1e5-scale values drifts at the 15th
-        # significant digit and the driver accepts that).
-        return f"{v:.12g}"
+        # 11 significant digits: strict enough to catch the cross-engine
+        # float drift the driver's value-hash flags (real bugs differ way
+        # above 1e-11 relative), loose enough to absorb diffs past double
+        # precision on large magnitudes. Was 12g; r5's exact-integer q1
+        # sum landed on a 12g half-way tie (…2745 exact vs …27449995
+        # double-accumulated — 1 ulp apart) that string-rounds apart at
+        # 12 digits. The driver itself rounds floats to 2dp.
+        return f"{v:.11g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)

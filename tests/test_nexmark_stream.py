@@ -157,3 +157,73 @@ def test_n8_stream_stream_window_join(spark, replayed, tmp_path):
     max_ms = max(r[1] for r in want)
     closed = {r for r in want if r[1] < max_ms - 2 * 3_600_000}
     assert closed <= got, sorted(closed - got)[:5]
+
+
+def test_n5_hot_items_streaming_twin(spark, replayed, tmp_path):
+    """Nexmark q5 (hot items) streaming twin — the r4 verdict's missing
+    hard twin: per-(window,user) count then per-window rank-1. The batch
+    rank orders by (n DESC, user_id), so rank 1 is UNIQUE — exactly the
+    argmax with min-user tie-break, which streams as
+    max(struct(n, -user_id)) over Spark 4's chained windowed
+    aggregation (the second groupBy re-windows the first aggregate's
+    window column). No per-window list materialization — both levels
+    are ordinary partial+final hash aggregates, the 100 TB-safe shape."""
+    per = (
+        replayed.where(F.col("event_type").isin("click", "view"))
+        .withWatermark("ts", _DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    top = (
+        per.groupBy(F.window("win", "1 hour").alias("w2"))
+        .agg(
+            F.max(
+                F.struct(F.col("n"), (-F.col("user_id")).alias("neg_uid"))
+            ).alias("m")
+        )
+        .select(
+            F.unix_millis("w2.start").alias("win_start_ms"),
+            (-F.col("m.neg_uid")).alias("hot_user"),
+            F.col("m.n").cast("long").alias("n_events"),
+        )
+    )
+    got = set(_rows(_run(spark, top, "nx_n5", tmp_path)))
+    want = set(_rows(Q.QUERIES["nexmark_n5_hot_items"](spark, SF_DIR)))
+    assert got <= want, sorted(got - want)[:5]
+    # all but the unclosed tail must be emitted (two chained hourly
+    # windows: tail <= 3 window-lengths past the final watermark)
+    max_ms = max(r[0] for r in want)
+    closed = {r for r in want if r[0] < max_ms - 3 * 3_600_000}
+    assert closed <= got, sorted(closed - got)[:5]
+    assert len(got) > len(want - closed), "most windows must have closed"
+
+
+def test_n7_highest_bid_streaming_twin(spark, replayed, tmp_path):
+    """Nexmark q7 (highest bid) streaming twin: Flink plans window-max +
+    join-back (the spelling the batch entry uses); the Spark-first
+    streaming spelling fuses both into ONE windowed argmax via an
+    ordered struct — max(struct(value, -user_id)) picks the max price
+    and the min bidder among ties, no post-aggregation join (which
+    append-mode streaming disallows anyway)."""
+    mx = (
+        replayed.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", _DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.max(
+                F.struct(F.col("value"), (-F.col("user_id")).alias("neg_uid"))
+            ).alias("m")
+        )
+        .select(
+            F.unix_millis("win.start").alias("win_start_ms"),
+            F.round("m.value", 6).alias("max_price"),
+            (-F.col("m.neg_uid")).alias("bidder"),
+        )
+    )
+    got = set(_rows(_run(spark, mx, "nx_n7", tmp_path)))
+    want = set(_rows(Q.QUERIES["nexmark_n7_highest_bid"](spark, SF_DIR)))
+    assert got <= want, sorted(got - want)[:5]
+    max_ms = max(r[0] for r in want)
+    closed = {r for r in want if r[0] < max_ms - 2 * 3_600_000}
+    assert closed <= got, sorted(closed - got)[:5]
+    assert len(got) > len(want - closed), "most windows must have closed"

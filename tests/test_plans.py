@@ -116,6 +116,16 @@ def test_tpcds_shapes_never_plan_cartesian(spark, name):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q3_fact_join_is_shuffled_hash(spark):
+    """tpch_q3 (the r4 scale regression): the lineitem⋈orders fact join
+    must be a ShuffledHashJoin — no sort of either fact side, no
+    broadcast-threshold cliff when the filtered orders side outgrows
+    10 MB (the r4 mechanism: 26.9x at sf10 after falling to SMJ)."""
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "ShuffledHashJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # customer dim edge
+
+
 def test_three_fact_join_reuses_partition_key(spark):
     """q25: the three fact branches all aggregate and join on the same
     (pk, sk) key. Each branch shuffles once for its aggregate; the joins

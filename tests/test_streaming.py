@@ -928,3 +928,42 @@ def test_stream_processing_timeout_trigger_fires_slow_key(spark, tmp_path):
         assert len(trows) == 1
     finally:
         q.stop()
+
+
+def test_stream_cumulate_matches_batch(spark):
+    """Streaming CUMULATE twin (SliceAssigners.java:94): the r4 verdict's
+    missing streaming window TVF. Every emitted (window_start,
+    window_end) aggregate must equal its batch tvf_cumulate_6h_day
+    counterpart, and all but the re-anchored-watermark tail (one
+    max_size of slices) must have been emitted."""
+    ev = SC.stream_table(spark, SF_DIR, "events").select("ts", "value")
+    agg = SC.cumulate_agg(
+        ev, "ts", "6 hours", "1 day", [],
+        [F.count("*").alias("n"), F.sum("value").alias("total")],
+        delay="1 minute",
+    )
+    SC.run_to_memory(agg, "t_cumulate", "append")
+    got = _sorted_rows(
+        spark.sql("SELECT window_start, window_end, n, total FROM t_cumulate")
+    )
+
+    from flink_spark.operators import tvf_windows as TVF
+
+    batch = Catalog(spark, SF_DIR).events
+    want = _sorted_rows(
+        TVF.cumulate(batch.select("ts", "value"), "ts", "6 hours", "1 day")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    assert set(got) <= set(want), sorted(set(got) - set(want))[:5]
+    # withheld rows sit entirely in the unclosed tail: the re-anchored
+    # watermark closes everything older than max_ts - (max_size + delay),
+    # i.e. at most 2 days of slices stay open
+    max_end = max(r[1] for r in want)
+    import datetime as dt
+
+    horizon = max_end - dt.timedelta(days=2)
+    withheld = set(want) - set(got)
+    assert withheld, "availableNow should withhold the open tail"
+    assert all(r[1] >= horizon for r in withheld), sorted(withheld)[:5]
+    assert len(got) > len(withheld), "most cumulative windows must close"

@@ -36,6 +36,13 @@ QUERIES = [
     "doc_minhash_lsh_pairs",
     "emb_cosine_topk",
     "agg_count_distinct",
+    # r5: the weak-watch rows the r4 verdict asked to extend the study to
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "tpcds_q4_shape",
+    "tpcds_q49_shape",
+    "tpcds_q72_shape",
+    "tvf_tumble_daily",
 ]
 
 BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata")
@@ -91,7 +98,7 @@ def main() -> None:
             "ratio_sf1": round(s1 / d1, 2) if d1 else None,
             "ratio_sf10": round(s10 / d10, 2) if d10 else None,
         }
-    dst = sys.argv[1] if len(sys.argv) > 1 else "SCALE_STUDY_r04.json"
+    dst = sys.argv[1] if len(sys.argv) > 1 else "SCALE_STUDY_r05.json"
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
