@@ -258,8 +258,79 @@ GROUP BY s_name
 
 @query("tpch_q21_waiting_suppliers", _Q21)
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21: the sole late supplier in multi-supplier orders. EXISTS +
-    NOT EXISTS over the fact table itself → semi then anti join, both
-    shuffling on orderkey (the NOT EXISTS carries a non-equi correlated
-    residual referencing o_orderdate)."""
-    return _sql(spark, sf_dir, _Q21)
+    """Q21: the sole late supplier in multi-supplier orders.
+
+    The SQL spelling (the oracle) plans EXISTS + NOT EXISTS as semi +
+    anti self-joins — three shuffles of lineitem, the anti carrying a
+    non-equi correlated residual (the r5 scale study's worst row: slope
+    5.48, ratio 11.5× at sf10). The Spark side rewrites the correlated
+    pair as per-order supplier counts, which is both an independent
+    spelling (catches shared misreadings the pass-through can't) and
+    one lineitem shuffle instead of three:
+
+      EXISTS(other supplier in order)          ⇔ n_supp ≥ 2
+      NOT EXISTS(other LATE supplier in order) ⇔ n_late_supp = 1
+        (l1 is itself late, so it is that one supplier)
+
+    Partitioning is reused across stages: repartition(orderkey) →
+    groupBy(orderkey, suppkey) (clustered-distribution-satisfying
+    subset) → two window aggs over orderkey — Catalyst inserts no
+    further exchange. numwait counts late lineitem ROWS, so the
+    per-(order, supplier) late-row count is summed, not counted.
+    At 100 TB: one fact shuffle on orderkey; supplier⋈nation is
+    broadcast."""
+    from pyspark.sql import Window, functions as F
+
+    c = Catalog(spark, sf_dir)
+    c.register_all()
+    ordf = (
+        spark.table("orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_os = (
+        li.join(ordf, li.l_orderkey == ordf.o_orderkey)
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate"), 1)
+                .otherwise(0)
+            ).alias("late_rows")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum((F.col("late_rows") > 0).cast("long")).over(w),
+        )
+        .where(
+            (F.col("late_rows") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    supp = (
+        spark.table("supplier")
+        .join(
+            F.broadcast(
+                spark.table("nation").where(
+                    F.col("n_name").isin("NATION_4", "NATION_14")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        qual.join(
+            F.broadcast(supp), qual.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
+    )

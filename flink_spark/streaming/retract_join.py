@@ -34,13 +34,60 @@ join key.
 
 from __future__ import annotations
 
-import json
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def pack_count_map(d: dict[tuple, int]) -> bytes:
+    """Binary-pack a {payload-tuple: count} multiset view.
+
+    Layout: u32 n_entries, then per entry: i32 count, u16 n_fields,
+    then per field: i32 byte-length (-1 = NULL) + utf-8 bytes. Replaces
+    the r4 per-batch JSON round-trip (every payload json.dumps'd, the
+    [payload, count] pair json.dumps'd AGAIN, then both json.loads'd
+    back next batch) with one parse-free buffer each way — the hot-key
+    tax the reference's incremental MapState never pays, minimized
+    until transformWithStateInPandas map-typed state is adopted.
+    """
+    parts = [struct.pack("<I", len(d))]
+    for payload, cnt in d.items():
+        parts.append(struct.pack("<iH", cnt, len(payload)))
+        for f in payload:
+            if f is None:
+                parts.append(struct.pack("<i", -1))
+            else:
+                b = f.encode("utf-8")
+                parts.append(struct.pack("<i", len(b)))
+                parts.append(b)
+    return b"".join(parts)
+
+
+def unpack_count_map(buf: bytes) -> dict[tuple, int]:
+    """Inverse of :func:`pack_count_map`."""
+    d: dict[tuple, int] = {}
+    if not buf:
+        return d
+    (n,) = struct.unpack_from("<I", buf, 0)
+    off = 4
+    for _ in range(n):
+        cnt, nf = struct.unpack_from("<iH", buf, off)
+        off += 6
+        fields = []
+        for _ in range(nf):
+            (ln,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            if ln < 0:
+                fields.append(None)
+            else:
+                fields.append(buf[off:off + ln].decode("utf-8"))
+                off += ln
+        d[tuple(fields)] = cnt
+    return d
 
 
 def retract_join_stream(
@@ -99,13 +146,12 @@ def retract_join_stream(
             state.remove()
             yield pd.DataFrame([], columns=out_cols)
             return
-        # per-side live-row count maps: payload-json -> count (O(1)
-        # upsert — MapState<Row, Integer> in JoinRecordStateView)
+        # per-side live-row count maps: payload-tuple -> count (O(1)
+        # upsert — MapState<Row, Integer> in JoinRecordStateView),
+        # binary-packed in state (pack_count_map)
         if state.exists:
-            lrows = {e[0]: e[1] for v in state.get[0]
-                     for e in [json.loads(v)]}
-            rrows = {e[0]: e[1] for v in state.get[1]
-                     for e in [json.loads(v)]}
+            lrows = unpack_count_map(bytes(state.get[0] or b""))
+            rrows = unpack_count_map(bytes(state.get[1] or b""))
         else:
             lrows, rrows = {}, {}
         rows = []
@@ -121,7 +167,7 @@ def retract_join_stream(
             else:
                 mine, other = rrows, lrows
                 payload = [r[f"__r_{c}"] for c in right_payload]
-            pkey = json.dumps(payload)
+            pkey = tuple(payload)
             if kind == "+I":
                 mine[pkey] = mine.get(pkey, 0) + 1
                 emit_kind = "+I"
@@ -140,18 +186,13 @@ def retract_join_stream(
                     "(changelog.drop_update_before / normalize)"
                 )
             for other_pkey, cnt in other.items():
-                other_payload = json.loads(other_pkey)
+                other_payload = list(other_pkey)
                 if r["__side"] == 0:
                     joined = [emit_kind, k[0]] + payload + other_payload
                 else:
                     joined = [emit_kind, k[0]] + other_payload + payload
                 out.extend([joined] * cnt)
-        state.update(
-            (
-                [json.dumps([p, c]) for p, c in lrows.items()],
-                [json.dumps([p, c]) for p, c in rrows.items()],
-            )
-        )
+        state.update((pack_count_map(lrows), pack_count_map(rrows)))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=out_cols)
@@ -159,7 +200,7 @@ def retract_join_stream(
     return unioned.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=out_fields,
-        stateStructType="l array<string>, r array<string>",
+        stateStructType="l binary, r binary",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

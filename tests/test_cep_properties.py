@@ -169,7 +169,7 @@ def test_mr_quantifiers_parse_to_expected_bounds(n, m_extra, simple_q):
             DEFINE A AS A.v > 0
             """
         )
-        step = _build_pattern(spec).steps[0]
+        step = _build_pattern(spec)[0].steps[0]
         assert (step.min_times, step.max_times, step.greedy) == (
             lo, hi, greedy,
         ), quant
@@ -187,7 +187,7 @@ def test_mr_within_interval_units(hours):
         DEFINE A AS A.v > 0, B AS B.v > 1
         """
     )
-    built = _build_pattern(spec)
+    built, _ = _build_pattern(spec)
     assert built.within_ms == hours * 3_600_000
     # concatenation is strict contiguity per the SQL standard
     assert all(s.contiguity == "strict" for s in built.steps)

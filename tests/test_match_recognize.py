@@ -299,3 +299,98 @@ def test_define_injection_rejected(spark):
         """
         with pytest.raises((ValueError, NotImplementedError)):
             _run(spark, [("a", 1.0)], clause, {"p": "double"})
+
+
+def test_define_vectorization_eligibility():
+    """Current-row-only comparisons get a vectorized mask builder; any
+    expression needing match state (PREV/FIRST/LAST/COUNT, other
+    variables) stays on the scalar evaluator."""
+    from flink_spark.match_recognize import _compile_expr
+
+    vs = {"A", "B"}
+    assert _compile_expr("A.price > 5", "A", vs).vectorized is not None
+    assert _compile_expr(
+        "A.price > 5 AND NOT A.sym = 'x' OR A.price < 1", "A", vs
+    ).vectorized is not None
+    assert _compile_expr("PREV(A.price) < A.price", "A", vs).vectorized is None
+    assert _compile_expr("A.price > FIRST(A.price)", "A", vs).vectorized is None
+    assert _compile_expr("COUNT(A.*) < 3", "A", vs).vectorized is None
+    assert _compile_expr("A.price > B.price", "A", vs).vectorized is None
+
+
+def test_define_vector_mask_equals_scalar_eval():
+    """The numpy mask must agree with per-row scalar evaluation on a
+    null-free batch — including and/or/not lowering and chained
+    comparisons."""
+    import numpy as np
+
+    from flink_spark.match_recognize import _compile_expr
+
+    rows = [
+        {"price": float(p), "sym": s}
+        for p, s in [(1, "a"), (5, "b"), (9, "a"), (3, "c"), (7, "a")]
+    ]
+    cols = {
+        "price": np.array([r["price"] for r in rows]),
+        "sym": np.array([r["sym"] for r in rows], dtype=object),
+    }
+    for expr in [
+        "A.price > 4",
+        "A.price > 2 AND A.sym = 'a'",
+        "NOT A.sym = 'a' OR A.price >= 7",
+        "2 < A.price AND A.price < 8",
+    ]:
+        fn = _compile_expr(expr, "A", {"A"})
+        assert fn.vectorized is not None, expr
+        mask = fn.vectorized(cols, len(rows))
+        want = [bool(fn(r, {})) for r in rows]
+        assert mask.tolist() == want, expr
+
+
+def test_vectorized_and_scalar_paths_agree_end_to_end(spark, monkeypatch):
+    """match_recognize output must be identical with vectorization
+    disabled (mask path vs scalar path walk the same NFA)."""
+    import flink_spark.match_recognize as MR
+
+    rows = [("a", 2.0), ("b", 8.0), ("a", 9.0), ("c", 1.0),
+            ("a", 7.0), ("b", 3.0), ("a", 5.0)]
+    clause = """
+        PARTITION BY k ORDER BY ts
+        MEASURES FIRST(A.price) AS p0, LAST(B.price) AS p1
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B)
+        DEFINE A AS A.price > 4,
+               B AS B.price < 4
+    """
+    got_vec = _run(spark, rows, clause, {"p0": "double", "p1": "double"})
+    monkeypatch.setattr(MR, "_try_vectorize", lambda tree, expr: None)
+    got_scalar = _run(spark, rows, clause, {"p0": "double", "p1": "double"})
+    assert got_vec == got_scalar
+    assert got_vec, "fixture must produce at least one match"
+
+
+def test_vectorization_skipped_on_null_column(spark):
+    """A referenced column with nulls must fall back to the scalar
+    evaluator (SQL three-valued logic: NULL comparisons are not
+    matches), not evaluate elementwise."""
+    import datetime as dt2
+
+    df = spark.createDataFrame(
+        [
+            (1, T0, "a", 5.0),
+            (1, T0 + dt2.timedelta(seconds=1), "b", None),
+            (1, T0 + dt2.timedelta(seconds=2), "c", 9.0),
+        ],
+        "k long, ts timestamp, sym string, price double",
+    )
+    clause = """
+        PARTITION BY k ORDER BY ts
+        MEASURES FIRST(A.sym) AS s
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A)
+        DEFINE A AS NOT A.price > 4
+    """
+    out = match_recognize(df, clause, measure_types={"s": "string"})
+    # NULL > 4 is NULL -> NOT NULL is NULL -> no match for the null row;
+    # 5.0 and 9.0 fail NOT(>4); no row matches
+    assert sorted(tuple(r) for r in out.collect()) == []
