@@ -29,6 +29,7 @@ it as ``d1.d_week_seq``. Row order is irrelevant to the compare.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +45,9 @@ TPCDS_TABLES = (
     "customer_demographics", "household_demographics", "store",
     "warehouse", "promotion", "store_sales", "catalog_sales",
     "web_sales", "inventory", "catalog_returns",
+    # r5: the rest of the retail schema, so ALL 103 real query texts run
+    "store_returns", "web_returns", "time_dim", "reason", "ship_mode",
+    "call_center", "web_site", "web_page", "catalog_page", "income_band",
 )
 
 # sessions (by id) whose temp views currently point at the TPC-DS schema
@@ -86,7 +90,14 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
             pass  # fixture data absent (pure-TPC-DS session): nothing to restore
     df = df.toDF(*names)
     for c, t in casts.items():
-        df = df.withColumn(c, F.col(c).cast("double" if t == "double6" else t))
+        if t == "double6":
+            # round-to-6dp on BOTH sides (oracle wraps round(c, 6)):
+            # identity for avg(decimal(7,2)) (scale exactly 6), and the
+            # agreed precision for higher-scale decimal divisions
+            # (e.g. q90's decimal(38,9) ratio, q12's revenueratio)
+            df = df.withColumn(c, F.round(F.col(c), 6).cast("double"))
+        else:
+            df = df.withColumn(c, F.col(c).cast(t))
     return df
 
 
@@ -97,6 +108,10 @@ def _oracle_real(qid: str) -> str:
     for old, new in _ORACLE_DIALECT.get(qid, ()):
         assert old in text, f"dialect patch target missing in q{qid}"
         text = text.replace(old, new)
+    # generic dialect repair: the benchmark texts backtick-quote aliases
+    # that collide with keywords (`at`, `returns`, ...); Spark reads
+    # backticks natively, DuckDB wants double quotes.
+    text = re.sub(r"`([^`]+)`", r'"\1"', text)
     prelude = ", ".join(
         f"{t} AS (SELECT * FROM read_parquet('{TPCDS_DIR}/{t}.parquet'))"
         for t in TPCDS_TABLES
@@ -136,6 +151,68 @@ _ORACLE_DIALECT: dict[str, tuple[tuple[str, str], ...]] = {
         (
             "order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq",
             "order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq",
+        ),
+    ),
+    # ROLLUP + LIMIT: Spark/Calcite sort ASC NULLS FIRST, DuckDB NULLS
+    # LAST — with super-aggregate NULL rows at the LIMIT boundary the
+    # selected row SET differs (same repair as q14a).
+    "5": (
+        (
+            "order by channel\n         ,id",
+            "order by channel NULLS FIRST, id NULLS FIRST",
+        ),
+    ),
+    "18": (
+        (
+            "order by ca_country,\n        ca_state, \n        ca_county,\n\ti_item_id",
+            "order by ca_country NULLS FIRST, ca_state NULLS FIRST, "
+            "ca_county NULLS FIRST, i_item_id NULLS FIRST",
+        ),
+    ),
+    "22": (
+        (
+            "order by qoh, i_product_name, i_brand, i_class, i_category",
+            "order by qoh NULLS FIRST, i_product_name NULLS FIRST, "
+            "i_brand NULLS FIRST, i_class NULLS FIRST, i_category NULLS FIRST",
+        ),
+    ),
+    "27": (
+        (
+            "order by i_item_id\n         ,s_state",
+            "order by i_item_id NULLS FIRST, s_state NULLS FIRST",
+        ),
+    ),
+    "67": (
+        (
+            "order by i_category\n        ,i_class\n        ,i_brand\n"
+            "        ,i_product_name\n        ,d_year\n        ,d_qoy\n"
+            "        ,d_moy\n        ,s_store_id\n        ,sumsales\n        ,rk",
+            "order by i_category NULLS FIRST, i_class NULLS FIRST, "
+            "i_brand NULLS FIRST, i_product_name NULLS FIRST, "
+            "d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST, "
+            "s_store_id NULLS FIRST, sumsales NULLS FIRST, rk NULLS FIRST",
+        ),
+    ),
+    "80": (
+        (
+            "order by channel\n         ,id",
+            "order by channel NULLS FIRST, id NULLS FIRST",
+        ),
+    ),
+    # Spark/Calcite CAST(decimal AS INT) truncates (SQL standard);
+    # DuckDB rounds — divergent segment ids at the x.5 boundary.
+    "54": (
+        (
+            "cast((revenue/50) as int) as segment",
+            "cast(trunc(revenue/50) as int) as segment",
+        ),
+    ),
+    # DuckDB binds ORDER BY item_id ambiguously (both CTE columns are in
+    # scope); Spark/Calcite resolve to the select-list column.
+    "58": (
+        (
+            "order by item_id\n         ,ss_item_rev",
+            "order by ss_items.item_id\n         ,ss_item_rev",
         ),
     ),
 }

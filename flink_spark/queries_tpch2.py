@@ -270,16 +270,21 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       EXISTS(other supplier in order)          ⇔ n_supp ≥ 2
       NOT EXISTS(other LATE supplier in order) ⇔ n_late_supp = 1
-        (l1 is itself late, so it is that one supplier)
+        (l1 is itself late, so it is that one supplier; all the
+        order's late rows are therefore ITS rows, so sum(late) and
+        max(late suppkey) recover (numwait contribution, supplier)
+        without ever materializing per-supplier rows)
 
-    Partitioning is reused across stages: repartition(orderkey) →
-    groupBy(orderkey, suppkey) (clustered-distribution-satisfying
-    subset) → two window aggs over orderkey — Catalyst inserts no
-    further exchange. numwait counts late lineitem ROWS, so the
-    per-(order, supplier) late-row count is summed, not counted.
-    At 100 TB: one fact shuffle on orderkey; supplier⋈nation is
-    broadcast."""
-    from pyspark.sql import Window, functions as F
+    Partitioning is reused across stages: one repartition(orderkey) →
+    groupBy(orderkey, suppkey) → groupBy(orderkey) — both hash aggs
+    run on the same exchange (HashPartitioning(okey) satisfies the
+    (okey, skey) clustering), and no sort appears anywhere: an
+    earlier window-function variant of this rewrite spent its time
+    sorting 60 M rows inside each partition. numwait counts late
+    lineitem ROWS, so the late-row count is summed, not counted.
+    At 100 TB: one narrow (okey, skey, late) fact shuffle;
+    supplier⋈nation is broadcast."""
+    from pyspark.sql import functions as F
 
     c = Catalog(spark, sf_dir)
     c.register_all()
@@ -293,27 +298,32 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_os = (
         li.join(ordf, li.l_orderkey == ordf.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate"))
+            .cast("long")
+            .alias("late"),
+        )
         .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(
-            F.sum(
-                F.when(F.col("l_shipdate") > F.col("o_orderdate"), 1)
-                .otherwise(0)
-            ).alias("late_rows")
-        )
+        .agg(F.sum("late").alias("late_rows"))
     )
-    w = Window.partitionBy("l_orderkey")
     qual = (
-        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
-        .withColumn(
-            "n_late_supp",
-            F.sum((F.col("late_rows") > 0).cast("long")).over(w),
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum((F.col("late_rows") > 0).cast("long")).alias(
+                "n_late_supp"
+            ),
+            F.sum("late_rows").alias("late_rows_total"),
+            F.max(
+                F.when(F.col("late_rows") > 0, F.col("l_suppkey"))
+            ).alias("l_suppkey"),
         )
-        .where(
-            (F.col("late_rows") > 0)
-            & (F.col("n_supp") >= 2)
-            & (F.col("n_late_supp") == 1)
-        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey",
+                F.col("late_rows_total").alias("late_rows"))
     )
     supp = (
         spark.table("supplier")

@@ -609,6 +609,836 @@ def _inventory(rng: np.random.Generator, days) -> pa.Table:
     )
 
 
+# --------------------------------------------------------------------------
+# r5 extension: the columns and tables the FULL 103-query set touches.
+#
+# Existing tables keep their original columns byte-identical (the r4
+# queries' data must not move): every new column/table draws from its own
+# child rng (default_rng([SEED, tag])), never from the main stream, or is
+# derived formulaically from already-materialized arrays.
+# --------------------------------------------------------------------------
+
+GENVER = 3  # bump to force corpus regeneration
+
+
+def _crng(tag: int) -> np.random.Generator:
+    return np.random.default_rng([SEED, tag])
+
+
+_STREET_TYPES = ["Street", "Ave", "Blvd", "Way", "Court", "Lane"]
+
+
+def _app(t: pa.Table, name: str, arr) -> pa.Table:
+    return t.append_column(name, arr)
+
+
+def _time_sks(tag: int, n: int) -> np.ndarray:
+    """Second-of-day keys biased into shopping hours (8h-21h) so the
+    t_hour/t_time range predicates (q66 q71 q88 q90 q96) have support."""
+    r = _crng(tag)
+    return r.integers(8 * 3600, 21 * 3600, n)
+
+
+def _extend_existing(tables: dict[str, pa.Table]) -> None:
+    # -- item: q22/q41/q44/q64/q67 (i_product_name), q65 (i_wholesale_cost)
+    it = tables["item"]
+    sk = it["i_item_sk"].to_numpy()
+    prod = [
+        "".join(
+            ["ought", "able", "pri", "ese", "anti"][(int(s) // d) % 5]
+            for d in (1, 5, 25, 125)
+        )
+        for s in sk
+    ]
+    it = _app(it, "i_product_name", pa.array(prod))
+    it = _app(it, "i_wholesale_cost", _dec((sk * 37) % 9000 + 100, 7))
+    tables["item"] = it
+
+    # -- store: q47/q89 (company name), q50 (street), q24 (market id)
+    st = tables["store"]
+    ssk = st["s_store_sk"].to_numpy()
+    st = _app(st, "s_company_id", pa.array(np.where(ssk % 2 == 1, 1, 2), pa.int32()))
+    st = _app(st, "s_company_name", pa.array(["Unknown"] * len(ssk)))
+    st = _app(st, "s_market_id", pa.array(1 + (ssk * 3) % 10, pa.int32()))
+    st = _app(st, "s_street_number", pa.array([str(100 + int(s) * 13 % 900) for s in ssk]))
+    st = _app(st, "s_street_name", pa.array([f"{_LAST[int(s) % len(_LAST)]}" for s in ssk]))
+    st = _app(st, "s_street_type", pa.array([_STREET_TYPES[int(s) % len(_STREET_TYPES)] for s in ssk]))
+    st = _app(st, "s_suite_number", pa.array([f"Suite {int(s) * 10 % 990}" for s in ssk]))
+    tables["store"] = st
+
+    # -- customer: q30/q84 (birth day), q64 (first sales/shipto dates)
+    cu = tables["customer"]
+    csk = cu["c_customer_sk"].to_numpy()
+    n_days = (LAST_DAY - FIRST_DAY).days + 1
+    first_sales = BASE_DATE_SK + (csk * 97) % (n_days - 400)
+    cu = _app(cu, "c_birth_day", pa.array(1 + csk % 28, pa.int32()))
+    cu = _app(cu, "c_first_sales_date_sk", pa.array(first_sales, pa.int64()))
+    cu = _app(cu, "c_first_shipto_date_sk", pa.array(first_sales + 30, pa.int64()))
+    cu = _app(cu, "c_last_review_date_sk", pa.array(first_sales + 200, pa.int64()))
+    tables["customer"] = cu
+
+    # -- customer_address: q81/q85 (street type / suite / location type)
+    ca = tables["customer_address"]
+    ask = ca["ca_address_sk"].to_numpy()
+    ca = _app(ca, "ca_street_type", pa.array([_STREET_TYPES[int(s) * 3 % len(_STREET_TYPES)] for s in ask]))
+    ca = _app(ca, "ca_suite_number", pa.array([f"Suite {int(s) * 7 % 990}" for s in ask]))
+    ca = _app(ca, "ca_location_type", pa.array([["apartment", "condo", "single family"][int(s) % 3] for s in ask]))
+    tables["customer_address"] = ca
+
+    # -- date_dim: q17 (d_quarter_name)
+    dd = tables["date_dim"]
+    yy = dd["d_year"].to_numpy()
+    qq = dd["d_qoy"].to_numpy()
+    dd = _app(dd, "d_quarter_name", pa.array([f"{y}Q{q}" for y, q in zip(yy, qq)]))
+    tables["date_dim"] = dd
+
+    # -- warehouse: q66 (country/county)
+    wh = tables["warehouse"]
+    wsk = wh["w_warehouse_sk"].to_numpy()
+    wh = _app(wh, "w_county", pa.array([_COUNTIES[int(s) % len(_COUNTIES)] for s in wsk]))
+    wh = _app(wh, "w_country", pa.array(["United States"] * len(wsk)))
+    tables["warehouse"] = wh
+
+    # -- store_sales: q88/q96 (sold time)
+    ss = tables["store_sales"]
+    ss = _app(ss, "ss_sold_time_sk", pa.array(_time_sks(11, ss.num_rows), pa.int64()))
+    tables["store_sales"] = ss
+
+    # -- catalog_sales: call center / catalog page / ship mode / time /
+    #    net_paid_inc_tax (derived exactly: net_paid + ext_tax)
+    cs = tables["catalog_sales"]
+    r = _crng(12)
+    ncs = cs.num_rows
+    cs = _app(cs, "cs_call_center_sk", pa.array(r.integers(1, N_CC + 1, ncs), pa.int64()))
+    cs = _app(cs, "cs_catalog_page_sk", pa.array(r.integers(1, N_CATPAGE + 1, ncs), pa.int64()))
+    cs = _app(cs, "cs_ship_mode_sk", pa.array(r.integers(1, N_SHIPMODE + 1, ncs), pa.int64()))
+    cs = _app(cs, "cs_sold_time_sk", pa.array(_time_sks(13, ncs), pa.int64()))
+    npaid = cs["cs_net_paid"].to_numpy()
+    ntax = cs["cs_ext_tax"].to_numpy()
+    cs = _app(cs, "cs_net_paid_inc_tax", pa.array(npaid + ntax).cast(pa.decimal128(12, 2)))
+    tables["catalog_sales"] = cs
+
+    # -- web_sales: ship cost / promo / page / ship mode / times / hdemo
+    ws = tables["web_sales"]
+    r = _crng(14)
+    nws = ws.num_rows
+    ext_sales = (ws["ws_ext_sales_price"].to_numpy() * 100).astype(np.int64)
+    ship_cost = (ext_sales * r.integers(2, 9, nws)) // 100
+    promo = r.integers(1, N_PROMO + 1, nws)
+    promo_null = r.random(nws) < 0.5
+    ws = _app(ws, "ws_ext_ship_cost", _dec(ship_cost, 9))
+    ws = _app(ws, "ws_promo_sk", pa.array(np.where(promo_null, 0, promo), pa.int64(), mask=promo_null))
+    ws = _app(ws, "ws_web_page_sk", pa.array(r.integers(1, N_WEBPAGE + 1, nws), pa.int64()))
+    ws = _app(ws, "ws_ship_mode_sk", pa.array(r.integers(1, N_SHIPMODE + 1, nws), pa.int64()))
+    ws = _app(ws, "ws_sold_time_sk", pa.array(_time_sks(15, nws), pa.int64()))
+    ws = _app(ws, "ws_ship_hdemo_sk", pa.array(r.integers(1, N_HDEMO + 1, nws), pa.int64()))
+    tables["web_sales"] = ws
+
+    # -- catalog_returns: q5/q77/q80/q81/q91 money split + page/cc/addr
+    cr = tables["catalog_returns"]
+    r = _crng(16)
+    ncr = cr.num_rows
+    amt = (cr["cr_return_amount"].to_numpy() * 100).astype(np.int64)
+    cash = (amt * r.integers(30, 81, ncr)) // 100
+    charge = ((amt - cash) * r.integers(0, 101, ncr)) // 100
+    credit = amt - cash - charge
+    tax = (amt * r.integers(0, 10, ncr)) // 100
+    cr = _app(cr, "cr_refunded_cash", _dec(cash, 9))
+    cr = _app(cr, "cr_reversed_charge", _dec(charge, 9))
+    cr = _app(cr, "cr_store_credit", _dec(credit, 9))
+    cr = _app(cr, "cr_return_amt_inc_tax", _dec(amt + tax, 9))
+    cr = _app(cr, "cr_net_loss", _dec((amt * r.integers(5, 60, ncr)) // 100 + 50, 9))
+    cr = _app(cr, "cr_call_center_sk", pa.array(r.integers(1, N_CC + 1, ncr), pa.int64()))
+    cr = _app(cr, "cr_catalog_page_sk", pa.array(r.integers(1, N_CATPAGE + 1, ncr), pa.int64()))
+    cr = _app(cr, "cr_returning_addr_sk", pa.array(r.integers(1, N_ADDR + 1, ncr), pa.int64()))
+    tables["catalog_returns"] = cr
+
+
+N_CC = 3
+N_CATPAGE = 200
+N_WEBPAGE = 60
+N_SHIPMODE = 20
+N_REASON = 72
+N_WEBSITE = 3
+
+# --------------------------------------------------------------------------
+# predicate support: deterministic overwrites + appended story blocks so
+# every query's literal filters (real TPC-DS names/ids the base formulas
+# don't produce) select a non-empty slice. Overwrites touch disjoint
+# sk-residue subsets; appends extend tables with new surrogate keys.
+# Both engines read the same parquet, so correctness is unaffected —
+# this is purely about making the 103-query suite exercise real rows.
+# --------------------------------------------------------------------------
+
+# real dsdgen (category, class, brand) triples the q53/q63/q89/q54
+# families filter on
+_REAL_TRIPLES = [
+    ("Books", "personal", "scholaramalgamalg #14"),
+    ("Books", "portable", "scholaramalgamalg #7"),
+    ("Books", "reference", "exportiunivamalg #9"),
+    ("Books", "self-help", "scholaramalgamalg #9"),
+    ("Women", "accessories", "amalgimporto #1"),
+    ("Music", "classical", "edu packscholar #1"),
+    ("Women", "fragrances", "exportiimporto #1"),
+    ("Men", "pants", "importoamalg #1"),
+    ("Electronics", "stereo", "importounivamalg #6"),
+    ("Electronics", "computers", "amalgnameless #3"),
+    ("Sports", "football", "exportischolar #2"),
+    ("Men", "shirts", "amalgamalg #4"),
+    ("Jewelry", "birdal", "univbrand #8"),
+    ("Women", "dresses", "exportiexporti #1"),
+    ("Women", "maternity", "exportiexporti #2"),
+    ("Children", "toddlers", "scholarnameless #5"),
+]
+
+# colors the q24/q41/q56/q64 families filter on (plus the base palette)
+_REAL_COLORS = [
+    "pale", "chiffon", "slate", "blanched", "burnished", "powder",
+    "brown", "honeydew", "floral", "deep", "light", "cornflower",
+    "chocolate", "purple", "burlywood", "indian", "spice", "maroon",
+    "cream", "peach", "saddle", "spring", "medium", "midnight", "snow",
+    "cyan", "papaya", "orange", "frosted", "forest", "ghost",
+]
+
+# out-of-formula manufact ids (q37 q41 q82)
+_REAL_MANUFACTS = [677, 940, 694, 808, 129, 270, 821, 423] + list(
+    range(738, 779)
+)
+
+_Q10_COUNTIES = [
+    "Rush County", "Toole County", "Jefferson County", "Dona Ana County",
+    "La Porte County",
+]
+
+
+def _dsk(d: dt.date) -> int:
+    return BASE_DATE_SK + (d - FIRST_DAY).days
+
+
+def _set(t: pa.Table, name: str, arr) -> pa.Table:
+    return t.set_column(t.schema.get_field_index(name), name, arr)
+
+
+def _null_subset(t: pa.Table, col: str, frac: float, tag: int) -> pa.Table:
+    """Null out a deterministic fraction of an int64 FK column (q44 q76:
+    the real data has NULL FKs; the base generator never emits them)."""
+    r = _crng(tag)
+    vals = t[col].to_numpy(zero_copy_only=False)
+    mask = r.random(len(vals)) < frac
+    return _set(t, col, pa.array(np.where(mask, 0, vals), pa.int64(), mask=mask))
+
+
+def _rows_like(t: pa.Table, n: int, **overrides) -> pa.Table:
+    """n copies of row 0 with the given columns overridden — appended
+    story rows keep every unspecified FK/money column valid."""
+    cols = {}
+    for field in t.schema:
+        name = field.name
+        if name in overrides:
+            v = overrides[name]
+            if isinstance(v, pa.Array):
+                cols[name] = v
+            elif isinstance(v, np.ndarray):
+                cols[name] = pa.array(v).cast(field.type)
+            elif isinstance(v, (list, tuple)):
+                cols[name] = pa.array(list(v)).cast(field.type)
+            else:
+                cols[name] = pa.array([v] * n).cast(field.type)
+        else:
+            v0 = t[name][0]
+            cols[name] = pa.array([v0.as_py()] * n, type=field.type)
+    return pa.table(cols)
+
+
+def _overwrite_dims(tables: dict[str, pa.Table]) -> None:
+    # -- item: real triples (sk%7==3), colors (sk%11==5), manufacts
+    #    (sk%13==2), calibrated prices on the color subset
+    it = tables["item"]
+    sk = it["i_item_sk"].to_numpy()
+    cat = it["i_category"].to_numpy(zero_copy_only=False).astype(object)
+    cls = it["i_class"].to_numpy(zero_copy_only=False).astype(object)
+    brand = it["i_brand"].to_numpy(zero_copy_only=False).astype(object)
+    color = it["i_color"].to_numpy(zero_copy_only=False).astype(object)
+    manu = it["i_manufact_id"].to_numpy().copy()
+    price = np.array([d.as_py() for d in it["i_current_price"]], dtype=object)
+    tri_idx = 0
+    col_idx = 0
+    man_idx = 0
+    for i, s in enumerate(sk):
+        if s % 7 == 3:
+            c, k, b = _REAL_TRIPLES[tri_idx % len(_REAL_TRIPLES)]
+            cat[i], cls[i], brand[i] = c, k, b
+            tri_idx += 1
+        if s % 11 == 5:
+            c64 = _REAL_COLORS[col_idx % len(_REAL_COLORS)]
+            color[i] = c64
+            # q64's windows intersect at [65,74]: its colors get 70.00;
+            # the rest cycle 63.00..95.00 (q37/q82 ranges)
+            if c64 in ("purple", "burlywood", "indian", "spring", "floral", "medium"):
+                price[i] = "70.00"
+            else:
+                price[i] = f"{63 + (col_idx * 7) % 33}.00"
+            col_idx += 1
+        if s % 13 == 2:
+            manu[i] = _REAL_MANUFACTS[man_idx % len(_REAL_MANUFACTS)]
+            man_idx += 1
+    # guaranteed q37/q82 support: the sk ≡ 93 (mod 143) slice gets the
+    # literal manufact ids with a price inside both 62..92 and 68..98
+    q3782 = [677, 940, 694, 808, 129, 270, 821, 423]
+    j = 0
+    for i, s in enumerate(sk):
+        if s % 143 == 93:
+            manu[i] = q3782[j % len(q3782)]
+            price[i] = "70.00"
+            j += 1
+    it = _set(it, "i_category", pa.array(list(cat), pa.string()))
+    it = _set(it, "i_class", pa.array(list(cls), pa.string()))
+    it = _set(it, "i_brand", pa.array(list(brand), pa.string()))
+    it = _set(it, "i_color", pa.array(list(color), pa.string()))
+    it = _set(it, "i_manufact_id", pa.array(manu, pa.int32()))
+    it = _set(
+        it, "i_current_price",
+        pa.array([str(p) for p in price]).cast(pa.decimal128(7, 2)),
+    )
+    tables["item"] = it
+
+    # -- store: market 8 for stores 1..4 (q24), store 1 zip from q8's
+    #    literal list
+    st = tables["store"]
+    ssk = st["s_store_sk"].to_numpy()
+    mk = st["s_market_id"].to_numpy().copy()
+    mk[ssk <= 4] = 8
+    st = _set(st, "s_market_id", pa.array(mk, pa.int32()))
+    zips = st["s_zip"].to_numpy(zero_copy_only=False).astype(object)
+    zips[0] = "24128"
+    st = _set(st, "s_zip", pa.array(list(zips), pa.string()))
+    tables["store"] = st
+
+    # -- customer_address: q10 counties (sk%19==7), Edgewood (sk%17==5),
+    #    store-matching zips (sk%23==1, q24's s_zip = ca_zip join)
+    ca = tables["customer_address"]
+    ask = ca["ca_address_sk"].to_numpy()
+    county = ca["ca_county"].to_numpy(zero_copy_only=False).astype(object)
+    city = ca["ca_city"].to_numpy(zero_copy_only=False).astype(object)
+    azip = ca["ca_zip"].to_numpy(zero_copy_only=False).astype(object)
+    store_zips = list(zips)
+    for i, s in enumerate(ask):
+        if s % 19 == 7:
+            county[i] = _Q10_COUNTIES[(int(s) // 19) % len(_Q10_COUNTIES)]
+        if s % 17 == 5:
+            city[i] = "Edgewood"
+        if s % 23 == 1:
+            azip[i] = store_zips[(int(s) // 23) % len(store_zips)]
+    ca = _set(ca, "ca_county", pa.array(list(county), pa.string()))
+    ca = _set(ca, "ca_city", pa.array(list(city), pa.string()))
+    ca = _set(ca, "ca_zip", pa.array(list(azip), pa.string()))
+    tables["customer_address"] = ca
+
+def _null_fact_fks(tables: dict[str, pa.Table]) -> None:
+    """NULL FK subsets (q44: ss_addr, q76: ss_store/cs_ship_addr/
+    ws_ship_customer). Runs AFTER the returns tables derive from sales
+    (they copy these columns as non-null int arrays)."""
+    tables["store_sales"] = _null_subset(tables["store_sales"], "ss_addr_sk", 0.02, 31)
+    tables["store_sales"] = _null_subset(tables["store_sales"], "ss_store_sk", 0.02, 32)
+    tables["catalog_sales"] = _null_subset(tables["catalog_sales"], "cs_ship_addr_sk", 0.02, 33)
+    tables["web_sales"] = _null_subset(tables["web_sales"], "ws_ship_customer_sk", 0.02, 34)
+
+
+def _inventory_v3(days) -> pa.Table:
+    """Weekly snapshots across all sales years with a skewed quantity
+    mix (35% zero / 35% small / 30% 100-500): q39's cov = stddev/mean > 1
+    needs heavy-tailed per-(item,wh,month) samples, q37/q82 filter
+    100..500, q72 needs inv < cs_quantity. Replaces the uniform
+    4-weekly table (child rng; the main stream is untouched)."""
+    r = _crng(41)
+    mondays = [
+        i for i, d in enumerate(days) if d.weekday() == 0 and d.year <= 2002
+    ]
+    n = len(mondays) * N_ITEM * N_WAREHOUSE
+    date_idx = np.repeat(np.array(mondays), N_ITEM * N_WAREHOUSE)
+    item = np.tile(np.repeat(np.arange(1, N_ITEM + 1), N_WAREHOUSE), len(mondays))
+    wh = np.tile(np.arange(1, N_WAREHOUSE + 1), len(mondays) * N_ITEM)
+    kind = r.random(n)
+    qty = np.where(
+        kind < 0.35, 0,
+        np.where(kind < 0.70, r.integers(1, 61, n), r.integers(100, 501, n)),
+    )
+    return pa.table(
+        {
+            "inv_date_sk": pa.array(BASE_DATE_SK + date_idx, pa.int64()),
+            "inv_item_sk": pa.array(item, pa.int64()),
+            "inv_warehouse_sk": pa.array(wh, pa.int64()),
+            "inv_quantity_on_hand": pa.array(qty, pa.int32()),
+        }
+    )
+
+
+def _append_support(tables: dict[str, pa.Table]) -> None:
+    """Append coherent story blocks for the multi-join queries whose
+    predicate intersections the base distributions can't hit."""
+    r = _crng(51)
+    ss, cs, ws = tables["store_sales"], tables["catalog_sales"], tables["web_sales"]
+    sr, cr, wr = tables["store_returns"], tables["catalog_returns"], tables["web_returns"]
+    cu, ca = tables["customer"], tables["customer_address"]
+    max_ticket = int(pa.compute.max(ss["ss_ticket_number"]).as_py())
+    max_order_cs = int(pa.compute.max(cs["cs_order_number"]).as_py())
+    max_order_ws = int(pa.compute.max(ws["ws_order_number"]).as_py())
+    item_sk = tables["item"]["i_item_sk"].to_numpy()
+    color = tables["item"]["i_color"].to_numpy(zero_copy_only=False)
+    cat = tables["item"]["i_category"].to_numpy(zero_copy_only=False)
+    cls = tables["item"]["i_class"].to_numpy(zero_copy_only=False)
+    pale_items = item_sk[(color == "peach") | (color == "saddle")][:20]
+    purple_items = item_sk[np.isin(color, ["purple", "burlywood", "indian", "spring", "floral", "medium"])][:20]
+    maternity_items = item_sk[(cat == "Women") & (cls == "maternity")][:20]
+
+    # q8: >10 preferred customers in literal zip 24128 (store 1's zip)
+    n8 = 15
+    new_ca = _rows_like(
+        ca, n8,
+        ca_address_sk=np.arange(N_ADDR + 1, N_ADDR + 1 + n8),
+        ca_address_id=[f"AAAAAAAB{s:08d}" for s in range(n8)],
+        ca_zip="24128",
+    )
+    new_cu = _rows_like(
+        cu, n8,
+        c_customer_sk=np.arange(N_CUST + 1, N_CUST + 1 + n8),
+        c_customer_id=[f"AAAAAAAB{s:08d}" for s in range(n8)],
+        c_current_addr_sk=np.arange(N_ADDR + 1, N_ADDR + 1 + n8),
+        c_preferred_cust_flag="Y",
+    )
+
+    # q91: customers wired to ('M','Unknown') cdemo, 'Unknown' hd,
+    # gmt -7 addr, with Nov-1998 catalog returns through each call center
+    n91 = 40
+    cd_mu = 61     # (60//2)%5=0 -> 'M', (60//10)%7=6 -> 'Unknown'
+    hd_unknown = 6  # pots[5] == 'Unknown'
+    addr_gmt7 = 2   # [-500,-600,-700,-800][2%4] == -700
+    sk91 = np.arange(N_CUST + n8 + 1, N_CUST + n8 + 1 + n91)
+    new_cu91 = _rows_like(
+        cu, n91,
+        c_customer_sk=sk91,
+        c_customer_id=[f"AAAAAAAC{s:08d}" for s in range(n91)],
+        c_current_cdemo_sk=cd_mu,
+        c_current_hdemo_sk=hd_unknown,
+        c_current_addr_sk=addr_gmt7,
+    )
+    cr91 = _rows_like(
+        cr, n91,
+        cr_returned_date_sk=_dsk(dt.date(1998, 11, 10)) + (np.arange(n91) % 19),
+        cr_returning_customer_sk=sk91,
+        cr_call_center_sk=1 + np.arange(n91) % N_CC,
+        cr_order_number=max_order_cs + 200_000 + np.arange(n91),
+    )
+
+    # q25/q29-style story: ss(Apr 2001) -> sr(May/Jun) -> cs(Jun-Aug),
+    # same customer+item
+    n25 = 60
+    story_cust = 1 + np.arange(n25) % 200
+    story_item = 1 + np.arange(n25) % 40
+    t25 = max_ticket + 100_000 + np.arange(n25)
+    ss25 = _rows_like(
+        ss, n25,
+        ss_sold_date_sk=_dsk(dt.date(2001, 4, 5)) + (np.arange(n25) % 20),
+        ss_customer_sk=story_cust, ss_item_sk=story_item,
+        ss_ticket_number=t25, ss_store_sk=1 + np.arange(n25) % N_STORE,
+    )
+    sr25 = _rows_like(
+        sr, n25,
+        sr_returned_date_sk=_dsk(dt.date(2001, 6, 5)) + (np.arange(n25) % 30),
+        sr_customer_sk=story_cust, sr_item_sk=story_item,
+        sr_ticket_number=t25,
+        sr_store_sk=ss25["ss_store_sk"].to_numpy(zero_copy_only=False),
+        sr_cdemo_sk=ss25["ss_cdemo_sk"].to_numpy(zero_copy_only=False),
+    )
+    cs25 = _rows_like(
+        cs, n25,
+        cs_sold_date_sk=_dsk(dt.date(2001, 7, 10)) + (np.arange(n25) % 40),
+        cs_bill_customer_sk=story_cust, cs_item_sk=story_item,
+        cs_order_number=max_order_cs + 100_000 + np.arange(n25),
+    )
+
+    # q24: returned peach/saddle store-1 purchases by customers whose
+    # address zip equals store 1's zip ('24128' — the q8 block)
+    n24 = 40
+    cust24 = np.arange(N_CUST + 1, N_CUST + 1 + n8)[np.arange(n24) % n8]
+    item24 = pale_items[np.arange(n24) % max(len(pale_items), 1)]
+    t24 = max_ticket + 200_000 + np.arange(n24)
+    ss24 = _rows_like(
+        ss, n24,
+        ss_sold_date_sk=_dsk(dt.date(2001, 5, 3)) + (np.arange(n24) % 25),
+        ss_customer_sk=cust24, ss_item_sk=item24,
+        ss_ticket_number=t24, ss_store_sk=1,
+        ss_net_paid="5000.00",
+    )
+    sr24 = _rows_like(
+        sr, n24,
+        sr_returned_date_sk=_dsk(dt.date(2001, 6, 3)) + (np.arange(n24) % 25),
+        sr_customer_sk=cust24, sr_item_sk=item24,
+        sr_ticket_number=t24, sr_store_sk=1,
+    )
+
+    # q58: one calibration week (2000-01-03) where items 1..30 take the
+    # SAME extended price in all three channels (cross-channel revenue
+    # ratio exactly 1.0)
+    n58 = 24
+    d58 = _dsk(dt.date(2000, 1, 4)) + (np.arange(n58) % 5)
+    # boutique items (appended below) have NO base-data sales, so the
+    # three channels' week revenue is exactly the calibration rows'
+    i58 = N_ITEM + 1 + np.arange(n58) % 8
+    price58 = "500.00"
+    ss58 = _rows_like(
+        ss, n58, ss_sold_date_sk=d58, ss_item_sk=i58,
+        ss_ticket_number=max_ticket + 300_000 + np.arange(n58),
+        ss_ext_sales_price=price58,
+    )
+    cs58 = _rows_like(
+        cs, n58, cs_sold_date_sk=d58, cs_item_sk=i58,
+        cs_order_number=max_order_cs + 300_000 + np.arange(n58),
+        cs_ext_sales_price=price58,
+    )
+    ws58 = _rows_like(
+        ws, n58, ws_sold_date_sk=d58, ws_item_sk=i58,
+        ws_order_number=max_order_ws + 300_000 + np.arange(n58),
+        ws_ext_sales_price=price58,
+    )
+
+    # q56/q60-style: color-subset items selling in Feb 2001 in all three
+    # channels; addr sks ≡ 0 (mod 4) carry the gmt_offset = -5 the query
+    # filters on
+    slate_items = item_sk[np.isin(color, ["slate", "blanched", "burnished"])][:15]
+    n56 = 45
+    i56 = slate_items[np.arange(n56) % max(len(slate_items), 1)]
+    d56 = _dsk(dt.date(2001, 2, 3)) + (np.arange(n56) % 24)
+    addr56 = 4 + (np.arange(n56) * 4) % (N_ADDR - 4)
+    ss56 = _rows_like(
+        ss, n56, ss_sold_date_sk=d56, ss_item_sk=i56,
+        ss_addr_sk=addr56,
+        ss_ticket_number=max_ticket + 400_000 + np.arange(n56),
+    )
+    cs56 = _rows_like(
+        cs, n56, cs_sold_date_sk=d56, cs_item_sk=i56,
+        cs_bill_addr_sk=addr56,
+        cs_order_number=max_order_cs + 400_000 + np.arange(n56),
+    )
+    ws56 = _rows_like(
+        ws, n56, ws_sold_date_sk=d56, ws_item_sk=i56,
+        ws_bill_addr_sk=addr56,
+        ws_order_number=max_order_ws + 400_000 + np.arange(n56),
+    )
+
+    # q83: items 1..20 returned in all three channels in the three
+    # literal weeks
+    weeks83 = [dt.date(2000, 6, 28), dt.date(2000, 9, 25), dt.date(2000, 11, 15)]
+    n83 = 60
+    i83 = 1 + np.arange(n83) % 20
+    d83 = np.array([_dsk(weeks83[k % 3]) + k % 3 for k in range(n83)])
+    sr83 = _rows_like(
+        sr, n83, sr_returned_date_sk=d83, sr_item_sk=i83,
+        sr_ticket_number=max_ticket + 500_000 + np.arange(n83),
+    )
+    cr83 = _rows_like(
+        cr, n83, cr_returned_date_sk=d83, cr_item_sk=i83,
+        cr_order_number=max_order_cs + 500_000 + np.arange(n83),
+    )
+    wr83 = _rows_like(
+        wr, n83, wr_returned_date_sk=d83, wr_item_sk=i83,
+        wr_order_number=max_order_ws + 500_000 + np.arange(n83),
+    )
+
+    # q54: maternity cs/ws sales in Dec 1998 by addressed core customers
+    n54 = 120
+    cust54 = 1 + (np.arange(n54) * 7) % 3000
+    i54 = maternity_items[np.arange(n54) % max(len(maternity_items), 1)]
+    d54 = _dsk(dt.date(1998, 12, 2)) + (np.arange(n54) % 26)
+    cs54 = _rows_like(
+        cs, n54, cs_sold_date_sk=d54, cs_item_sk=i54,
+        cs_bill_customer_sk=cust54,
+        cs_order_number=max_order_cs + 600_000 + np.arange(n54),
+    )
+    ws54 = _rows_like(
+        ws, n54, ws_sold_date_sk=d54, ws_item_sk=i54,
+        ws_bill_customer_sk=cust54,
+        ws_order_number=max_order_ws + 600_000 + np.arange(n54),
+    )
+
+    # q85: year-2000 web sales at price 120 / profit 150 returned by
+    # ('M','Advanced Degree') demographics (cd sk 51) to an Indiana
+    # address (ca sk 7: state IN, country United States)
+    n85 = 50
+    i85 = 1 + np.arange(n85) % 30
+    o85 = max_order_ws + 800_000 + np.arange(n85)
+    ws85 = _rows_like(
+        ws, n85,
+        ws_sold_date_sk=_dsk(dt.date(2000, 3, 6)) + (np.arange(n85) % 200),
+        ws_item_sk=i85, ws_order_number=o85,
+        ws_sales_price="120.00", ws_net_profit="150.00",
+    )
+    wr85 = _rows_like(
+        wr, n85,
+        wr_returned_date_sk=_dsk(dt.date(2000, 5, 6)) + (np.arange(n85) % 100),
+        wr_item_sk=i85, wr_order_number=o85,
+        wr_refunded_cdemo_sk=51, wr_returning_cdemo_sk=51,
+        wr_refunded_addr_sk=7,
+        wr_reason_sk=1 + np.arange(n85) % N_REASON,
+    )
+
+    # q64: two-year (1999/2000) ss+sr stories on the purple-family
+    # calibrated-price items, with catalog refund support (cs+cr pairs
+    # whose refunds stay under half the list price)
+    n64 = 40
+    cust64 = 1 + (np.arange(n64) * 11) % 3000
+    i64 = purple_items[np.arange(n64) % max(len(purple_items), 1)]
+    rows64 = []
+    for yr, base_t in ((1999, 600_000), (2000, 700_000)):
+        t64 = max_ticket + base_t + np.arange(n64)
+        d64 = _dsk(dt.date(yr, 5, 5)) + (np.arange(n64) % 20)
+        rows64.append((
+            _rows_like(
+                ss, n64, ss_sold_date_sk=d64, ss_item_sk=i64,
+                ss_customer_sk=cust64, ss_ticket_number=t64, ss_store_sk=2,
+                ss_promo_sk=1, ss_addr_sk=5, ss_cdemo_sk=7,
+            ),
+            _rows_like(
+                sr, n64, sr_returned_date_sk=d64 + 12, sr_item_sk=i64,
+                sr_customer_sk=cust64, sr_ticket_number=t64, sr_store_sk=2,
+            ),
+        ))
+    cs64 = _rows_like(
+        cs, n64,
+        cs_sold_date_sk=_dsk(dt.date(1999, 5, 5)) + (np.arange(n64) % 20),
+        cs_item_sk=i64,
+        cs_order_number=max_order_cs + 700_000 + np.arange(n64),
+        cs_ext_list_price="900.00",
+    )
+    cr64 = _rows_like(
+        cr, n64,
+        cr_returned_date_sk=_dsk(dt.date(1999, 6, 5)) + (np.arange(n64) % 20),
+        cr_item_sk=i64,
+        cr_order_number=max_order_cs + 700_000 + np.arange(n64),
+        cr_refunded_cash="10.00", cr_reversed_charge="5.00",
+        cr_store_credit="5.00",
+    )
+
+    # q41 boutique items: one item per predicate branch, manufact ids in
+    # 738..778 — each satisfies its own correlated-subquery branch
+    it = tables["item"]
+    branches41 = [
+        ("Women", "powder", "Ounce", "medium"),
+        ("Women", "brown", "Bunch", "N/A"),
+        ("Men", "floral", "N/A", "petite"),
+        ("Men", "light", "Box", "medium"),
+        ("Women", "midnight", "Pallet", "medium"),
+        ("Women", "cyan", "Cup", "N/A"),
+        ("Men", "orange", "Each", "petite"),
+        ("Men", "forest", "Lb", "medium"),
+    ]
+    nb = len(branches41)
+    boutique = _rows_like(
+        it, nb,
+        i_item_sk=np.arange(N_ITEM + 1, N_ITEM + 1 + nb),
+        i_item_id=[f"AAAAAAAB{k:08d}" for k in range(nb)],
+        i_manufact_id=[738 + 5 * k for k in range(nb)],
+        i_manufact=[f"boutique#{k}" for k in range(nb)],
+        i_product_name=[f"boutique{k}" for k in range(nb)],
+        i_category=[b[0] for b in branches41],
+        i_color=[b[1] for b in branches41],
+        i_units=[b[2] for b in branches41],
+        i_size=[b[3] for b in branches41],
+    )
+    tables["item"] = pa.concat_tables([it, boutique])
+
+    tables["customer_address"] = pa.concat_tables([ca, new_ca])
+    tables["customer"] = pa.concat_tables([cu, new_cu, new_cu91])
+    tables["store_sales"] = pa.concat_tables(
+        [ss, ss25, ss24, ss58, ss56, rows64[0][0], rows64[1][0]]
+    )
+    tables["catalog_sales"] = pa.concat_tables(
+        [cs, cs25, cs58, cs56, cs54, cs64]
+    )
+    tables["web_sales"] = pa.concat_tables([ws, ws58, ws56, ws54, ws85])
+    tables["store_returns"] = pa.concat_tables(
+        [sr, sr25, sr24, sr83, rows64[0][1], rows64[1][1]]
+    )
+    tables["catalog_returns"] = pa.concat_tables([cr, cr91, cr83, cr64])
+    tables["web_returns"] = pa.concat_tables([wr, wr83, wr85])
+
+
+def _store_returns(ss: pa.Table) -> pa.Table:
+    """~8% of store-sales lines return; keys copied from the sale row so
+    every FK join (q1 q17 q24 q25 q29 q50 q64 q93) lands."""
+    r = _crng(21)
+    n = ss.num_rows
+    keep = r.random(n) < 0.08
+    m = int(keep.sum())
+    qty = ss["ss_quantity"].to_numpy()[keep]
+    price = (ss["ss_sales_price"].to_numpy()[keep] * 100).astype(np.int64)
+    ret_qty = 1 + r.integers(0, qty)
+    amt = ret_qty * price
+    return pa.table(
+        {
+            "sr_returned_date_sk": pa.array(
+                ss["ss_sold_date_sk"].to_numpy()[keep] + r.integers(1, 60, m),
+                pa.int64(),
+            ),
+            "sr_item_sk": pa.array(ss["ss_item_sk"].to_numpy()[keep], pa.int64()),
+            "sr_customer_sk": pa.array(ss["ss_customer_sk"].to_numpy()[keep], pa.int64()),
+            "sr_cdemo_sk": pa.array(ss["ss_cdemo_sk"].to_numpy()[keep], pa.int64()),
+            "sr_store_sk": pa.array(ss["ss_store_sk"].to_numpy()[keep], pa.int64()),
+            "sr_reason_sk": pa.array(r.integers(1, N_REASON + 1, m), pa.int64()),
+            "sr_ticket_number": pa.array(ss["ss_ticket_number"].to_numpy()[keep], pa.int64()),
+            "sr_return_quantity": pa.array(ret_qty, pa.int32()),
+            "sr_return_amt": _dec(amt, 9),
+            "sr_net_loss": _dec((amt * r.integers(5, 60, m)) // 100 + 50, 9),
+        }
+    )
+
+
+def _web_returns(ws: pa.Table) -> pa.Table:
+    r = _crng(22)
+    n = ws.num_rows
+    keep = r.random(n) < 0.06
+    m = int(keep.sum())
+    qty = ws["ws_quantity"].to_numpy()[keep]
+    price = (ws["ws_sales_price"].to_numpy()[keep] * 100).astype(np.int64)
+    ret_qty = 1 + r.integers(0, qty)
+    amt = ret_qty * price
+    cash = (amt * r.integers(30, 81, m)) // 100
+    return pa.table(
+        {
+            "wr_returned_date_sk": pa.array(
+                ws["ws_ship_date_sk"].to_numpy()[keep] + r.integers(1, 60, m),
+                pa.int64(),
+            ),
+            "wr_item_sk": pa.array(ws["ws_item_sk"].to_numpy()[keep], pa.int64()),
+            "wr_order_number": pa.array(ws["ws_order_number"].to_numpy()[keep], pa.int64()),
+            "wr_returning_customer_sk": pa.array(
+                ws["ws_bill_customer_sk"].to_numpy()[keep], pa.int64()
+            ),
+            "wr_returning_addr_sk": pa.array(
+                ws["ws_bill_addr_sk"].to_numpy()[keep], pa.int64()
+            ),
+            "wr_returning_cdemo_sk": pa.array(r.integers(1, N_CDEMO + 1, m), pa.int64()),
+            "wr_refunded_addr_sk": pa.array(
+                ws["ws_bill_addr_sk"].to_numpy()[keep], pa.int64()
+            ),
+            "wr_refunded_cdemo_sk": pa.array(r.integers(1, N_CDEMO + 1, m), pa.int64()),
+            "wr_web_page_sk": pa.array(ws["ws_web_page_sk"].to_numpy()[keep], pa.int64()),
+            "wr_reason_sk": pa.array(r.integers(1, N_REASON + 1, m), pa.int64()),
+            "wr_return_quantity": pa.array(ret_qty, pa.int32()),
+            "wr_return_amt": _dec(amt, 9),
+            "wr_fee": _dec(r.integers(50, 10_000, m), 9),
+            "wr_refunded_cash": _dec(cash, 9),
+            "wr_net_loss": _dec((amt * r.integers(5, 60, m)) // 100 + 50, 9),
+        }
+    )
+
+
+def _time_dim() -> pa.Table:
+    sk = np.arange(86_400)
+    hour = sk // 3600
+    meal = np.where(
+        (hour >= 6) & (hour < 9), "breakfast",
+        np.where((hour >= 17) & (hour < 20), "dinner", ""),
+    )
+    return pa.table(
+        {
+            "t_time_sk": pa.array(sk, pa.int64()),
+            "t_time": pa.array(sk, pa.int32()),
+            "t_hour": pa.array(hour, pa.int32()),
+            "t_minute": pa.array((sk // 60) % 60, pa.int32()),
+            "t_meal_time": pa.array(
+                [m if m else None for m in meal], pa.string()
+            ),
+        }
+    )
+
+
+def _reason() -> pa.Table:
+    sk = np.arange(1, N_REASON + 1)
+    return pa.table(
+        {
+            "r_reason_sk": pa.array(sk, pa.int64()),
+            "r_reason_desc": pa.array([f"reason {int(s)}" for s in sk]),
+        }
+    )
+
+
+def _ship_mode() -> pa.Table:
+    sk = np.arange(1, N_SHIPMODE + 1)
+    types = ["EXPRESS", "OVERNIGHT", "REGULAR", "NEXT DAY", "TWO DAY"]
+    carriers = [
+        "UPS", "FEDEX", "AIRBORNE", "USPS", "DHL", "BARIAN", "LATVIAN",
+        "ZOUROS", "TBS", "MSC",
+    ]
+    return pa.table(
+        {
+            "sm_ship_mode_sk": pa.array(sk, pa.int64()),
+            "sm_type": pa.array([types[int(s) % len(types)] for s in sk]),
+            "sm_carrier": pa.array([carriers[int(s) % len(carriers)] for s in sk]),
+        }
+    )
+
+
+def _call_center() -> pa.Table:
+    sk = np.arange(1, N_CC + 1)
+    return pa.table(
+        {
+            "cc_call_center_sk": pa.array(sk, pa.int64()),
+            "cc_call_center_id": pa.array([f"AAAAAAAA{int(s):08d}" for s in sk]),
+            "cc_name": pa.array([f"NY Metro #{int(s)}" for s in sk]),
+            "cc_county": pa.array(["Williamson County"] * N_CC),
+            "cc_manager": pa.array([_FIRST[int(s) % len(_FIRST)] + " " + _LAST[int(s) % len(_LAST)] for s in sk]),
+        }
+    )
+
+
+def _web_site() -> pa.Table:
+    sk = np.arange(1, N_WEBSITE + 1)
+    return pa.table(
+        {
+            "web_site_sk": pa.array(sk, pa.int64()),
+            "web_site_id": pa.array([f"AAAAAAAA{int(s):08d}" for s in sk]),
+            "web_name": pa.array([f"site_{int(s)}" for s in sk]),
+            "web_company_name": pa.array(
+                [["pri", "able", "ought"][int(s) % 3] for s in sk]
+            ),
+        }
+    )
+
+
+def _web_page() -> pa.Table:
+    sk = np.arange(1, N_WEBPAGE + 1)
+    # a third of pages inside q90's 5000..5200 char-count window
+    cc = np.where(sk % 3 == 0, 5000 + sk * 3 % 200, 2500 + sk * 41 % 2400)
+    return pa.table(
+        {
+            "wp_web_page_sk": pa.array(sk, pa.int64()),
+            "wp_char_count": pa.array(cc, pa.int32()),
+        }
+    )
+
+
+def _catalog_page() -> pa.Table:
+    sk = np.arange(1, N_CATPAGE + 1)
+    return pa.table(
+        {
+            "cp_catalog_page_sk": pa.array(sk, pa.int64()),
+            "cp_catalog_page_id": pa.array([f"AAAAAAAA{int(s):08d}" for s in sk]),
+        }
+    )
+
+
+def _income_band() -> pa.Table:
+    sk = np.arange(1, 21)
+    return pa.table(
+        {
+            "ib_income_band_sk": pa.array(sk, pa.int64()),
+            "ib_lower_bound": pa.array((sk - 1) * 10_000, pa.int32()),
+            "ib_upper_bound": pa.array(sk * 10_000 - 1, pa.int32()),
+        }
+    )
+
+
 def generate(outdir: str) -> None:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -633,14 +1463,36 @@ def generate(outdir: str) -> None:
         "inventory": _inventory(rng, days),
     }
     tables["catalog_returns"] = _catalog_returns(rng, tables["catalog_sales"])
+    _extend_existing(tables)
+    _overwrite_dims(tables)
+    tables["inventory"] = _inventory_v3(days)
+    tables["store_returns"] = _store_returns(tables["store_sales"])
+    tables["web_returns"] = _web_returns(tables["web_sales"])
+    _null_fact_fks(tables)
+    _append_support(tables)
+    tables["time_dim"] = _time_dim()
+    tables["reason"] = _reason()
+    tables["ship_mode"] = _ship_mode()
+    tables["call_center"] = _call_center()
+    tables["web_site"] = _web_site()
+    tables["web_page"] = _web_page()
+    tables["catalog_page"] = _catalog_page()
+    tables["income_band"] = _income_band()
     for name, t in tables.items():
         pq.write_table(t, os.path.join(outdir, f"{name}.parquet"))
         print(f"  {name}: {t.num_rows} rows")
+    with open(os.path.join(outdir, "_MANIFEST"), "w") as f:
+        f.write(str(GENVER))
 
 
 def ensure(outdir: str) -> str:
-    """Generate iff missing (cheap presence check: last table written)."""
-    if not os.path.exists(os.path.join(outdir, "catalog_returns.parquet")):
+    """Generate iff missing or from an older generator version."""
+    mf = os.path.join(outdir, "_MANIFEST")
+    try:
+        ok = open(mf).read().strip() == str(GENVER)
+    except OSError:
+        ok = False
+    if not ok:
         generate(outdir)
     return outdir
 

@@ -111,7 +111,14 @@ def test_scale_tiers_never_plan_cartesian(spark, name):
 def test_tpcds_shapes_never_plan_cartesian(spark, name):
     """Every TPC-DS shape must plan joins (broadcast/shuffled-hash/sort-
     merge), never a cartesian — q88's declared single-row cross joins are
-    BroadcastNestedLoop over one-row sides, which is fine and distinct."""
+    BroadcastNestedLoop over one-row sides, which is fine and distinct.
+
+    tpcds_real_q77 is exempt: the benchmark text itself spells
+    ``cross join`` between two per-channel AGGREGATES (call-center
+    totals x returns totals, both <= a handful of rows) — a declared
+    cartesian over aggregated sides, not a planning failure."""
+    if name == "tpcds_real_q77":
+        pytest.skip("benchmark-specified cross join of two aggregates")
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, plan
 
