@@ -2248,7 +2248,6 @@ from flink_spark import queries_tpcds4 as _queries_tpcds4  # noqa: E402,F401
 from flink_spark import queries_tpcds5 as _queries_tpcds5  # noqa: E402,F401
 from flink_spark import queries_tpcds6 as _queries_tpcds6  # noqa: E402,F401
 from flink_spark import queries_tpcds_real as _queries_tpcds_real  # noqa: E402,F401
-from flink_spark import queries_tpcds_real2 as _queries_tpcds_real2  # noqa: E402,F401
 from flink_spark import queries_nexmark as _queries_nexmark  # noqa: E402,F401
 from flink_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from flink_spark import queries_ext2 as _queries_ext2  # noqa: E402,F401

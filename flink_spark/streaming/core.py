@@ -68,7 +68,11 @@ def with_idleness(spark: SparkSession) -> None:
     the default ``min`` is held back by the slowest (possibly idle)
     input; ``max`` lets the furthest-ahead input drive it — the
     idleness behavior. This is a session-wide policy (Spark offers no
-    per-source knob), which is the documented semantic narrowing.
+    per-source knob). For the PER-SOURCE contract (a single idle source
+    excluded from the combined min while the others still gate), use
+    flink_spark.streaming.watermark_group.WatermarkGroup — the
+    StatusWatermarkValve-style multiplexer the repo's own streaming
+    operators can drive per micro-batch.
     """
     spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
 
@@ -84,7 +88,10 @@ def with_watermark_alignment(
     input's lateness is dropped because another ran ahead) plus
     per-source rate caps that bound how far a fast source can advance
     per micro-batch. Returns the reader options to apply to each file
-    source (Kafka sources use maxOffsetsPerTrigger analogously).
+    source (Kafka sources use maxOffsetsPerTrigger analogously). For the
+    per-source alignment-group semantics (too-far-ahead rows deferred
+    until the group catches up) see
+    flink_spark.streaming.watermark_group.split_aligned.
     """
     spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
     opts: dict[str, str] = {}

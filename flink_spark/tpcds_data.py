@@ -54,6 +54,12 @@ SS_TICKETS = 45_000
 CS_ORDERS = 26_000
 WS_ORDERS = 20_000
 
+# fact_scale multiplies the FACT table volumes only (dims fixed, same
+# formulas and support blocks): generate(dir, fact_scale=15) yields
+# ~2.9M store_sales rows — real TPC-DS sf1's fact volume — for perf
+# runs, while the default corpus stays the correctness-sized ~sf0.07.
+_FACT_SCALE = 1.0
+
 
 def _dec(cents: np.ndarray, prec: int = 12, scale: int = 2) -> pa.Array:
     """int64 cents -> decimal128(prec,2) exactly."""
@@ -401,22 +407,23 @@ def _money(rng: np.random.Generator, qty: np.ndarray):
 
 
 def _store_sales(rng: np.random.Generator, days, dayw) -> pa.Table:
-    sizes = np.minimum(rng.geometric(0.25, SS_TICKETS), 22)
+    n_tickets = int(SS_TICKETS * _FACT_SCALE)
+    sizes = np.minimum(rng.geometric(0.25, n_tickets), 22)
     # forced stratum: q34 needs tickets with 15..20 matching lines
-    sizes[::40] = 15 + (np.arange(SS_TICKETS)[::40] // 40) % 6
+    sizes[::40] = 15 + (np.arange(n_tickets)[::40] // 40) % 6
     n = int(sizes.sum())
-    t_day = rng.choice(len(days), SS_TICKETS, p=dayw)
-    t_store = rng.integers(1, N_STORE + 1, SS_TICKETS)
-    t_cust = rng.integers(1, N_CUST + 1, SS_TICKETS)
-    core = rng.random(SS_TICKETS) < 0.6
+    t_day = rng.choice(len(days), n_tickets, p=dayw)
+    t_store = rng.integers(1, N_STORE + 1, n_tickets)
+    t_cust = rng.integers(1, N_CUST + 1, n_tickets)
+    core = rng.random(n_tickets) < 0.6
     t_cust[core] = rng.integers(1, CORE_CUSTOMERS + 1, core.sum())
-    t_hdemo = rng.integers(1, N_HDEMO + 1, SS_TICKETS)
-    t_cdemo = rng.integers(1, N_CDEMO + 1, SS_TICKETS)
-    t_addr = rng.integers(1, N_ADDR + 1, SS_TICKETS)
+    t_hdemo = rng.integers(1, N_HDEMO + 1, n_tickets)
+    t_cdemo = rng.integers(1, N_CDEMO + 1, n_tickets)
+    t_addr = rng.integers(1, N_ADDR + 1, n_tickets)
     # "cluster" tickets buy mostly hot items (q23a frequent-item support)
-    t_cluster = rng.random(SS_TICKETS) < 0.3
+    t_cluster = rng.random(n_tickets) < 0.3
 
-    rep = np.repeat(np.arange(SS_TICKETS), sizes)
+    rep = np.repeat(np.arange(n_tickets), sizes)
     qty = rng.integers(1, 101, n)
     item = _pick_items(rng, n, 0.12)
     cl = t_cluster[rep]
@@ -456,16 +463,17 @@ def _store_sales(rng: np.random.Generator, days, dayw) -> pa.Table:
 
 
 def _catalog_sales(rng: np.random.Generator, days, dayw) -> pa.Table:
-    sizes = np.minimum(rng.geometric(0.28, CS_ORDERS), 14)
+    n_orders = int(CS_ORDERS * _FACT_SCALE)
+    sizes = np.minimum(rng.geometric(0.28, n_orders), 14)
     n = int(sizes.sum())
-    o_day = rng.choice(len(days), CS_ORDERS, p=dayw)
-    o_cust = rng.integers(1, N_CUST + 1, CS_ORDERS)
-    core = rng.random(CS_ORDERS) < 0.7
+    o_day = rng.choice(len(days), n_orders, p=dayw)
+    o_cust = rng.integers(1, N_CUST + 1, n_orders)
+    core = rng.random(n_orders) < 0.7
     o_cust[core] = rng.integers(1, CORE_CUSTOMERS + 1, core.sum())
-    o_cdemo = rng.integers(1, N_CDEMO + 1, CS_ORDERS)
-    o_hdemo = rng.integers(1, N_HDEMO + 1, CS_ORDERS)
-    o_addr = rng.integers(1, N_ADDR + 1, CS_ORDERS)
-    rep = np.repeat(np.arange(CS_ORDERS), sizes)
+    o_cdemo = rng.integers(1, N_CDEMO + 1, n_orders)
+    o_hdemo = rng.integers(1, N_HDEMO + 1, n_orders)
+    o_addr = rng.integers(1, N_ADDR + 1, n_orders)
+    rep = np.repeat(np.arange(n_orders), sizes)
     ship_delta = rng.integers(2, 36, n)
     qty = rng.integers(1, 101, n)
     item = _pick_items(rng, n, 0.15)
@@ -512,14 +520,15 @@ def _catalog_sales(rng: np.random.Generator, days, dayw) -> pa.Table:
 
 
 def _web_sales(rng: np.random.Generator, days, dayw) -> pa.Table:
-    sizes = np.minimum(rng.geometric(0.35, WS_ORDERS), 12)
+    n_orders = int(WS_ORDERS * _FACT_SCALE)
+    sizes = np.minimum(rng.geometric(0.35, n_orders), 12)
     n = int(sizes.sum())
-    o_day = rng.choice(len(days), WS_ORDERS, p=dayw)
-    o_cust = rng.integers(1, N_CUST + 1, WS_ORDERS)
-    core = rng.random(WS_ORDERS) < 0.7
+    o_day = rng.choice(len(days), n_orders, p=dayw)
+    o_cust = rng.integers(1, N_CUST + 1, n_orders)
+    core = rng.random(n_orders) < 0.7
     o_cust[core] = rng.integers(1, CORE_CUSTOMERS + 1, core.sum())
-    o_addr = rng.integers(1, N_ADDR + 1, WS_ORDERS)
-    rep = np.repeat(np.arange(WS_ORDERS), sizes)
+    o_addr = rng.integers(1, N_ADDR + 1, n_orders)
+    rep = np.repeat(np.arange(n_orders), sizes)
     ship_delta = rng.integers(1, 30, n)
     qty = rng.integers(1, 101, n)
     item = _pick_items(rng, n, 0.15)
@@ -1439,7 +1448,9 @@ def _income_band() -> pa.Table:
     )
 
 
-def generate(outdir: str) -> None:
+def generate(outdir: str, fact_scale: float = 1.0) -> None:
+    global _FACT_SCALE
+    _FACT_SCALE = fact_scale
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(SEED)
     days = [
@@ -1482,14 +1493,18 @@ def generate(outdir: str) -> None:
         pq.write_table(t, os.path.join(outdir, f"{name}.parquet"))
         print(f"  {name}: {t.num_rows} rows")
     with open(os.path.join(outdir, "_MANIFEST"), "w") as f:
-        f.write(str(GENVER))
+        f.write(f"{GENVER}@{fact_scale}")
+    _FACT_SCALE = 1.0
 
 
 def ensure(outdir: str) -> str:
     """Generate iff missing or from an older generator version."""
     mf = os.path.join(outdir, "_MANIFEST")
     try:
-        ok = open(mf).read().strip() == str(GENVER)
+        # any fact_scale of the current generator version is valid — a
+        # session pointed (via SPARK_GRAFT_TPCDS_DIR) at a scaled perf
+        # corpus must NOT clobber it back to the default size
+        ok = open(mf).read().strip().startswith(f"{GENVER}@")
     except OSError:
         ok = False
     if not ok:
