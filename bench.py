@@ -190,6 +190,79 @@ def _stream_bench(spark, sf_dir: str) -> dict | None:
         return None
 
 
+def _tpcds_real_bench(spark) -> dict | None:
+    """Compact real-TPC-DS component: six representative VERBATIM
+    benchmark texts (star / YoY-CTE / cross-channel / inventory /
+    reachability) on the sf1-fact-volume corpus (2.92M store_sales —
+    real dsdgen sf1's volume), both engines, warm min-of-2. Runs in
+    stats mode (the reference gate's --useTableStats analogue; see
+    BASELINE.md "Real-text performance") iff the scaled corpus exists —
+    generated by tools/bench_tpcds_real.py; skipped silently otherwise
+    so the driver bench stays within budget on a fresh checkout."""
+    sf1 = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchdata", "tpcds_sf1"
+    )
+    try:
+        if not open(os.path.join(sf1, "_MANIFEST")).read().strip().endswith("@15"):
+            return None
+    except OSError:
+        return None
+    import duckdb
+
+    import flink_spark.queries_tpcds_real as R
+
+    prev_dir, prev_stats = R.TPCDS_DIR, R.USE_TABLE_STATS
+    try:
+        R.TPCDS_DIR = sf1
+        R.USE_TABLE_STATS = True
+        qids = ["3", "19", "72", "14a", "4", "95"]
+        spark_s, duck_s = {}, {}
+        con = duckdb.connect()
+        con.execute(f"SET threads = {os.cpu_count() or 8}")
+        for qid in qids:
+            name = f"tpcds_real_q{qid}"
+            fn = Q.QUERIES[name]
+            fn(spark, "/root/testdata/sf0.01").count()  # warm (+analyze once)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, "/root/testdata/sf0.01").count()
+                best = min(best, time.perf_counter() - t0)
+            spark_s[qid] = round(best, 3)
+            # Q.ORACLE baked the default corpus path at import time;
+            # rebuild against the scaled dir (read at call time)
+            sql = R._oracle_real(qid)
+            con.execute(sql).fetchall()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_s[qid] = round(best, 3)
+            print(
+                f"# tpcds_real q{qid}: spark {spark_s[qid]:.3f}s "
+                f"duckdb {duck_s[qid]:.3f}s",
+                file=sys.stderr,
+            )
+        return {
+            "sf": "tpcds sf1 fact volume",
+            "queries": {f"q{k}": v for k, v in spark_s.items()},
+            "oracle_s": {f"q{k}": v for k, v in duck_s.items()},
+            "ratio": round(sum(spark_s.values()) / sum(duck_s.values()), 3),
+        }
+    except Exception as exc:  # the main bench must still emit
+        print(f"# tpcds_real bench failed: {exc!r}", file=sys.stderr)
+        return None
+    finally:
+        R.TPCDS_DIR, R.USE_TABLE_STATS = prev_dir, prev_stats
+        try:
+            spark.sql("USE default")
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        except Exception:
+            pass
+
+
 def main() -> None:
     sf_dir = _resolve_sf_dir()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -286,6 +359,7 @@ def main() -> None:
     throughput_ratio = (
         round(floor_adj / paired_oracle, 3) if paired_oracle else None
     )
+    tpcds_real = _tpcds_real_bench(spark)
     print(
         json.dumps(
             {
@@ -300,6 +374,7 @@ def main() -> None:
                 "throughput_ratio_floor_adjusted": throughput_ratio,
                 "spark_floor_s": floor_s,
                 "streaming": streaming,
+                "tpcds_real": tpcds_real,
                 "baseline": "duckdb_same_machine_same_parquet",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
