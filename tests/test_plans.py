@@ -163,3 +163,28 @@ def test_topk_corpus_side_not_shuffled(spark):
     for i, ln in enumerate(head.splitlines()):
         if "Exchange" in ln:
             assert i < scorer_line, plan
+
+
+@pytest.mark.parametrize("name,n_packed", [
+    ("tpcds_real_q50", 1),  # ss⋈sr on (ticket, item, customer)
+    ("tpcds_real_q93", 1),  # ss left⋈ sr on (item, ticket)
+])
+def test_returns_join_packs_to_single_long_key(spark, name, n_packed):
+    """q50/q93 (the r5 scale regressions, 20x/14.6x at sf10 fact
+    volume): the store_sales⋈store_returns join must key on ONE
+    xxhash64 expression — Spark's LongHashedRelation fast path — with
+    the raw column equalities demoted to residuals, never a composite
+    key (UnsafeHashedRelation probes measured ~4.5x slower per row,
+    build-size-independent). See _SPARK_REWRITE in
+    queries_tpcds_real.py; the DuckDB oracle runs the unrewritten
+    text, so oracle-parity tests pin the semantics."""
+    plan = plan_of(spark, name)
+    # explain-formatted details: the packed join reads
+    #   Left keys [1]: [xxhash64(...)]
+    packed = [ln for ln in plan.splitlines()
+              if "keys [1]: [xxhash64" in ln]
+    assert len(packed) >= 2 * n_packed, plan  # left + right per join
+    # no BHJ may fall back to a composite key list
+    assert "keys [2]:" not in plan and "keys [3]:" not in plan, plan
+    # and the fact side must not shuffle for this join
+    assert "Exchange hashpartitioning(ss_ticket_number" not in plan, plan
