@@ -165,3 +165,31 @@ def exactly_once_file_sink(
         output_mode="append",
         available_now=available_now,
     )
+
+
+def jdbc_sink(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    batch_size: int | None = None,
+    **properties: str,
+) -> None:
+    """JDBC sink (flink-connectors/flink-connector-jdbc JdbcSink.sink,
+    JdbcOutputFormat) → ``df.write.jdbc``.
+
+    Spark opens one connection per partition and writes executor-side
+    in ``batchsize``-row JDBC batches (JdbcUtils.savePartition) — the
+    same per-subtask batched-statement model as Flink's
+    JdbcBatchingOutputFormat; no data moves through the driver.
+    Exactly-once (Flink's JdbcXaSinkFunction) is out of scope: Spark's
+    JDBC writer is at-least-once under task retry, same as Flink's
+    non-XA sink.
+    """
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if batch_size is not None:
+        writer = writer.option("batchsize", str(batch_size))
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
