@@ -110,6 +110,115 @@ def _register_tpcds(spark: SparkSession) -> None:
         cache[t].createOrReplaceTempView(t)
 
 
+# CTE materialization (the engine's second SQL-layer physical rule —
+# Flink-parity: Flink's planner reuses common sub-plans across a query,
+# SubplanReuser.scala / table.optimizer.reuse-sub-plan-enabled=true,
+# while Catalyst's InlineCTE expands every reference into its own
+# subtree: q4's 6-times-referenced year_total plans TWELVE fact scans).
+# For the opted-in (qid, cte-name) pairs below, _run_real extracts the
+# CTE body, computes it ONCE into an eagerly-persisted temp view, and
+# runs the remaining text against that view. Opt-in only, and only for
+# CTEs referenced >= 2 times — materializing a single-ref CTE would
+# forfeit Catalyst's filter pushdown into the CTE body for no reuse.
+# The previous query's materializations are unpersisted at the next
+# _run_real call, so repeated timed runs re-pay the materialization
+# (no cross-run cache leakage into benchmarks). The DuckDB oracle runs
+# the verbatim text (DuckDB materializes multi-ref CTEs natively, so
+# this also ALIGNS the two engines' execution strategies).
+# Opt-in set from the interleaved A/B at sf10 fact volume
+# (tools/cte_ab.py, medians of 3 alternating pairs): q24a −20%,
+# q24b −8%, q74 −73%, q47 −28%, q57 −28%, q14a −12%, q14b −29% —
+# each has a reference whose aggregate needs the FULL CTE (q24's
+# 0.05·avg(netpaid) subquery, q47/q57's ±1-month self-joins, q14's
+# cross-channel avg_sales), so inlining re-pays the whole build with
+# no pushdown savings. Queries whose inlined copies DO get distinct
+# pushed filters (q4/q11's per-year year_total slices, q2, q31, q39,
+# q59, q64 +178%, q83, q95) measured as losses and stay inline.
+_CTE_MATERIALIZE: dict[str, tuple[str, ...]] = {
+    "24a": ("ssales",),
+    "24b": ("ssales",),
+    "74": ("year_total",),
+    "47": ("v1",),
+    "57": ("v1",),
+    "14a": ("cross_items", "avg_sales"),
+    "14b": ("cross_items", "avg_sales"),
+}
+
+# persisted DataFrames from the previous _run_real, by view name
+_cte_cache: dict[int, dict[str, DataFrame]] = {}
+
+
+def _split_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
+    """Split a query into its top-level WITH definitions and the main
+    statement. Balanced-paren scan (the benchmark texts contain no
+    parentheses inside string literals; every split is pinned by the
+    103 oracle-parity tests)."""
+    m = re.search(r"\bwith\b", text, re.I)
+    assert m, "no WITH clause"
+    i = m.end()
+    defs: list[tuple[str, str]] = []
+    while True:
+        m2 = re.match(r"\s*([A-Za-z_]\w*)\s+as\s*\(", text[i:], re.I)
+        assert m2, text[i : i + 80]
+        name = m2.group(1)
+        j = i + m2.end()
+        depth, k = 1, j
+        while depth:
+            c = text[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        defs.append((name, text[j : k - 1]))
+        m3 = re.match(r"\s*,", text[k:])
+        if not m3:
+            break
+        i = k + m3.end()
+    return defs, text[: m.start()] + "\n" + text[k:]
+
+
+def _materialize_ctes(spark: SparkSession, qid: str, text: str) -> str:
+    """Apply _CTE_MATERIALIZE: persist the listed CTEs as temp views,
+    return the text with those definitions removed (non-listed CTEs
+    stay in a reduced WITH clause). Earlier definitions are visible to
+    later bodies either way — materialized ones as temp views."""
+    cache = _cte_cache.setdefault(id(spark), {})
+    for name, df in cache.items():
+        df.unpersist()
+        spark.catalog.dropTempView(name)
+    cache.clear()
+    wanted = _CTE_MATERIALIZE.get(qid)
+    if not wanted:
+        return text
+    defs, main = _split_ctes(text)
+    assert set(wanted) <= {n for n, _ in defs}, (qid, wanted)
+    kept: list[tuple[str, str]] = []
+    for name, body in defs:
+        if name in wanted:
+            # a kept (inline) earlier CTE may be referenced by this
+            # body: splice kept defs back in as a WITH prefix
+            sql = body
+            if kept:
+                sql = (
+                    "with "
+                    + ", ".join(f"{n} as ({b})" for n, b in kept)
+                    + "\n"
+                    + body
+                )
+            df = spark.sql(sql).persist()
+            df.count()  # eager: the main query reads the cache only
+            df.createOrReplaceTempView(name)
+            cache[name] = df
+        else:
+            kept.append((name, body))
+    if kept:
+        return (
+            "with " + ", ".join(f"{n} as ({b})" for n, b in kept) + main
+        )
+    return main
+
+
 def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
     """Execute the real query text; restore the shadowed fixture view.
 
@@ -123,6 +232,7 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         assert old in text, f"spark rewrite target missing in q{qid}"
         text = text.replace(old, new)
     try:
+        text = _materialize_ctes(spark, qid, text)
         df = spark.sql(text)
     finally:
         if USE_TABLE_STATS:

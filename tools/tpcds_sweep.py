@@ -1,0 +1,100 @@
+"""Sweep ALL 103 real TPC-DS query texts at fact volume — plan-pathology
+hunter. The 19-query bench (bench_tpcds_real.py) covers the named
+families; this sweep times every query once-warm in both engines so
+scale-regressing plans outside the bench set (like q72's pre-CBO
+item-only inventory join, or q50/q93's composite-key probe cliff) have
+nowhere to hide.
+
+Usage: TPCDS_BENCH_SCALE={1,10} python tools/tpcds_sweep.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_SCALE = os.environ.get("TPCDS_BENCH_SCALE", "1")
+_FACT_SCALE = {"1": 15, "10": 150}[_SCALE]
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "benchdata", f"tpcds_sf{_SCALE}",
+)
+os.environ["SPARK_GRAFT_TPCDS_DIR"] = SF1_DIR
+os.environ.setdefault("SPARK_GRAFT_TPCDS_STATS", "1")
+
+import duckdb  # noqa: E402
+
+from flink_spark.session import get_spark  # noqa: E402
+from flink_spark import queries as Q  # noqa: E402
+from flink_spark.queries_tpcds_real import _TPCDS_REAL  # noqa: E402
+from flink_spark.tpcds_data import generate  # noqa: E402
+
+
+def _ensure() -> None:
+    mf = os.path.join(SF1_DIR, "_MANIFEST")
+    try:
+        ok = open(mf).read().strip().endswith(f"@{_FACT_SCALE}")
+    except OSError:
+        ok = False
+    if not ok:
+        print(f"# generating fact-volume corpus (fact_scale={_FACT_SCALE})...",
+              file=sys.stderr)
+        generate(SF1_DIR, fact_scale=_FACT_SCALE)
+
+
+def main() -> None:
+    _ensure()
+    spark = get_spark(app_name="flink_spark_tpcds_sweep")
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.cpu_count() or 8}")
+
+    spark_s: dict[str, float] = {}
+    duck_s: dict[str, float] = {}
+    for qid in sorted(_TPCDS_REAL, key=lambda s: (len(s), s)):
+        name = f"tpcds_real_q{qid}"
+        fn = Q.QUERIES[name]
+        fn(spark, "/root/testdata/sf0.01").toPandas()  # warm
+        t0 = time.perf_counter()
+        fn(spark, "/root/testdata/sf0.01").toPandas()
+        spark_s[qid] = round(time.perf_counter() - t0, 3)
+        sql = Q.ORACLE[name]
+        con.execute(sql).fetchall()  # warm
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        duck_s[qid] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# q{qid}: spark {spark_s[qid]:.3f}s duckdb {duck_s[qid]:.3f}s "
+            f"ratio {spark_s[qid] / max(duck_s[qid], 1e-9):.2f}",
+            file=sys.stderr, flush=True,
+        )
+
+    total_s, total_d = sum(spark_s.values()), sum(duck_s.values())
+    worst = sorted(
+        spark_s, key=lambda q: spark_s[q] / max(duck_s[q], 1e-9), reverse=True
+    )[:10]
+    out = {
+        "metric": f"tpcds_real_sweep_sf{_SCALE}",
+        "value": round(total_s, 3),
+        "unit": "sec",
+        "n_queries": len(spark_s),
+        "sf": f"{_SCALE} (fact volume: {_FACT_SCALE}x the correctness corpus)",
+        "queries": {f"q{k}": v for k, v in spark_s.items()},
+        "oracle_s": {f"q{k}": v for k, v in duck_s.items()},
+        "headline_ratio": round(total_s / total_d, 3),
+        "worst_ratio": {
+            f"q{k}": round(spark_s[k] / max(duck_s[k], 1e-9), 2) for k in worst
+        },
+    }
+    line = json.dumps(out)
+    print(line)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
