@@ -70,6 +70,8 @@ HEADLINE_OPTIONAL = [
     "emb_cosine_topk",
     "emb_cosine_neardup_pairs",
     "emb_ann_ivf",
+    "doc_gopher_quality",
+    "doc_top_bigram_frac",
 ]
 
 

@@ -23,12 +23,9 @@ def once(qid):
 
 
 CASES = {
-    "24a": ("ssales",),
-    "24b": ("ssales",),
-    "74": ("year_total",),
-    "47": ("v1",),
-    "57": ("v1",),
-    "14a": ("cross_items", "avg_sales"),
+    "1": ("customer_total_return",),
+    "30": ("customer_total_return",),
+    "81": ("customer_total_return",),
 }
 only = set(sys.argv[1:])
 for qid, ctes in CASES.items():
