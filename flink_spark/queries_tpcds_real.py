@@ -520,6 +520,50 @@ _SPARK_REWRITE: dict[str, tuple[tuple[str, str], ...]] = {
             "and ws_order_number - wr_order_number = 0",
         ),
     ),
+    # Second rule: self-EXISTS("another warehouse") decorrelation for
+    # q16/q94 (the TPC-H q21 shape). The correlated predicate
+    # `exists (cs2: same order, cs2.wh <> cs1.wh)` plans as a sort-
+    # merge LEFT SEMI over the FULL fact table with the `<>` as a
+    # post-match residual — at fact volume that is a 14.6M-row sort
+    # whose matches are discarded. Because cs1's own row is in cs2's
+    # scan (same table, no extra filters), the predicate is EXACTLY
+    # `cs1.wh IS NOT NULL AND the order has ≥ 2 distinct non-null
+    # warehouses` (cs1.wh is itself one of the order's warehouses, so
+    # "∃ a different one" ⟺ "≥ 2 distinct"; a NULL cs1.wh fails `<>`
+    # against every row, matching the IS NOT NULL guard — the fixture
+    # has no NULL warehouses, so this leg rests on the proof, not the
+    # hash gate). min<>max replaces count(distinct)>1: same truth over
+    # non-null values, partial-aggregatable. The rewritten form is one
+    # map-side-combined hash aggregate + a hash semi join — no fact
+    # sort. The DuckDB oracle still runs the verbatim text.
+    "16": (
+        (
+            """and exists (select *
+            from catalog_sales cs2
+            where cs1.cs_order_number = cs2.cs_order_number
+              and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)""",
+            """and cs1.cs_warehouse_sk is not null
+and cs1.cs_order_number in (select cs_order_number
+            from catalog_sales
+            where cs_warehouse_sk is not null
+            group by cs_order_number
+            having min(cs_warehouse_sk) <> max(cs_warehouse_sk))""",
+        ),
+    ),
+    "94": (
+        (
+            """and exists (select *
+            from web_sales ws2
+            where ws1.ws_order_number = ws2.ws_order_number
+              and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)""",
+            """and ws1.ws_warehouse_sk is not null
+and ws1.ws_order_number in (select ws_order_number
+            from web_sales
+            where ws_warehouse_sk is not null
+            group by ws_order_number
+            having min(ws_warehouse_sk) <> max(ws_warehouse_sk))""",
+        ),
+    ),
 }
 
 

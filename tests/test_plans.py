@@ -188,3 +188,22 @@ def test_returns_join_packs_to_single_long_key(spark, name, n_packed):
     assert "keys [2]:" not in plan and "keys [3]:" not in plan, plan
     # and the fact side must not shuffle for this join
     assert "Exchange hashpartitioning(ss_ticket_number" not in plan, plan
+
+
+@pytest.mark.parametrize("name,wh", [
+    ("tpcds_real_q16", "cs_warehouse_sk"),
+    ("tpcds_real_q94", "ws_warehouse_sk"),
+])
+def test_exists_other_warehouse_decorrelates_to_aggregate(spark, name, wh):
+    """q16/q94: the correlated `exists (same order, other warehouse)`
+    must run as the min/max per-order aggregate + semi join (the second
+    _SPARK_REWRITE rule), not as a sort-merge semi with the `<>` as a
+    post-match residual over the full fact table (a fact-table sort
+    whose matches are discarded; measured -16%/-13% at sf10 fact
+    volume). The DuckDB oracle runs the verbatim EXISTS text, so
+    oracle-parity tests pin the rewrite's semantics."""
+    plan = plan_of(spark, name)
+    assert f"min({wh}" in plan and f"max({wh}" in plan, plan
+    # the `<>` correlation must be gone: no NOT-equal residual between
+    # two warehouse columns survives in any join
+    assert f"NOT ({wh}" not in plan, plan
