@@ -43,6 +43,10 @@ QUERIES = [
     "tpcds_q49_shape",
     "tpcds_q72_shape",
     "tvf_tumble_daily",
+    # r5: the new Gopher repetition tier (n-gram hash aggregates)
+    "doc_gopher_quality",
+    "doc_top_bigram_frac",
+    "doc_dup_5gram_frac",
 ]
 
 BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata")
@@ -60,6 +64,10 @@ def time_min(fn, runs=2):
 
 
 def main() -> None:
+    # optional subset: argv[2:] names restrict the run (addendum mode)
+    global QUERIES
+    if len(sys.argv) > 2:
+        QUERIES = [n for n in QUERIES if n in sys.argv[2:]]
     out: dict = {"queries": {}}
     spark = get_spark(app_name="scale_study")
     spark.sparkContext.setLogLevel("ERROR")
