@@ -152,16 +152,17 @@ def top_ngram_char_frac(
     the single most frequent word n-gram (ties broken lexicographically
     so the answer is deterministic). Gopher applies this for n = 2,3,4.
 
-    Plan: one (doc_id, gram) hash aggregate, then a per-doc top-1 as a
-    second hash aggregate — min of struct(−count, gram) gives
-    (count DESC, gram ASC) lexicographically with NO sort. The obvious
-    ROW_NUMBER()=1 spelling instead sorts the entire gram table inside
-    doc_id partitions (WindowGroupLimit still sorts per partition):
-    measured 38.4 s vs DuckDB 2.2 s at sf1 (50k docs); the aggregate
-    form plus the word_ngrams projection fix run the same data in
-    2.7 s. At 100 TB the distinction is a
-    full shuffle-sort of every distinct n-gram vs a map-side-combined
-    top-1.
+    Plan: one (doc_id, gram) hash aggregate, then a per-doc top-1 as
+    min of struct(−count, gram) — (count DESC, gram ASC)
+    lexicographically. Spark's HashAggregate needs mutable fixed-width
+    buffers, so a struct-valued min plans as partial+final
+    SortAggregate — but the PARTIAL phase still combines map-side
+    (the exchange moves ≤ one row per doc per partition). The obvious
+    ROW_NUMBER()=1 spelling instead shuffles EVERY distinct gram row
+    and sorts whole doc_id partitions under the Window: measured
+    38.4 s vs DuckDB 2.2 s at sf1 (50k docs); the aggregate form plus
+    the word_ngrams projection fix run the same data in 2.7 s, and
+    the sf1→sf10 ratio falls 1.67→0.66 (SCALE_STUDY_r05_quality).
     """
     counts = _gram_counts(df, n, text_col)
     top = (
