@@ -115,3 +115,102 @@ def doc_dup_5gram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning — a single shuffle of gram digests."""
     d = Catalog(spark, sf_dir).documents
     return ql.dup_ngram_char_frac(d, n=5)
+
+
+@query(
+    "doc_pipeline_clean",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS w,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nc
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, text,
+        (len(w)::BIGINT BETWEEN 50 AND 100000
+         AND round(CASE WHEN len(w) > 0 THEN nc * 1.0 / len(w)
+                        ELSE 0.0 END, 6) BETWEEN 3.0 AND 10.0
+         AND round(CASE WHEN len(w) > 0 THEN
+                 len(regexp_extract_all(text, '#|\.\.\.')) * 1.0 / len(w)
+                        ELSE 0.0 END, 6) <= 0.1
+         AND round(CASE WHEN len(w) > 0 THEN
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   * 1.0 / len(w)
+                        ELSE 0.0 END, 6) >= 0.8
+         AND round(CASE WHEN len(w) > 0 THEN
+                 1.0 - len(list_distinct(w)) * 1.0 / len(w)
+                        ELSE 0.0 END, 6) <= 0.9) AS keep
+      FROM t),
+    f AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+             len(list_filter(string_split_regex(trim(
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                     'https?://[^ ]+', '[URL]', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '[0-9]{5,}', '[NUM]', 'g')), '\s+'),
+                 x -> x <> ''))::BIGINT AS n_tok
+      FROM s WHERE keep),
+    k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
+    kept AS (SELECT f.source, f.n_tok
+             FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.keep_id),
+    base AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+                    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                      AS dropped_quality
+             FROM s GROUP BY source),
+    ks AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+                  CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+           FROM kept GROUP BY source)
+    SELECT base.source, docs_in, dropped_quality,
+           docs_in - dropped_quality - coalesce(docs_kept, 0) AS dropped_dup,
+           coalesce(docs_kept, 0) AS docs_kept,
+           coalesce(kept_tokens, 0) AS kept_tokens
+    FROM base LEFT JOIN ks ON base.source = ks.source
+    """,
+)
+def doc_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pass — the composition every
+    pre-training pipeline runs, as ONE declarative plan: Gopher
+    quality gate → normalized-fingerprint dedup (keep lowest doc_id)
+    → PII redaction → per-source yield report.
+
+    Scale shape: the quality gate and redaction are map-only codegen;
+    dedup shuffles 128-bit fingerprints (never text) once; the report
+    is two small aggregates. Catalyst pipelines the whole thing —
+    the text column is scanned exactly once for the signal battery
+    and once for the fingerprint/redaction branch.
+    """
+    from flink_spark.llm import text as txt
+
+    d = Catalog(spark, sf_dir).documents
+    g = ql.gopher_signals(d).select("doc_id", "source", "text", "gopher_keep")
+    fps = (
+        g.where(F.col("gopher_keep"))
+        .select(
+            "doc_id", "source",
+            txt.fingerprint(F.col("text")).alias("fp"),
+            txt.token_count(txt.redact_pii(F.col("text")))
+            .cast("long").alias("n_tok"),
+        )
+    )
+    keep = fps.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    kept = fps.join(keep, "fp").where(F.col("doc_id") == F.col("keep_id"))
+    base = g.groupBy("source").agg(
+        F.count("*").alias("docs_in"),
+        F.sum(F.when(~F.col("gopher_keep"), 1).otherwise(0)).cast("long")
+        .alias("dropped_quality"),
+    )
+    ks = kept.groupBy("source").agg(
+        F.count("*").alias("docs_kept"),
+        F.sum("n_tok").alias("kept_tokens"),
+    )
+    return base.join(ks, "source", "left").select(
+        "source", "docs_in", "dropped_quality",
+        (F.col("docs_in") - F.col("dropped_quality")
+         - F.coalesce("docs_kept", F.lit(0))).alias("dropped_dup"),
+        F.coalesce("docs_kept", F.lit(0)).alias("docs_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
