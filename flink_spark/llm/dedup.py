@@ -33,16 +33,25 @@ def _spread(df: DataFrame, min_split_bytes: int = 4 << 20) -> DataFrame:
     guard is a no-op — the 100 TB path never takes the extra shuffle.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
+    n_files = None
     try:
         import os
         from urllib.parse import urlparse
 
-        local = [u for u in df.inputFiles() if u.startswith("file:")]
+        files = df.inputFiles()
+        n_files = max(1, len(files))
+        local = [u for u in files if u.startswith("file:")]
         total = sum(os.path.getsize(urlparse(u).path) for u in local)
         target = min(target, max(1, total // min_split_bytes))
     except Exception:
         pass  # remote/unknown input: keep the core-count target
-    if target > 1 and df.rdd.getNumPartitions() < target:
+    # The file count bounds the scan's split count from above without
+    # df.rdd.getNumPartitions(), which converts the whole plan to an
+    # RDD lineage on the driver per call. If there are already >=
+    # target files the scan is parallel enough (files below
+    # maxPartitionBytes map 1:1 to splits at these sizes); only a
+    # fewer-files-than-target scan needs the explicit fan-out.
+    if target > 1 and (n_files is None or n_files < target):
         return df.repartition(target)
     return df
 
