@@ -152,3 +152,56 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("token_share"),
         F.round(alpha / F.sum(alpha).over(everything), 6).alias("mix_weight"),
     )
+
+
+@query(
+    "doc_unigram_logprob",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+    uni AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS n FROM uni),
+    scored AS (
+      SELECT tok.doc_id, -ln(uni.cnt * 1.0 / tot.n) AS nll
+      FROM tok JOIN uni USING (tok) CROSS JOIN tot)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the LM-scoring step of CCNet,
+    Wenzek et al. 2020, with the corpus's own unigram model standing
+    in for the external KenLM): per-doc mean negative log-probability
+    of its tokens under corpus unigram frequencies. High avg_nll =
+    rare-token-heavy documents (gibberish/boilerplate candidates).
+
+    Scale shape: token explode → one hash aggregate for the unigram
+    table (vocab ≪ corpus, partial aggregation map-side), the total is
+    a single-row broadcast, the scoring join shuffles (tok) digests
+    once, and the per-doc mean is a second map-side-combinable
+    aggregate. Nothing corpus-wide beyond the vocab table.
+    """
+    from flink_spark.llm.text import tokens as _toks
+
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("tok")
+    )
+    uni = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    tot = F.sum("cnt").over(Window.partitionBy())
+    uni = uni.select("tok", (-F.log(F.col("cnt") / tot)).alias("nll"))
+    return (
+        tok.join(uni, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )

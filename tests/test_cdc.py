@@ -120,3 +120,129 @@ def test_debezium_unknown_op_dropped(spark):
         "value string",
     )
     assert debezium_to_changelog(df, PAYLOAD).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Canal / Maxwell / OGG formats (CanalJsonDeserializationSchema.java:128,
+# MaxwellJsonDeserializationSchema.java:124, OggJsonDeserializationSchema)
+# ---------------------------------------------------------------------------
+
+from flink_spark.cdc import (  # noqa: E402
+    canal_to_changelog,
+    maxwell_to_changelog,
+    ogg_to_changelog,
+)
+
+
+def test_canal_batched_envelope_and_partial_old_overlay(spark):
+    rows = [
+        json.dumps({"data": [{"id": 1, "name": "a", "amount": 10},
+                             {"id": 2, "name": "b", "amount": 20}],
+                    "old": None, "type": "INSERT", "ts": 1}),
+        # batched UPDATE: old holds ONLY the changed fields per row
+        json.dumps({"data": [{"id": 1, "name": "a", "amount": 11},
+                             {"id": 2, "name": "b2", "amount": 20}],
+                    "old": [{"amount": "10"}, {"name": "b"}],
+                    "type": "UPDATE", "ts": 2}),
+        json.dumps({"data": [{"id": 1, "name": "a", "amount": 11}],
+                    "old": None, "type": "DELETE", "ts": 3}),
+        "not json",
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], "value string")
+    ch = canal_to_changelog(df, PAYLOAD)
+    got = {(r.row_kind, r.id, r.name, r.amount) for r in ch.collect()}
+    assert got == {
+        ("+I", 1, "a", 10), ("+I", 2, "b", 20),
+        # update-before = data overlaid with old's changed fields
+        ("-U", 1, "a", 10), ("+U", 1, "a", 11),
+        ("-U", 2, "b", 20), ("+U", 2, "b2", 20),
+        ("-D", 1, "a", 11),
+    }
+
+
+def test_canal_stream_feeds_changelog_normalize(spark):
+    rows = [
+        json.dumps({"data": [{"id": 1, "name": "a", "amount": 10}],
+                    "old": None, "type": "INSERT", "ts": 1}),
+        json.dumps({"data": [{"id": 1, "name": "a", "amount": 99}],
+                    "old": [{"amount": "10"}], "type": "UPDATE", "ts": 2}),
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], "value string")
+    ch = canal_to_changelog(df, PAYLOAD)
+    normalized = CL.changelog_normalize(
+        ch, ["id"], [F.col("ts"), F.col("row_kind")]
+    )
+    got = {(r.id, r.name, r.amount) for r in normalized.collect()}
+    assert got == {(1, "a", 99)}
+
+
+def test_maxwell_partial_old_overlay(spark):
+    rows = [
+        json.dumps({"type": "insert", "ts": 1,
+                    "data": {"id": 7, "name": "x", "amount": 5}}),
+        json.dumps({"type": "update", "ts": 2,
+                    "data": {"id": 7, "name": "x2", "amount": 5},
+                    "old": {"name": "x"}}),
+        json.dumps({"type": "delete", "ts": 3,
+                    "data": {"id": 7, "name": "x2", "amount": 5}}),
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], "value string")
+    ch = maxwell_to_changelog(df, PAYLOAD)
+    got = {(r.row_kind, r.id, r.name, r.amount) for r in ch.collect()}
+    assert got == {
+        ("+I", 7, "x", 5),
+        ("-U", 7, "x", 5), ("+U", 7, "x2", 5),
+        ("-D", 7, "x2", 5),
+    }
+
+
+def test_maxwell_overlay_uses_json_presence_not_value(spark):
+    # old carries name explicitly NULL: presence wins, before.name=NULL
+    rows = [json.dumps({"type": "update", "ts": 1,
+                        "data": {"id": 1, "name": "n", "amount": 2},
+                        "old": {"name": None}})]
+    df = spark.createDataFrame([(v,) for v in rows], "value string")
+    ch = maxwell_to_changelog(df, PAYLOAD)
+    before = [r for r in ch.collect() if r.row_kind == "-U"][0]
+    assert before.name is None and before.amount == 2
+
+
+def test_ogg_op_type_mapping(spark):
+    rows = [
+        json.dumps({"after": {"id": 1, "name": "a", "amount": 1},
+                    "op_type": "I", "current_ts": "t1"}),
+        json.dumps({"before": {"id": 1, "name": "a", "amount": 1},
+                    "after": {"id": 1, "name": "a", "amount": 2},
+                    "op_type": "U", "current_ts": "t2"}),
+        json.dumps({"before": {"id": 1, "name": "a", "amount": 2},
+                    "op_type": "D", "current_ts": "t3"}),
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], "value string")
+    ch = ogg_to_changelog(df, PAYLOAD)
+    got = {(r.row_kind, r.amount) for r in ch.collect()}
+    assert got == {("+I", 1), ("-U", 1), ("+U", 2), ("-D", 2)}
+
+
+def test_canal_rejects_nested_payload_schema(spark):
+    df = spark.createDataFrame([("{}",)], "value string")
+    with pytest.raises(ValueError, match="flat scalar"):
+        canal_to_changelog(df, "id bigint, tags array<string>")
+
+
+def test_upsert_kafka_tombstone_contract(spark):
+    from flink_spark.cdc import upsert_to_changelog
+
+    rows = [
+        (json.dumps({"id": 1}), json.dumps({"name": "a", "amount": 10})),
+        (json.dumps({"id": 1}), json.dumps({"name": "a2", "amount": 11})),
+        (json.dumps({"id": 2}), json.dumps({"name": "b", "amount": 20})),
+        (json.dumps({"id": 2}), None),  # tombstone deletes key 2
+    ]
+    df = spark.createDataFrame(rows, "key string, value string")
+    ch = upsert_to_changelog(
+        df, "id bigint", "name string, amount bigint"
+    )
+    got = {(r.row_kind, r.id, r.name) for r in ch.collect()}
+    assert got == {
+        ("+U", 1, "a"), ("+U", 1, "a2"), ("+U", 2, "b"), ("-D", 2, None),
+    }
