@@ -55,10 +55,15 @@ def _window_starts(
     )
     win = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
+    # Shuffle 8-byte digests, never the gram text: the duplicate
+    # detection aggregate and the occurrence join both key on
+    # xxhash64(gram) — at 3M windows the 64-bit birthday bound is
+    # ~2e-7, and the fixture corpora are collision-verified by the
+    # DuckDB oracle (which compares the true strings end-to-end).
     return t.select(
         F.col(id_col),
         F.col("pos"),
-        F.concat_ws(" ", *parts).alias("gram"),
+        F.xxhash64(F.concat_ws(" ", *parts)).alias("gram"),
     ).where(F.col("pos") <= F.col("n_toks") - w)
 
 
