@@ -1,0 +1,285 @@
+"""Distributed connected components — the reference's flagship
+delta-iteration example, re-expressed on DataFrames.
+
+Reference: flink-examples-batch/.../graph/ConnectedComponents.java:
+99-120 — undirect the edges (flatMap UndirectEdge:162), seed every
+vertex with its own id, then ``iterateDelta``: join the workset with
+the edges (:114), take the minimum neighbor component per vertex
+(groupBy(0).aggregate(MIN):118), and keep only strict improvements
+(ComponentIdFilter:197) until a fixpoint. The Spark spelling keeps the
+same fixpoint (every vertex labeled with the minimum reachable vertex
+id) but accelerates convergence with **pointer jumping**: each round
+first takes the neighbor-min (the reference's step) and then composes
+the label table with itself (``comp ← label(comp)``), halving the
+remaining propagation distance — O(log diameter) rounds instead of the
+reference's O(diameter) supersteps (the standard shortcut from the
+MapReduce CC literature, Kiveris et al. 2014 "Connected Components in
+MapReduce and Beyond").
+
+Scale notes for the 100 TB case:
+
+- Per round: one edge⋈label shuffle + min-aggregate (map-side partial
+  applies) and one label-table self-join — both shuffle 8-byte id
+  pairs, never payloads.
+- Round count is log2(diameter). Near-duplicate graphs are unions of
+  near-cliques (LSH bands connect cluster members pairwise) so 2-3
+  rounds suffice; even an adversarial path graph of 1B vertices
+  converges in ~30.
+- Each round is cut with ``localCheckpoint`` so the plan depth stays
+  constant — the driver is the iteration head, exactly the role the
+  reference's iteration-head task plays (operators/iterate.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label every vertex of the undirected graph ``edges`` with the
+    minimum vertex id reachable from it: output ``(node, comp)``.
+
+    Vertices are those appearing in at least one edge; isolated
+    vertices are the caller's to union in (comp = own id) — mirroring
+    the reference example, whose vertex set is the edge endpoints
+    (ConnectedComponentsData.java). Self-loops contribute no
+    connectivity and are dropped with the undirect step.
+    """
+    undirected = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .union(edges.select(F.col(dst), F.col(src)))
+        .where(F.col("e_src") != F.col("e_dst"))
+        .distinct()
+    )
+    # Self-loop per vertex: the per-round neighbor-min then includes the
+    # vertex's own label through the same edge join — no per-round
+    # union(labels, nbr) needed (which both costs an extra branch and
+    # trips Spark's UnionBase.rewriteConstraints on checkpointed
+    # coalesce-bearing children).
+    sym = (
+        undirected.union(
+            undirected.select("e_src", "e_src").distinct()
+        ).localCheckpoint(eager=True)  # reused every round; cut the upstream plan
+    )
+    labels = (
+        sym.select(F.col("e_src").alias("node"))
+        .distinct()
+        .select(F.col("node"), F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # Neighbor-min (the reference's delta step): each vertex takes
+        # the min of its own label (via its self-loop) and its
+        # neighbors' labels.
+        l2 = (
+            sym.join(labels, sym.e_src == labels.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.min("comp").alias("comp"))
+            # Materialized once: the pointer jump reads it on both join
+            # sides, and a flat plan keeps Catalyst's self-join
+            # attribute dedup trivial.
+            .localCheckpoint(eager=True)
+        )
+        # Pointer jump: comp ← label(comp). Labels only ever decrease
+        # (min includes the own id), so composing the mapping with
+        # itself halves the remaining hop distance to the component
+        # min each round. Every comp value is itself a vertex, so the
+        # left join misses only at the fixpoint roots (comp = node).
+        jumped = (
+            l2.alias("a")
+            .join(l2.alias("b"), F.col("a.comp") == F.col("b.node"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.coalesce(F.col("b.comp"), F.col("a.comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+        )
+        labels = jumped
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def page_rank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iterations: int = 10,
+    damping: float = 0.85,
+    epsilon: float | None = None,
+) -> DataFrame:
+    """PageRank over the directed graph ``edges``: output ``(node, rank)``.
+
+    Reference: flink-examples-batch/.../graph/PageRank.java:89-150 —
+    uniform initial rank 1/n (RankAssigner:155), per round distribute
+    each vertex's rank equally over its out-edges
+    (JoinVertexWithEdgesMatch:195), sum the incoming contributions
+    (aggregate(SUM):126) and apply ``rank*d + (1-d)/n`` (Dampener:213);
+    with ``epsilon`` set, stop early when no rank moved by more than
+    epsilon (EpsilonFilter:234 as the closeWith termination criterion).
+
+    Like the reference (whose fixture graph is strongly connected,
+    PageRankData.java), this assumes every vertex has at least one
+    out-edge; vertices with no in-edges keep the random-jump floor via
+    the left join (the reference drops them from the iteration — a
+    vertex-preserving strengthening, not a divergence, on graphs
+    meeting the reference's assumption).
+
+    Scale: per round one edge⋈rank shuffle + one sum aggregate
+    (map-side partial) over (id, double) pairs; the degree-annotated
+    edge table is checkpointed once and reused. Round plans are cut
+    per iteration, so lineage depth is constant.
+    """
+    e = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .distinct()
+    )
+    deg = e.groupBy("e_src").agg(F.count("*").alias("out_deg"))
+    # Adjacency with out-degree attached once (BuildOutgoingEdgeList).
+    ew = e.join(deg, "e_src").localCheckpoint(eager=True)
+    vertices = (
+        ew.select(F.col("e_src").alias("node"))
+        .union(ew.select(F.col("e_dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    jump = (1.0 - damping) / n
+    ranks = vertices.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+
+    for _ in range(n_iterations):
+        contrib = (
+            ew.join(ranks, ew.e_src == ranks.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("s"))
+            .localCheckpoint(eager=True)  # flat input for the vertex join
+        )
+        new_ranks = (
+            vertices.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(jump) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if epsilon is not None:
+            moved = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "node")
+                .where(F.abs(F.col("n.rank") - F.col("o.rank")) > epsilon)
+            )
+            ranks = new_ranks
+            if moved.isEmpty():
+                break
+        else:
+            ranks = new_ranks
+    return ranks
+
+
+def enum_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Enumerate all triangles of the undirected graph ``edges``:
+    output ``(v1, v2, v3)`` with v1 < v2 < v3, one row per triangle.
+
+    Reference: flink-examples-batch/.../graph/EnumTriangles.java:74-135
+    — project every edge smaller-id-first (EdgeByIdProjector:152), build
+    triads by pairing the edges incident to each smallest vertex
+    (TriadBuilder:172), and keep the triads whose closing edge exists
+    (join(edgesById) + TriadFilter:205).
+
+    Spark spelling: the per-vertex pair enumeration is the self-join of
+    the normalized edge list on the smaller endpoint (exactly the triad
+    set — Catalyst's sort-merge join replaces the reference's
+    groupReduce), then a semi-shaped inner join against the edge list
+    closes the triangles. Skew note: a hub vertex of degree d yields
+    d(d-1)/2 triads — the declared quadratic step of any triangle
+    enumeration; at 100 TB cap the degree (drop super-hubs) upstream.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    triads = (
+        e.alias("x")
+        .join(e.alias("y"), (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")))
+        .select(
+            F.col("x.a").alias("v1"),
+            F.col("x.b").alias("v2"),
+            F.col("y.b").alias("v3"),
+        )
+    )
+    return triads.join(
+        e, (triads.v2 == e.a) & (triads.v3 == e.b)
+    ).select("v1", "v2", "v3")
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """All reachable ordered pairs of the directed graph ``edges``:
+    output ``(src, dst)`` with one row per (start, reachable-end).
+
+    Reference: flink-examples-batch/.../graph/TransitiveClosureNaive.java
+    — iterate paths ∪ (paths ⋈ edges), distinct, until no new path
+    appears (the delta-iteration's empty-workset stop). The Spark
+    spelling keeps only the frontier (paths discovered last round) on
+    the join side, so round k shuffles |frontier| × avg-degree rows,
+    not the whole closure.
+
+    Closure output is inherently O(V·reach) — by-contract for the
+    small/hierarchical graphs this targets (the reference's example
+    fixture is 14 edges); for large diameters swap in the
+    path-doubling variant (join closure with itself) for O(log d)
+    rounds at the cost of denser intermediate joins.
+    """
+    e = (
+        edges.select(F.col(src).alias("p_src"), F.col(dst).alias("p_dst"))
+        .where(F.col("p_src") != F.col("p_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    closure = e
+    frontier = e
+    for _ in range(max_iterations):
+        # Extend the newest paths by one original edge hop.
+        ext = (
+            frontier.alias("p")
+            .join(e.alias("q"), F.col("p.p_dst") == F.col("q.p_src"))
+            .select(
+                F.col("p.p_src").alias("p_src"), F.col("q.p_dst").alias("p_dst")
+            )
+            .where(F.col("p_src") != F.col("p_dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_frontier = ext.join(
+            closure, ["p_src", "p_dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new_frontier.isEmpty():
+            break
+        closure = closure.union(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    return closure.select(F.col("p_src").alias(src), F.col("p_dst").alias(dst))

@@ -205,3 +205,327 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nll"), 6).alias("avg_nll"),
         )
     )
+
+
+# Mirrors _minhash_oracle() in queries.py (32-bit slices of salted
+# md5s, 4 bands of 2) so the component oracle runs on exactly the
+# pair graph the Spark side builds.
+_LSH_PAIRS = r"""
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh0 AS (SELECT doc_id,
+                   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    for i in range(1, len(ws) - 1)] AS shl
+            FROM words WHERE len(ws) >= 3),
+    sh AS (SELECT doc_id, unnest(shl) AS s FROM sh0),
+    sig AS (SELECT doc_id,
+                   {mins}
+            FROM sh GROUP BY doc_id),
+    bands AS ({bands}),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+""".format(
+    mins=", ".join(
+        f"min(substr(md5('{s // 4}|' || s), {1 + (s % 4) * 8}, 8)) AS h{s}"
+        for s in range(8)
+    ),
+    bands=" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS bv FROM sig"
+        for b in range(4)
+    ),
+)
+
+
+@query(
+    "doc_dup_groups",
+    "WITH RECURSIVE "
+    + _LSH_PAIRS
+    + r"""
+    , e(src, dst) AS (SELECT d1, d2 FROM pairs
+                      UNION SELECT d2, d1 FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node
+      WHERE w.lbl < e.dst),
+    comp AS (SELECT node AS doc_id, min(lbl) AS group_id
+             FROM walk GROUP BY 1),
+    j AS (SELECT d.doc_id, c.group_id, length(d.text) AS tlen
+          FROM documents d JOIN comp c USING (doc_id))
+    SELECT doc_id, group_id,
+           count(*) OVER (PARTITION BY group_id)::BIGINT AS group_size,
+           (row_number() OVER (PARTITION BY group_id
+                               ORDER BY tlen DESC, doc_id) = 1) AS keep
+    FROM j
+    """,
+)
+def doc_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: LSH candidate pairs -> connected
+    components -> one canonical doc per group.
+
+    The step every real dedup pipeline needs after pair generation:
+    pairwise candidates are not actionable until transitively merged
+    (A~B, B~C means A,B,C are one duplicate cluster even if the A-C
+    band never collided) and a keeper chosen. Components via the
+    reference's own delta-iteration algorithm
+    (flink-examples-batch ConnectedComponents.java:99-120 ->
+    operators/graph.py); canonical pick = longest text, ties to the
+    smallest doc_id, spelled as one ROW_NUMBER window over the
+    group — the same single shuffle that computes group sizes.
+
+    Output: (doc_id, group_id, group_size, keep) for every document;
+    singletons are their own group.
+    """
+    from flink_spark.llm import dedup as lsh
+    from flink_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    pairs = lsh.minhash_lsh_pairs(
+        d, "doc_id", "text", shingle_n=3, num_hashes=8, rows_per_band=2
+    )
+    comp = connected_components(pairs, "d1", "d2")
+    base = d.select("doc_id", F.length("text").alias("tlen"))
+    j = base.join(comp, base.doc_id == comp.node, "left").select(
+        base.doc_id,
+        F.coalesce(comp.comp, base.doc_id).alias("group_id"),
+        "tlen",
+    )
+    w = Window.partitionBy("group_id")
+    rn = F.row_number().over(w.orderBy(F.col("tlen").desc(), F.col("doc_id")))
+    return j.select(
+        "doc_id",
+        "group_id",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        (rn == 1).alias("keep"),
+    )
+
+
+# ---- Graph example family (flink-examples-batch/.../graph/) ---------
+
+# PageRank oracle: the damped update unrolled 3 times as chained CTEs
+# (DuckDB has no iterative construct short of recursion; 3 fixed rounds
+# keep the text finite and the float drift far under the compare
+# rounding). Graph = customer <-> supplier "traded with" edges from
+# orders x lineitem, symmetrized so every vertex has out-degree >= 1
+# (the reference PageRank assumes that, PageRankData.java).
+def _pagerank_oracle(iters: int = 3) -> str:
+    head = r"""
+    WITH e0 AS (SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    deg AS (SELECT u, count(*)::DOUBLE AS d FROM e GROUP BY u),
+    vtx AS (SELECT DISTINCT u AS node FROM e),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM vtx),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM vtx CROSS JOIN nn)
+    """
+    steps = "".join(
+        f""",
+    r{k} AS (SELECT v.node, 0.15 / nn.n + 0.85 * coalesce(c.s, 0) AS rank
+             FROM vtx v CROSS JOIN nn
+             LEFT JOIN (SELECT e.v AS node, sum(r.rank / deg.d) AS s
+                        FROM e JOIN r{k - 1} r ON e.u = r.node
+                               JOIN deg ON deg.u = e.u
+                        GROUP BY e.v) c ON v.node = c.node)
+    """
+        for k in range(1, iters + 1)
+    )
+    return head + steps + f"SELECT node, rank * 1e6 AS rank_ppm FROM r{iters}"
+
+
+@query("graph_pagerank", _pagerank_oracle(3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer<->supplier trade graph, 3 damped
+    iterations (d = 0.85) — PageRank.java:89-150 parity via
+    operators/graph.py:page_rank (uniform seed, rank/out-degree
+    distribution, Dampener formula).
+
+    Rank is emitted in parts-per-million so the driver's 2dp float
+    rounding still exercises ~5 significant digits of the value.
+    Scale: edges are distinct (custkey, suppkey) pairs — one
+    pre-aggregated shuffle of the fact table, then 3 rounds of
+    (id, double) joins; text/payload columns never enter the loop.
+    """
+    from flink_spark.operators.graph import page_rank
+
+    c = Catalog(spark, sf_dir)
+    e0 = (
+        c.orders.join(c.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("v"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select("v", "u"))
+    ranks = page_rank(edges, "u", "v", n_iterations=3)
+    return ranks.select("node", (F.col("rank") * F.lit(1e6)).alias("rank_ppm"))
+
+
+@query(
+    "graph_triangles",
+    r"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+                  AND o_orderdate < TIMESTAMP '1995-04-01'),
+    e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    t AS (SELECT x.a AS v1, x.b AS v2, y.b AS v3
+          FROM e x JOIN e y ON x.a = y.a AND x.b < y.b)
+    SELECT v1, v2, v3 FROM t JOIN e ON t.v2 = e.a AND t.v3 = e.b
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration (EnumTriangles.java:74-135) over the
+    March-1995 part co-purchase graph: parts are adjacent when some
+    order contains both, so each k-item order contributes a k-clique
+    and triangles measure basket overlap.
+
+    operators/graph.py:enum_triangles does the triad build + closing
+    join; the month filter bounds the declared-quadratic triad step
+    (the reference's TriadBuilder has the same degree^2 blowup), which
+    is the standard cap-then-enumerate shape at scale.
+    """
+    from flink_spark.operators.graph import enum_triangles
+
+    c = Catalog(spark, sf_dir)
+    li = (
+        c.orders.where(
+            (F.col("o_orderdate") >= "1995-03-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .join(c.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return enum_triangles(edges)
+
+
+@query(
+    "graph_transitive_closure",
+    r"""
+    WITH RECURSIVE e AS (
+      SELECT 100 + n_nationkey AS src, n_regionkey AS dst FROM nation
+      UNION ALL
+      SELECT 10000 + s_suppkey, 100 + s_nationkey FROM supplier
+      UNION ALL
+      SELECT 20000 + c_custkey, 100 + c_nationkey FROM customer),
+    p(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT p.src, e.dst FROM p JOIN e ON p.dst = e.src)
+    SELECT src, dst FROM p
+    """,
+)
+def graph_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure (TransitiveClosureNaive.java) of the
+    geography DAG: customer/supplier -> nation -> region, nodes
+    disambiguated into disjoint id ranges. The closure adds the
+    two-hop (customer -> region, supplier -> region) facts.
+
+    operators/graph.py:transitive_closure iterates frontier ⋈ edges
+    with an anti-join against the known closure, the delta-iteration
+    shape of the reference (paths grow only by new endpoints).
+    """
+    from flink_spark.operators.graph import transitive_closure
+
+    c = Catalog(spark, sf_dir)
+    edges = (
+        c.nation.select(
+            (F.col("n_nationkey") + F.lit(100)).alias("src"),
+            F.col("n_regionkey").alias("dst"),
+        )
+        .union(
+            c.supplier.select(
+                F.col("s_suppkey") + F.lit(10000), F.col("s_nationkey") + F.lit(100)
+            )
+        )
+        .union(
+            c.customer.select(
+                F.col("c_custkey") + F.lit(20000), F.col("c_nationkey") + F.lit(100)
+            )
+        )
+    )
+    return transitive_closure(edges)
+
+
+# ---- Example-program parity: WordCount / WebLogAnalysis -------------
+
+@query(
+    "example_word_count",
+    r"""
+    WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+               FROM documents),
+    c AS (SELECT word, count(*)::BIGINT AS cnt FROM w WHERE word <> ''
+          GROUP BY word)
+    SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100
+    """,
+)
+def example_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount (flink-examples-batch/.../wordcount/WordCount.java:
+    lowercase, split on non-alphanumerics, count) over the documents
+    corpus; top-100 by (count desc, word) — a total order, so the
+    cutoff is deterministic on both engines.
+
+    Scale: explode + partial-aggregate is map-side-combined by
+    Catalyst; the global top-100 runs on the vocabulary-sized
+    aggregate via TakeOrderedAndProject, never sorting the corpus.
+    """
+    c = Catalog(spark, sf_dir)
+    return (
+        c.documents.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(100)
+    )
+
+
+@query(
+    "example_weblog_analysis",
+    r"""
+    SELECT p_partkey AS doc_id, p_retailprice AS rank_score
+    FROM part
+    WHERE p_type = 'ECONOMY' AND p_retailprice > 950
+      AND NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey
+                        AND l_shipdate >= TIMESTAMP '1995-06-01'
+                        AND l_shipdate < TIMESTAMP '1995-09-01')
+    """,
+)
+def example_weblog_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebLogAnalysis (flink-examples-batch/.../relational/
+    WebLogAnalysis.java) shape on the fixture schema: filter the
+    "documents" side by keyword (p_type), the "ranks" side by score
+    (p_retailprice), then anti-join the "visits" in a date window —
+    the reference's coGroup-based antiJoinVisits becomes a Catalyst
+    left_anti join with the window filter pushed to the scan.
+
+    Spelled as DataFrame ops (not SQL pass-through) so the oracle is
+    an independent reading of the query.
+    """
+    c = Catalog(spark, sf_dir)
+    docs = c.part.where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_retailprice") > 950)
+    )
+    visits = c.lineitem.where(
+        (F.col("l_shipdate") >= "1995-06-01") & (F.col("l_shipdate") < "1995-09-01")
+    ).select("l_partkey")
+    return (
+        docs.join(visits, docs.p_partkey == visits.l_partkey, "left_anti")
+        .select(
+            F.col("p_partkey").alias("doc_id"),
+            F.col("p_retailprice").alias("rank_score"),
+        )
+    )

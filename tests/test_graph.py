@@ -1,0 +1,129 @@
+"""Connected components (operators/graph.py) — the reference's
+delta-iteration example (ConnectedComponents.java:99-120)."""
+
+from __future__ import annotations
+
+from flink_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, max_iterations=50):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, max_iterations=max_iterations)
+    return {r["node"]: r["comp"] for r in out.collect()}
+
+
+def test_two_components_and_transitivity(spark):
+    # 1-2, 2-3 transitively one component even though 1-3 never paired;
+    # 10-11 a second component.
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_worst_case_diameter(spark):
+    # A path graph is the adversarial diameter case; pointer jumping
+    # must close a 24-hop chain in ~log2(24) rounds (max_iterations=8
+    # would fail under plain min-label propagation, which needs 24).
+    n = 24
+    edges = [(i, i + 1) for i in range(n)]
+    got = _cc(spark, edges, max_iterations=8)
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_min_label_independent_of_edge_orientation(spark):
+    # Edges given high->low and mixed; the undirect step normalizes.
+    got = _cc(spark, [(5, 4), (3, 4), (9, 8), (7, 9), (2, 3)])
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 7: 7, 8: 7, 9: 7}
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    got = _cc(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (4, 4)])
+    # 4 appears only in a self-loop -> dropped with the loop edge;
+    # vertex set is edge endpoints after undirect+filter.
+    assert got == {1: 1, 2: 1}
+
+
+def test_max_iterations_caps_rounds(spark):
+    # With a single round the far end of a 5-hop chain cannot learn the
+    # min yet even with one pointer jump (reach ≤ 3 hops) — documents
+    # that max_iterations is a real bound, not advisory.
+    got = _cc(spark, [(i, i + 1) for i in range(5)], max_iterations=1)
+    assert got[5] != 0  # not yet converged to the component min
+
+
+# ---- PageRank (PageRank.java) --------------------------------------
+
+def test_pagerank_uniform_on_symmetric_ring(spark):
+    from flink_spark.operators.graph import page_rank
+    # A 4-cycle with both orientations is vertex-transitive: every
+    # node must keep exactly rank 1/4 at every iteration.
+    ring = [(i, (i + 1) % 4) for i in range(4)]
+    edges = ring + [(b, a) for a, b in ring]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in page_rank(df, n_iterations=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    for v in got.values():
+        assert abs(v - 0.25) < 1e-12
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from flink_spark.operators.graph import page_rank
+    # Star with spokes pointing at the hub (and hub -> 1 so every
+    # vertex has an out-edge): the hub accumulates rank.
+    edges = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in page_rank(df, n_iterations=10).collect()}
+    assert got[0] > got[2] > got[3] - 1e-15
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # strongly-connected: mass conserved
+
+
+def test_pagerank_epsilon_early_stop(spark):
+    from flink_spark.operators.graph import page_rank
+    ring = [(i, (i + 1) % 3) for i in range(3)]
+    edges = ring + [(b, a) for a, b in ring]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # Uniform fixpoint from round 1: a huge iteration budget must exit
+    # immediately under epsilon without burning 50 rounds.
+    got = {r["node"]: r["rank"] for r in
+           page_rank(df, n_iterations=50, epsilon=1e-9).collect()}
+    for v in got.values():
+        assert abs(v - 1 / 3) < 1e-12
+
+
+# ---- EnumTriangles (EnumTriangles.java) ----------------------------
+
+def test_triangles_basic(spark):
+    from flink_spark.operators.graph import enum_triangles
+    # K4: every 3-subset of {1,2,3,4} closes — four triangles.
+    edges = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {tuple(r) for r in enum_triangles(df).collect()}
+    assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_triangles_orientation_and_dups_normalized(spark):
+    from flink_spark.operators.graph import enum_triangles
+    # Same triangle given with mixed orientation + duplicates + a
+    # self-loop: exactly one output row.
+    edges = [(2, 1), (1, 2), (3, 2), (1, 3), (1, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [tuple(r) for r in enum_triangles(df).collect()]
+    assert got == [(1, 2, 3)]
+
+
+# ---- TransitiveClosureNaive ----------------------------------------
+
+def test_transitive_closure_chain(spark):
+    from flink_spark.operators.graph import transitive_closure
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {tuple(r) for r in transitive_closure(df).collect()}
+    assert got == {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+
+
+def test_transitive_closure_cycle_excludes_self(spark):
+    from flink_spark.operators.graph import transitive_closure
+    # 3-cycle: every ordered pair of distinct vertices is reachable;
+    # trivial self-paths are excluded (reference emits only joined
+    # pairs, and we filter src != dst).
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    got = {tuple(r) for r in transitive_closure(df).collect()}
+    assert got == {(a, b) for a in range(3) for b in range(3) if a != b}
