@@ -529,3 +529,75 @@ def example_weblog_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("rank_score"),
         )
     )
+
+
+@query(
+    "doc_quality_classifier",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS word
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(word), 1, 4))::BIGINT % 512 AS idx
+      FROM tok),
+    w AS (SELECT range AS idx,
+                 ((range * 2654435761) % 1997) / 1997.0 - 0.5 AS weight
+          FROM range(512)),
+    s AS (SELECT f.doc_id,
+                 avg(w.weight) AS score,
+                 count(*)::BIGINT AS n_tokens
+          FROM feat f JOIN w USING (idx) GROUP BY f.doc_id)
+    SELECT doc_id, score, n_tokens, score > 0 AS keep FROM s
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: hashing-trick featurization + a
+    linear scorer — the fastText-classifier step of CCNet/RefinedWeb-
+    style pipelines (score each document against a trained quality
+    model, keep score > threshold).
+
+    The *plumbing* is the real thing: tokens hash into a 512-bin
+    feature space (first 16 md5 bits, mod bins), the weight vector is
+    a 512-row table broadcast-joined onto the exploded features, and
+    the per-doc score is one map-side-combinable aggregate — at 100 TB
+    the corpus shuffles once on doc_id and the model rides the
+    broadcast. The weights themselves are a deterministic stand-in
+    (idx * Knuth-constant mod prime, scaled to [-0.5, 0.5)) — no
+    trained model ships in this container; swap `weights` for the
+    learned vector at deployment. Everything stays JVM-side
+    whole-stage codegen (no Python in the hot path).
+    """
+    c = Catalog(spark, sf_dir)
+    weights = spark.range(512).select(
+        F.col("id").alias("idx"),
+        ((F.col("id") * F.lit(2654435761)) % 1997 / F.lit(1997.0) - 0.5).alias(
+            "weight"
+        ),
+    )
+    feat = (
+        c.documents.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long") % 512
+            ).alias("idx"),
+        )
+    )
+    scored = (
+        feat.join(F.broadcast(weights), "idx")
+        .groupBy("doc_id")
+        .agg(
+            F.avg("weight").alias("score"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        "doc_id", "score", "n_tokens", (F.col("score") > 0).alias("keep")
+    )
