@@ -207,3 +207,31 @@ def test_exists_other_warehouse_decorrelates_to_aggregate(spark, name, wh):
     # the `<>` correlation must be gone: no NOT-equal residual between
     # two warehouse columns survives in any join
     assert f"NOT ({wh}" not in plan, plan
+
+
+def test_weblog_antijoin_broadcasts_visits(spark):
+    """example_weblog_analysis: the visits side (date-window filtered
+    lineitem) must broadcast under the anti join and both filters must
+    reach the parquet scans — zero shuffles in the whole plan."""
+    plan = plan_of(spark, "example_weblog_analysis")
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "PushedFilters: [" in plan, plan
+
+
+def test_word_count_topn_is_take_ordered(spark):
+    """example_word_count: the global top-100 must plan as
+    TakeOrderedAndProject over the aggregated vocabulary (partial agg
+    before the single exchange), never a full Sort of the corpus."""
+    plan = plan_of(spark, "example_word_count")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_quality_classifier_weights_broadcast(spark):
+    """doc_quality_classifier: the 512-row weight table rides a
+    broadcast join; the exploded corpus is shuffled once (doc_id agg),
+    and no Python UDF appears in the plan."""
+    plan = plan_of(spark, "doc_quality_classifier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
