@@ -601,3 +601,44 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "score", "n_tokens", (F.col("score") > 0).alias("keep")
     )
+
+
+@query(
+    "agg_approx_percentile",
+    r"""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5)  AS exact_p50,
+           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROX_PERCENTILE (Spark: percentile_approx, KLL/GK-sketch tier;
+    reference: flink-table runtime PercentileAggFunction's approximate
+    mode is served by the sketch path in newer lines — the exact tier
+    lives in agg_percentile_family). Same oracle trick as
+    agg_approx_count_distinct: the approximate value itself isn't
+    hash-comparable, so emit the exact interpolated percentile plus a
+    boolean pinning the sketch estimate within ±1% of it — the
+    tolerance check participates in the hash.
+
+    Scale: percentile_approx is a mergeable sketch (partial+final, one
+    shuffle of sketch state); the exact percentile is the expensive
+    per-group sort — at 100 TB the sketch tier is the only viable one,
+    which is exactly what this entry verifies against the exact tier.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    price = F.col("l_extendedprice")
+    exact50 = F.expr("percentile(l_extendedprice, 0.5)")
+    exact95 = F.expr("percentile(l_extendedprice, 0.95)")
+    ap50 = F.percentile_approx(price, 0.5, 10000)
+    ap95 = F.percentile_approx(price, 0.95, 10000)
+    return li.groupBy("l_returnflag").agg(
+        exact50.alias("exact_p50"),
+        exact95.alias("exact_p95"),
+        (
+            (F.abs(ap50 - exact50) <= 0.01 * F.abs(exact50))
+            & (F.abs(ap95 - exact95) <= 0.01 * F.abs(exact95))
+        ).alias("approx_within_1pct"),
+    )
