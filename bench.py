@@ -72,6 +72,10 @@ HEADLINE_OPTIONAL = [
     "emb_ann_ivf",
     "doc_gopher_quality",
     "doc_top_bigram_frac",
+    # r5 graph tier: cluster-level dedup (LSH pairs -> connected
+    # components -> canonical keeper) — the iterative workload whose
+    # pointer-jumping shape is the 100 TB argument (sf1: 0.49x).
+    "doc_dup_groups",
 ]
 
 
