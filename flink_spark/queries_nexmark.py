@@ -243,3 +243,64 @@ def nexmark_n8_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(p, ["user_id", "win"]).select(
         "user_id", F.unix_millis("win").alias("win_start_ms")
     )
+
+
+# n6: average selling price per seller over the last 10 closed
+# auctions (Nexmark q6).
+@query(
+    "nexmark_n6_avg_seller_price",
+    """
+    WITH b AS (SELECT user_id, ts, event_id, value
+               FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, event_id,
+                 avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                   AS avg10,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM b)
+    SELECT user_id AS seller, round(avg10, 6) AS avg_price_last10
+    FROM r WHERE rn = 1
+    """,
+)
+def nexmark_n6_avg_seller_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nexmark q6 (average selling price by seller): per seller, the
+    mean price of their last 10 closed auctions. Re-grounded like the
+    rest of the suite: each 'purchase' event is a closed auction with
+    user_id as the seller and value as the selling price; the answer is
+    the rows-bounded running average at each seller's latest sale.
+
+    This is the suite's historically hard query — it needs bounded
+    per-key HISTORY (ROWS BETWEEN 9 PRECEDING), the state shape Flink
+    serves with its rank-based retention. Plan (audited): ONE exchange
+    on user_id feeds both OVER windows as partition-local sorts (asc
+    for the frame, desc for keep-last), and Catalyst inserts a
+    WindowGroupLimit before the row_number window, pruning each
+    seller to its top row pre-sort. Ordering is total (ts, event_id),
+    so the frame content — and hence the value hash — is
+    engine-independent.
+    """
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    b = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    latest = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        b.withColumn("avg10", F.avg("value").over(frame))
+        .withColumn("rn", F.row_number().over(latest))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("seller"),
+            F.round("avg10", 6).alias("avg_price_last10"),
+        )
+    )
