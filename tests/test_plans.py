@@ -235,3 +235,17 @@ def test_quality_classifier_weights_broadcast(spark):
     plan = plan_of(spark, "doc_quality_classifier")
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_nexmark_n6_single_exchange_with_group_limit(spark):
+    """nexmark_n6: both OVER windows (rows-bounded avg + keep-last)
+    must share ONE hash exchange on the seller key, and Catalyst's
+    WindowGroupLimit must prune each seller before the row_number
+    window — a second exchange would mean the windows stopped sharing
+    the partitioning."""
+    import re
+
+    plan = plan_of(spark, "nexmark_n6_avg_seller_price")
+    # tree-section edges only (details re-list nodes without args)
+    assert len(re.findall(r"[+:]- Exchange \(", plan)) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
