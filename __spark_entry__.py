@@ -56,36 +56,42 @@ for _f in sorted(_glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
 _REFIXED = ["agg_approx_count_distinct"]
 
 
-# The 54 entries registered by round 4 that have never had a driver
-# CORRECTNESS row (pure 50-slot window overflow; each is verified
-# locally vs DuckDB every pytest run). Round 5's instruction is to
-# retire this backlog before anything else, so these names — pinned,
-# not recomputed, so entries added THIS round cannot displace them —
-# sort first; 50 fit the window, leaving ≤4 for round 6.
-_R4_BACKLOG = [
-    # headline round-4 deliverables first (a driver row here is worth
-    # more than one more star-family shape) ...
-    "emb_semantic_dedup", "doc_decontaminate", "doc_pii_redact",
-    "nexmark_n1_currency", "nexmark_n2_selection",
-    "nexmark_n3_local_join", "nexmark_n4_avg_by_category",
-    "nexmark_n5_hot_items", "nexmark_n7_highest_bid",
-    "nexmark_n8_new_users",
-    # ... then the TPC-DS shape family; the final 4 wait for round 6.
-    "tpcds_q37_shape", "tpcds_q40_shape", "tpcds_q41_shape",
-    "tpcds_q44_shape", "tpcds_q45_shape", "tpcds_q46_shape",
-    "tpcds_q47_shape", "tpcds_q48_shape", "tpcds_q50_shape",
-    "tpcds_q53_shape", "tpcds_q54_shape", "tpcds_q55_shape",
-    "tpcds_q56_shape", "tpcds_q57_shape", "tpcds_q59_shape",
-    "tpcds_q61_shape", "tpcds_q62_shape", "tpcds_q63_shape",
-    "tpcds_q64_shape", "tpcds_q66_shape", "tpcds_q68_shape",
-    "tpcds_q70_shape", "tpcds_q71_shape", "tpcds_q73_shape",
-    "tpcds_q74_shape", "tpcds_q76_shape", "tpcds_q78_shape",
-    "tpcds_q80_shape", "tpcds_q81_shape", "tpcds_q82_shape",
-    "tpcds_q83_shape", "tpcds_q84_shape", "tpcds_q85_shape",
-    "tpcds_q86_shape", "tpcds_q90_shape", "tpcds_q91_shape",
-    "tpcds_q95_shape", "tpcds_q96_shape", "tpcds_q98_shape",
-    "tpcds_q99_shape", "tpcds_q14b_shape", "tpcds_q23b_shape",
-    "tpcds_q24b_shape", "tpcds_q39b_shape",
+# Round 6: 124 registry entries have never had a driver CORRECTNESS
+# row (pure 50-slot window overflow; each is verified locally vs
+# DuckDB every pytest run). VERDICT r5 task #1 says retire this
+# backlog and FREEZE the registry until it clears. This pinned list
+# fills the 50-slot window with the verdict's priority order: the
+# hard real-TPC-DS families (q4/q14/q23/q24/q39/q64/q67/q72), the
+# graph/example tier, the r5 LLM entries, n6 + approx_percentile,
+# the 4 r4 b-variant shapes, then the perf-weak real texts
+# (q2/q5/q8/q16/q65/q94) and low-numbered real texts to fill.
+# ~74 entries remain for rounds 7–8.
+_R5_BACKLOG = [
+    # hard real-TPC-DS families first (12)
+    "tpcds_real_q4", "tpcds_real_q14a", "tpcds_real_q14b",
+    "tpcds_real_q23a", "tpcds_real_q23b", "tpcds_real_q24a",
+    "tpcds_real_q24b", "tpcds_real_q39a", "tpcds_real_q39b",
+    "tpcds_real_q64", "tpcds_real_q67", "tpcds_real_q72",
+    # graph / example tier (5)
+    "graph_pagerank", "graph_triangles", "graph_transitive_closure",
+    "example_word_count", "example_weblog_analysis",
+    # r5 LLM operators (10)
+    "doc_gopher_quality", "doc_top_bigram_frac", "doc_dup_5gram_frac",
+    "doc_pipeline_clean", "doc_dup_span_coverage",
+    "doc_span_dedup_clean", "doc_mixture_weights",
+    "doc_unigram_logprob", "doc_dup_groups", "doc_quality_classifier",
+    # stragglers (2)
+    "nexmark_n6_avg_seller_price", "agg_approx_percentile",
+    # the 4 r4 b-variant shapes that spilled past the r5 window (4)
+    "tpcds_q14b_shape", "tpcds_q23b_shape", "tpcds_q24b_shape",
+    "tpcds_q39b_shape",
+    # perf-weak real texts (6), then low-numbered real texts (11)
+    "tpcds_real_q2", "tpcds_real_q5", "tpcds_real_q8",
+    "tpcds_real_q16", "tpcds_real_q65", "tpcds_real_q94",
+    "tpcds_real_q1", "tpcds_real_q3", "tpcds_real_q6",
+    "tpcds_real_q7", "tpcds_real_q9", "tpcds_real_q10",
+    "tpcds_real_q11", "tpcds_real_q12", "tpcds_real_q13",
+    "tpcds_real_q15", "tpcds_real_q17",
 ]
 
 
@@ -97,7 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allq = dict(_q.QUERIES)
     front = [n for n in allq if n not in _CHECKED]
     front += [n for n in _REFIXED if n in allq and n not in front]
-    rank = {n: i for i, n in enumerate(_R4_BACKLOG)}
+    rank = {n: i for i, n in enumerate(_R5_BACKLOG)}
     front.sort(key=lambda n: (rank.get(n, 999), n))
     back = [n for n in allq if n not in front]
     back.sort(key=lambda n: (not n.startswith("tpcds_"),))
