@@ -150,9 +150,10 @@ _cte_cache: dict[int, dict[str, DataFrame]] = {}
 
 def _split_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
     """Split a query into its top-level WITH definitions and the main
-    statement. Balanced-paren scan (the benchmark texts contain no
-    parentheses inside string literals; every split is pinned by the
-    103 oracle-parity tests)."""
+    statement. Balanced-paren scan that skips single-quoted string
+    literals (with '' escaping) and double-quoted identifiers, so a
+    paren inside a literal like 'foo(bar)' cannot mis-split; every
+    split is additionally pinned by the 103 oracle-parity tests."""
     m = re.search(r"\bwith\b", text, re.I)
     assert m, "no WITH clause"
     i = m.end()
@@ -165,7 +166,18 @@ def _split_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
         depth, k = 1, j
         while depth:
             c = text[k]
-            if c == "(":
+            if c in ("'", '"'):
+                # skip the quoted region; SQL escapes a quote inside a
+                # single-quoted literal by doubling it ('don''t')
+                q, k = c, k + 1
+                while True:
+                    if text[k] != q:
+                        k += 1
+                    elif text[k : k + 2] == q + q:
+                        k += 2
+                    else:
+                        break
+            elif c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
