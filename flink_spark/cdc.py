@@ -123,8 +123,21 @@ def _ddl_fields(payload_schema: str) -> list[tuple[str, str]]:
             "canal/maxwell partial-old overlay supports flat scalar "
             f"payload schemas only, got: {payload_schema!r}"
         )
+    # split on commas at paren depth 0 so parameterized scalars like
+    # ``amount decimal(10,2)`` — valid in the reference's canal/maxwell
+    # paths — parse as one field instead of failing mid-unpack
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(payload_schema):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(payload_schema[start:i])
+            start = i + 1
+    parts.append(payload_schema[start:])
     out = []
-    for part in payload_schema.split(","):
+    for part in parts:
         name, typ = part.strip().split(None, 1)
         out.append((name, typ))
     return out

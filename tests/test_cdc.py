@@ -246,3 +246,20 @@ def test_upsert_kafka_tombstone_contract(spark):
     assert got == {
         ("+U", 1, "a"), ("+U", 1, "a2"), ("+U", 2, "b"), ("-D", 2, None),
     }
+
+def test_canal_parameterized_decimal_payload(spark):
+    """ADVICE r5: 'amount decimal(10,2)' is a valid flat scalar in the
+    reference's canal path — the field split must be paren-aware."""
+    rows = [
+        json.dumps({"data": [{"id": 1, "amount": "10.50"}],
+                    "old": None, "type": "INSERT", "ts": 1}),
+        json.dumps({"data": [{"id": 1, "amount": "11.25"}],
+                    "old": [{"amount": "10.50"}], "type": "UPDATE", "ts": 2}),
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], "value string")
+    ch = canal_to_changelog(df, "id bigint, amount decimal(10,2)")
+    got = {(r.row_kind, r.id, str(r.amount)) for r in ch.collect()}
+    assert got == {
+        ("+I", 1, "10.50"),
+        ("-U", 1, "10.50"), ("+U", 1, "11.25"),
+    }
