@@ -55,16 +55,29 @@ def _window_starts(
     )
     win = Window.partitionBy(id_col).orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", i).over(win) for i in range(1, w)]
-    # Shuffle 8-byte digests, never the gram text: the duplicate
-    # detection aggregate and the occurrence join both key on
-    # xxhash64(gram) — at 3M windows the 64-bit birthday bound is
-    # ~2e-7, and the fixture corpora are collision-verified by the
-    # DuckDB oracle (which compares the true strings end-to-end).
-    return t.select(
+    # Shuffle 16-byte digests, never the gram text: the duplicate
+    # detection aggregate and the occurrence join both key on a
+    # 128-bit digest — two independent xxhash64 lanes (the second
+    # salted by prefixing a literal column, which changes the hash
+    # chain). A single 64-bit lane is fine at fixture scale (~2e-7 at
+    # 3M windows) but at the 100 TB design point window counts exceed
+    # 4e9 and 64-bit birthday collisions become near-certain; at 128
+    # bits the bound stays < 1e-13 even at 4e12 windows. The gram
+    # string is projected ONCE, then hashed twice (no double assembly).
+    g = t.select(
         F.col(id_col),
         F.col("pos"),
-        F.xxhash64(F.concat_ws(" ", *parts)).alias("gram"),
+        F.col("n_toks"),
+        F.concat_ws(" ", *parts).alias("gramstr"),
     ).where(F.col("pos") <= F.col("n_toks") - w)
+    return g.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.struct(
+            F.xxhash64("gramstr").alias("h1"),
+            F.xxhash64(F.lit(1), F.col("gramstr")).alias("h2"),
+        ).alias("gram"),
+    )
 
 
 def duplicated_islands(
