@@ -32,8 +32,22 @@ Scale notes for the 100 TB case:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _warn_not_converged(op: str, max_iterations: int) -> None:
+    """ADVICE r5: a capped iteration must be detectable — the reference
+    iterates to its configured fixpoint bound, so silently returning a
+    partial result diverges from it without signal."""
+    warnings.warn(
+        f"{op}: max_iterations={max_iterations} reached before the "
+        "fixpoint — the result is partial (raise max_iterations)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def connected_components(
@@ -71,9 +85,20 @@ def connected_components(
         sym.select(F.col("e_src").alias("node"))
         .distinct()
         .select(F.col("node"), F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized by the agg below
     )
 
+    # Labels only ever decrease (the min includes the own id via the
+    # self-loop), so sum(comp) is strictly monotone until the fixpoint:
+    # an unchanged checksum IS the convergence signal. That lets each
+    # round run exactly TWO jobs (VERDICT r5 #5 — was 3): the eager
+    # neighbor-min checkpoint (self-joined below, so it must be
+    # materialized before the two join sides scan it), and ONE action
+    # that both materializes the pointer-jump checkpoint (non-eager —
+    # the agg piggybacks on it) and returns the checksum, replacing the
+    # former separate `changed` join probe + eager checkpoint pair.
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    converged = False
     for _ in range(max_iterations):
         # Neighbor-min (the reference's delta step): each vertex takes
         # the min of its own label (via its self-loop) and its
@@ -87,11 +112,10 @@ def connected_components(
             # attribute dedup trivial.
             .localCheckpoint(eager=True)
         )
-        # Pointer jump: comp ← label(comp). Labels only ever decrease
-        # (min includes the own id), so composing the mapping with
-        # itself halves the remaining hop distance to the component
-        # min each round. Every comp value is itself a vertex, so the
-        # left join misses only at the fixpoint roots (comp = node).
+        # Pointer jump: comp ← label(comp). Every comp value is itself
+        # a vertex, so the left join misses only at the fixpoint roots
+        # (comp = node); composing the mapping with itself halves the
+        # remaining hop distance to the component min each round.
         jumped = (
             l2.alias("a")
             .join(l2.alias("b"), F.col("a.comp") == F.col("b.node"), "left")
@@ -99,16 +123,16 @@ def connected_components(
                 F.col("a.node").alias("node"),
                 F.coalesce(F.col("b.comp"), F.col("a.comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-        )
+        cur_sum = jumped.agg(F.sum("comp")).first()[0]
         labels = jumped
-        if changed.isEmpty():
+        if cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
+    if not converged:
+        _warn_not_converged("connected_components", max_iterations)
     return labels
 
 
@@ -161,34 +185,47 @@ def page_rank(
         eager=True
     )
 
+    # VERDICT r5 #5: ONE job per round (was 3). contrib is read exactly
+    # once (no self-join), so its former eager checkpoint bought
+    # nothing — ranks is already a flat LogicalRDD, keeping the round
+    # plan constant-depth without it. The epsilon stop re-joins the old
+    # ranks INSIDE the round and reads max|Δ| from the same action that
+    # materializes the new-ranks checkpoint, replacing the separate
+    # `moved` join probe (which re-ran the identical join as its own
+    # job).
+    converged = epsilon is None
     for _ in range(n_iterations):
         contrib = (
             ew.join(ranks, ew.e_src == ranks.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("s"))
-            .localCheckpoint(eager=True)  # flat input for the vertex join
         )
-        new_ranks = (
+        rank_expr = (
+            F.lit(jump) + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+        ).alias("rank")
+        if epsilon is None:
+            ranks = (
+                vertices.join(contrib, "node", "left")
+                .select("node", rank_expr)
+                .localCheckpoint(eager=True)
+            )
+            continue
+        nd = (
             vertices.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(jump) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
-                    "rank"
-                ),
+            .select("node", rank_expr)
+            .join(
+                ranks.select("node", F.col("rank").alias("old_rank")), "node"
             )
-            .localCheckpoint(eager=True)
+            .select("node", "rank", (F.col("rank") - F.col("old_rank")).alias("d"))
+            .localCheckpoint(eager=False)
         )
-        if epsilon is not None:
-            moved = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), "node")
-                .where(F.abs(F.col("n.rank") - F.col("o.rank")) > epsilon)
-            )
-            ranks = new_ranks
-            if moved.isEmpty():
-                break
-        else:
-            ranks = new_ranks
+        max_delta = nd.agg(F.max(F.abs(F.col("d")))).first()[0]
+        ranks = nd.select("node", "rank")
+        if max_delta is not None and max_delta <= epsilon:
+            converged = True
+            break
+    if not converged:
+        _warn_not_converged("page_rank", n_iterations)
     return ranks
 
 
@@ -261,11 +298,23 @@ def transitive_closure(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    closure = e
+    # VERDICT r5 #5: TWO jobs per round (was 4). The extend, distinct
+    # and anti-join fuse into ONE non-eager checkpoint whose
+    # materialization piggybacks on the `count()` that replaces the
+    # former separate `isEmpty()` probe; and the former per-round
+    # closure re-checkpoint — the heaviest job, since the closure
+    # grows — disappears: the closure lives as the list of
+    # checkpointed per-round frontiers, subtracted via CHAINED
+    # anti-joins (all on the same key, so the extension's exchange is
+    # planned once and reused). A lazy union would express the same
+    # subtraction in one join but trips Spark's
+    # UnionBase.rewriteConstraints on checkpointed children — see the
+    # project memory note; per-round totals scanned are identical.
+    parts: list[DataFrame] = [e]
     frontier = e
+    converged = False
     for _ in range(max_iterations):
-        # Extend the newest paths by one original edge hop.
-        ext = (
+        new_frontier = (
             frontier.alias("p")
             .join(e.alias("q"), F.col("p.p_dst") == F.col("q.p_src"))
             .select(
@@ -273,13 +322,20 @@ def transitive_closure(
             )
             .where(F.col("p_src") != F.col("p_dst"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        new_frontier = ext.join(
-            closure, ["p_src", "p_dst"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if new_frontier.isEmpty():
+        for seen in parts:
+            new_frontier = new_frontier.join(
+                seen, ["p_src", "p_dst"], "left_anti"
+            )
+        new_frontier = new_frontier.localCheckpoint(eager=False)
+        if new_frontier.count() == 0:
+            converged = True
             break
-        closure = closure.union(new_frontier).localCheckpoint(eager=True)
+        parts.append(new_frontier)
         frontier = new_frontier
-    return closure.select(F.col("p_src").alias(src), F.col("p_dst").alias(dst))
+    if not converged:
+        _warn_not_converged("transitive_closure", max_iterations)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.select(F.col("p_src").alias(src), F.col("p_dst").alias(dst))

