@@ -83,19 +83,30 @@ def read_keyed_state(
     return df.select(*cols)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through the session's
+    Hadoop conf — so hdfs:// and s3a:// checkpoint URIs work the same
+    as local paths (ADVICE r5: the statestore reads in this module
+    already did; the commit/offset log reads below must too)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
 def committed_batches(spark: SparkSession, checkpoint: str) -> list[int]:
     """Batch ids with a commit record — the restore points a restarted
     query (or a time-travelling state read) may target. Flink's
     equivalent is the savepoint directory listing; Spark's commit log
-    is ``<ckpt>/commits/<batchId>``."""
-    commits = os.path.join(checkpoint, "commits")
+    is ``<ckpt>/commits/<batchId>``. Reads via the Hadoop FS API, so
+    any checkpoint URI the session can reach (local/HDFS/S3) works."""
+    fs, jpath = _hadoop_fs(spark, checkpoint + "/commits")
     out = []
-    try:
-        for name in os.listdir(commits):
+    if fs.exists(jpath):
+        for status in fs.listStatus(jpath):
+            name = status.getPath().getName()
             if name.isdigit():
                 out.append(int(name))
-    except FileNotFoundError:
-        pass
     return sorted(out)
 
 
@@ -104,10 +115,22 @@ def source_offsets(spark: SparkSession, checkpoint: str, batch_id: int) -> dict:
     persists in checkpoint metadata for source operators
     (CheckpointCoordinator's source-state). Parses the offset log
     entry ``<ckpt>/offsets/<batchId>`` (JSON lines: version header,
-    conf, one offset blob per source)."""
-    path = os.path.join(checkpoint, "offsets", str(batch_id))
-    with open(path) as f:
-        lines = [ln.strip() for ln in f if ln.strip()]
+    conf, one offset blob per source). Hadoop-FS routed like
+    ``committed_batches``."""
+    fs, jpath = _hadoop_fs(spark, checkpoint + f"/offsets/{batch_id}")
+    stream = fs.open(jpath)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        ln = reader.readLine()
+        while ln is not None:
+            if ln.strip():
+                lines.append(ln.strip())
+            ln = reader.readLine()
+    finally:
+        stream.close()
     parsed = []
     for ln in lines:
         try:
