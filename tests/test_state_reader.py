@@ -108,3 +108,82 @@ def test_unflattened_read_keeps_struct_schema(spark, agg_ckpt):
     df = sr.read_keyed_state(spark, ckpt, flatten=False)
     names = set(df.columns)
     assert {"key", "value"} <= names
+
+
+def test_bootstrap_keyed_state_savepoint_writer_analog(spark, tmp_path):
+    """SavepointWriter parity (r6, VERDICT r5 #9): seed per-key running
+    totals from a batch table into a fresh checkpoint, verify the
+    seeded state is readable from the checkpoint, then run the live
+    query from that checkpoint and assert it CONTINUES from the seeds
+    (Flink: SavepointWriter.bootstrap → run job from savepoint)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from flink_spark.state_reader import (
+        bootstrap_keyed_state,
+        committed_batches,
+        read_keyed_state,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def running_total(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        emit = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                total += int(row["v"])
+                if not row["seed"]:
+                    emit.append((key[0], total))
+        state.update((total,))
+        if emit:
+            yield pd.DataFrame(emit, columns=["k", "total"])
+
+    seeds = spark.createDataFrame(
+        [("a", 100, True), ("b", 7, True)], "k string, v long, seed boolean"
+    )
+    bootstrap_keyed_state(
+        spark, seeds, src, ckpt, running_total,
+        key_cols=["k"], output_schema="k string, total long",
+        state_schema="total long",
+    )
+    assert committed_batches(spark, ckpt) == [0]
+    seeded = {
+        r.key_k: r.value_groupState.total
+        for r in read_keyed_state(spark, ckpt).collect()
+    }
+    assert seeded == {"a": 100, "b": 7}
+
+    # live phase: new data arrives, the SAME pipeline restarts on the
+    # SAME checkpoint and must continue from the seeded totals
+    spark.createDataFrame(
+        [("a", 1, False), ("a", 2, False), ("c", 5, False)],
+        "k string, v long, seed boolean",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k string, v long, seed boolean").parquet(src)
+    out = stream.groupBy("k").applyInPandasWithState(
+        running_total, "k string, total long", "total long", "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    rows = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    # memory sinks refuse checkpoint recovery; foreachBatch supports it
+    q = (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt).outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.total for r in rows}
+    # a: seeded 100 + 1 + 2; c: no seed, 5. (b emits nothing — no data.)
+    assert got == {"a": 103, "c": 5}
+    # and the post-restart state reflects the continuation
+    final = {
+        r.key_k: r.value_groupState.total
+        for r in read_keyed_state(spark, ckpt).collect()
+    }
+    assert final == {"a": 103, "b": 7, "c": 5}
