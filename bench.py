@@ -196,23 +196,39 @@ def _stream_bench(spark, sf_dir: str) -> dict | None:
         return None
 
 
-def _tpcds_real_bench(spark) -> dict | None:
+def _ensure_tpcds_sf1(sf1: str) -> None:
+    """Regenerate the fact-volume corpus when absent/stale (VERDICT r5
+    #8: the component must never silently skip)."""
+    try:
+        ok = open(os.path.join(sf1, "_MANIFEST")).read().strip().endswith("@15")
+    except OSError:
+        ok = False
+    if not ok:
+        print("# tpcds_real: regenerating fact-volume corpus...", file=sys.stderr)
+        from flink_spark.tpcds_data import generate
+
+        generate(sf1, fact_scale=15)
+
+
+# >= 6 per the round-6 driver-bench contract (tests/test_bench_contract.py)
+TPCDS_REAL_QIDS = ["3", "19", "72", "14a", "4", "95"]
+
+
+def _tpcds_real_bench(spark, qids=None, runs: int = 2) -> dict | None:
     """Compact real-TPC-DS component: six representative VERBATIM
     benchmark texts (star / YoY-CTE / cross-channel / inventory /
     reachability) on the sf1-fact-volume corpus (2.92M store_sales —
     real dsdgen sf1's volume), both engines, warm min-of-2. Runs in
     stats mode (the reference gate's --useTableStats analogue; see
-    BASELINE.md "Real-text performance") iff the scaled corpus exists —
-    generated by tools/bench_tpcds_real.py; skipped silently otherwise
-    so the driver bench stays within budget on a fresh checkout."""
+    BASELINE.md "Real-text performance"). r6 (VERDICT r5 #8): the
+    corpus is REGENERATED when absent instead of silently skipping the
+    component — the r5 mid-round benchdata clean dropped this block
+    from two driver benches before anyone noticed; a ~2 min
+    deterministic generate is cheaper than a blind round."""
     sf1 = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchdata", "tpcds_sf1"
     )
-    try:
-        if not open(os.path.join(sf1, "_MANIFEST")).read().strip().endswith("@15"):
-            return None
-    except OSError:
-        return None
+    _ensure_tpcds_sf1(sf1)
     import duckdb
 
     import flink_spark.queries_tpcds_real as R
@@ -221,7 +237,8 @@ def _tpcds_real_bench(spark) -> dict | None:
     try:
         R.TPCDS_DIR = sf1
         R.USE_TABLE_STATS = True
-        qids = ["3", "19", "72", "14a", "4", "95"]
+        if qids is None:
+            qids = TPCDS_REAL_QIDS
         spark_s, duck_s = {}, {}
         con = duckdb.connect()
         con.execute(f"SET threads = {os.cpu_count() or 8}")
@@ -230,7 +247,7 @@ def _tpcds_real_bench(spark) -> dict | None:
             fn = Q.QUERIES[name]
             fn(spark, "/root/testdata/sf0.01").count()  # warm (+analyze once)
             best = float("inf")
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, "/root/testdata/sf0.01").count()
                 best = min(best, time.perf_counter() - t0)
@@ -240,7 +257,7 @@ def _tpcds_real_bench(spark) -> dict | None:
             sql = R._oracle_real(qid)
             con.execute(sql).fetchall()
             best = float("inf")
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
