@@ -330,11 +330,15 @@ def test_parse_like_merges_and_overrides(spark):
         "upper_name": "upper(n_name)", "name_len": "length(n_name)"}
     assert spec.options["path"] == f"{SF_DIR}/nation.parquet"
     assert spec.options["connector"] == "filesystem"
-    # EXCLUDING GENERATED drops the base computed column
+    # EXCLUDING GENERATED drops the base computed column (explicit
+    # OVERWRITING OPTIONS too — explicit like options reset the default
+    # to INCLUDING, under which the conflicting path would error, the
+    # same contract Flink's MergeTableLikeUtil enforces)
     spec2 = parse_create_table(
         "CREATE TABLE c2 WITH ('path' = '/y') LIKE like_base "
-        "(EXCLUDING GENERATED)")
+        "(EXCLUDING GENERATED OVERWRITING OPTIONS)")
     assert spec2.computed == []
+    assert spec2.options["path"] == "/y"
     # INCLUDING OPTIONS + conflicting option errors without OVERWRITING
     with pytest.raises(ValueError, match="OVERWRITING OPTIONS"):
         parse_create_table(
