@@ -47,6 +47,11 @@ QUERIES = [
     "doc_gopher_quality",
     "doc_top_bigram_frac",
     "doc_dup_5gram_frac",
+    # r6 (VERDICT r5 #10): the two newest heavy LLM entries had
+    # sf1-only ratios; plus the classifier after its vocab-tier fix
+    "doc_dup_groups",
+    "doc_dup_span_coverage",
+    "doc_quality_classifier",
 ]
 
 BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata")
