@@ -237,6 +237,30 @@ def test_quality_classifier_weights_broadcast(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_quality_classifier_digest_is_vocab_tier(spark):
+    """r6 (VERDICT r5 'What's wrong' #1): the md5 featurization digest
+    must sit ABOVE a distinct (once per vocabulary word), never on the
+    exploded token stream — the per-token spelling was the measured
+    3.9x constant at sf1. Pin: exactly one md5 site in the plan, and
+    the token side reaches its word join with NO hash expression (the
+    join probes the broadcast vocab by raw word)."""
+    import re
+
+    plan = plan_of(spark, "doc_quality_classifier")
+    # the vocab tier exists: a distinct aggregate keyed on the word
+    # alone (the per-token spelling had no word-keyed aggregate at all)
+    assert re.search(r"Keys \[1\]: \[word#\d+\]", plan), plan
+    # and every md5 site consumes that distinct output, which Catalyst
+    # names with ONE expr-id: the md5-bearing lines reference exactly
+    # one distinct word attribute between them (the exploded token
+    # stream's word has a different id and must carry no digest)
+    md5_words = {
+        m for ln in plan.splitlines() if "md5" in ln
+        for m in re.findall(r"word#\d+", ln)
+    }
+    assert len(md5_words) == 1, (md5_words, plan)
+
+
 def test_nexmark_n6_single_exchange_with_group_limit(spark):
     """nexmark_n6: both OVER windows (rows-bounded avg + keep-last)
     must share ONE hash exchange on the seller key, and Catalyst's
