@@ -18,7 +18,11 @@ Distributed shape, designed for the 100 TB case:
    doc_id, text never shuffles crosswise).
 2. Duplicate detection: one hash aggregate on the window digest
    (map-side partial applies); ``count >= 2`` marks duplicated
-   windows. The digest table is the only corpus-wide state.
+   windows. The digest table is the only corpus-wide state. Digests
+   are 128-bit (two independent xxhash64 lanes, r6): at >4e9 windows
+   a single 64-bit lane's birthday collisions would mark false
+   duplicated spans; at 128 bits the bound stays < 1e-13 through
+   ~4e12 windows.
 3. Coverage: duplicated occurrences [pos, pos+w-1] merge into islands
    with the standard gaps-and-islands running-max — a per-doc window
    function over only the *duplicated* occurrences (tiny vs corpus).

@@ -601,12 +601,19 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idx"),
     )
     wv = vocab.join(F.broadcast(weights), "idx").select("word", "weight")
+    # probe the broadcast once per (doc, word) pair, not per token
+    # instance: the (doc_id, word) count aggregate map-side-combines,
+    # and avg(weight) over instances == sum(weight*cnt)/sum(cnt) —
+    # measured −20% at sf1 (3.03 -> 2.44 s) and the right shape at
+    # 100 TB (combine before the probe). The oracle keeps the plain
+    # per-instance spelling, so it stays an independent reading.
+    dw = tok.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
     scored = (
-        tok.join(F.broadcast(wv), "word")
+        dw.join(F.broadcast(wv), "word")
         .groupBy("doc_id")
         .agg(
-            F.avg("weight").alias("score"),
-            F.count("*").alias("n_tokens"),
+            (F.sum(F.col("weight") * F.col("cnt")) / F.sum("cnt")).alias("score"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
         )
     )
     return scored.select(
