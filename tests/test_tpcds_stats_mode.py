@@ -76,3 +76,38 @@ def test_split_ctes_skips_quoted_parens():
     assert "'x(y'" in defs[0][1] and "'don''t)'" in defs[0][1]
     assert '"weird(col"' in defs[1][1] and "')('" in defs[1][1]
     assert main.strip().startswith("select * from b")
+
+
+def test_stats_catalog_reused_across_sessions(spark, monkeypatch):
+    """r6: a recycled session (fresh _stats_ready, same persistent
+    metastore) must NOT re-run the minutes-long ANALYZE when the stats
+    db already points at the requested corpus — and must rebuild when
+    it points elsewhere."""
+    monkeypatch.setattr(R, "USE_TABLE_STATS", True)
+    try:
+        # first registration for this session (may create or reuse)
+        R._register_tpcds(spark)
+        # simulate a recycled session: per-session memo cleared
+        R._stats_ready.clear()
+        analyzed = []
+        real_sql = spark.sql
+
+        def counting_sql(q, *a, **kw):
+            if q.strip().upper().startswith("ANALYZE"):
+                analyzed.append(q)
+            return real_sql(q, *a, **kw)
+
+        monkeypatch.setattr(spark, "sql", counting_sql)
+        R._register_tpcds(spark)
+        assert analyzed == [], analyzed  # sentinel check skipped the rebuild
+        monkeypatch.setattr(spark, "sql", real_sql)
+    finally:
+        spark.sql("USE default")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        for t in R.TPCDS_TABLES:
+            try:
+                d = R.ensure(R.TPCDS_DIR)
+                spark.read.parquet(f"{d}/{t}.parquet").createOrReplaceTempView(t)
+            except Exception:
+                pass
