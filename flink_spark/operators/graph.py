@@ -97,7 +97,10 @@ def connected_components(
     # that both materializes the pointer-jump checkpoint (non-eager —
     # the agg piggybacks on it) and returns the checksum, replacing the
     # former separate `changed` join probe + eager checkpoint pair.
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # decimal(38,0) checksum: sum(long) wraps silently past 2^63 and a
+    # wrapped collision would mask non-convergence on graphs with
+    # >~4e9 vertices of large ids — the 100 TB design point
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     converged = False
     for _ in range(max_iterations):
         # Neighbor-min (the reference's delta step): each vertex takes
@@ -125,7 +128,7 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        cur_sum = jumped.agg(F.sum("comp")).first()[0]
+        cur_sum = jumped.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         labels = jumped
         if cur_sum == prev_sum:
             converged = True
