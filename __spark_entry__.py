@@ -52,8 +52,9 @@ _CHECKED: set[str] = set()
 for _f in sorted(_glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
     _CHECKED |= _load_checked(os.path.basename(_f))
 # Round 4: agg_approx_count_distinct now carries an exact-count +
-# tolerance-flag oracle (was `no_oracle`) — re-check it.
-_REFIXED = ["agg_approx_count_distinct"]
+# tolerance-flag oracle (was `no_oracle`) — re-checked green in the r4
+# window; no refix candidates remain (r7).
+_REFIXED: list[str] = []
 
 
 # Round 6: 124 registry entries have never had a driver CORRECTNESS
@@ -95,6 +96,18 @@ _R5_BACKLOG = [
 ]
 
 
+# Round 7: 75 entries remain never-driver-checked (ddl_like_nation +
+# 74 tpcds_real_*). The lexicographic default fills the 50-slot window
+# with ddl_like_nation + q18..q74; additionally pin this round's three
+# perf-probe targets (q80/q87/q75 — the >7x sf10 rows and their
+# INTERSECT sibling) into the window so their driver rows land the
+# same round their plans change. ~25 entries remain for r8.
+_R7_PRIORITY = [
+    "ddl_like_nation", "tpcds_real_q80", "tpcds_real_q87",
+    "tpcds_real_q75", "tpcds_real_q38", "tpcds_real_q40",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window covers (1) the pinned
@@ -103,7 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     allq = dict(_q.QUERIES)
     front = [n for n in allq if n not in _CHECKED]
     front += [n for n in _REFIXED if n in allq and n not in front]
-    rank = {n: i for i, n in enumerate(_R5_BACKLOG)}
+    rank = {n: i - 100 for i, n in enumerate(_R7_PRIORITY)}
+    rank.update({n: i for i, n in enumerate(_R5_BACKLOG) if n not in rank})
     front.sort(key=lambda n: (rank.get(n, 999), n))
     back = [n for n in allq if n not in front]
     back.sort(key=lambda n: (not n.startswith("tpcds_"),))

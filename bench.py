@@ -167,24 +167,34 @@ def _stream_bench(spark, sf_dir: str) -> dict | None:
 
         # FileStreamSource requires a directory; stage the single fixture
         # file behind a symlink (a real deployment streams a directory of
-        # arriving files — this replays the same layout)
-        with tempfile.TemporaryDirectory() as src_dir, \
-                tempfile.TemporaryDirectory() as ckpt:
+        # arriving files — this replays the same layout).
+        # VERDICT r6 #5: the single-run probe swung 77-308 k rows/s across
+        # identical code (state-store + RocksDB-provider init dominates a
+        # one-shot 1M-row replay) — apply the batch side's min-of-2
+        # discipline: first replay is the warm-up, two more timed, min
+        # reported, each from a fresh checkpoint so every run does the
+        # same work.
+        with tempfile.TemporaryDirectory() as src_dir:
             os.symlink(path, os.path.join(src_dir, "part-00000.parquet"))
             stream = spark.readStream.schema(batch.schema).parquet(src_dir)
-            t0 = time.perf_counter()
-            q = (
-                agg(stream)
-                .writeStream.format("memory")
-                .queryName("bench_stream")
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-            stream_s = time.perf_counter() - t0
-        spark.sql("DROP TABLE IF EXISTS bench_stream")
+            stream_s = float("inf")
+            for run in range(3):
+                with tempfile.TemporaryDirectory() as ckpt:
+                    t0 = time.perf_counter()
+                    q = (
+                        agg(stream)
+                        .writeStream.format("memory")
+                        .queryName("bench_stream")
+                        .outputMode("append")
+                        .option("checkpointLocation", ckpt)
+                        .trigger(availableNow=True)
+                        .start()
+                    )
+                    q.awaitTermination(300)
+                    elapsed = time.perf_counter() - t0
+                spark.sql("DROP TABLE IF EXISTS bench_stream")
+                if run > 0:  # run 0 = warm-up (provider/class init)
+                    stream_s = min(stream_s, elapsed)
         return {
             "rows": n_rows,
             "wall_s": round(stream_s, 3),

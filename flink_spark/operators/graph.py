@@ -183,6 +183,9 @@ def page_rank(
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
+    if n == 0:
+        # empty graph: trivially converged, nothing to iterate
+        return vertices.select("node", F.lit(1.0).alias("rank"))
     jump = (1.0 - damping) / n
     ranks = vertices.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
         eager=True
@@ -224,7 +227,9 @@ def page_rank(
         )
         max_delta = nd.agg(F.max(F.abs(F.col("d")))).first()[0]
         ranks = nd.select("node", "rank")
-        if max_delta is not None and max_delta <= epsilon:
+        # max_delta is None ⟺ no vertices at all — trivially converged
+        # (nothing can ever change), not "ran out of iterations".
+        if max_delta is None or max_delta <= epsilon:
             converged = True
             break
     if not converged:
@@ -278,6 +283,7 @@ def transitive_closure(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 10,
+    compact_every: int = 4,
 ) -> DataFrame:
     """All reachable ordered pairs of the directed graph ``edges``:
     output ``(src, dst)`` with one row per (start, reachable-end).
@@ -294,6 +300,17 @@ def transitive_closure(
     fixture is 14 edges); for large diameters swap in the
     path-doubling variant (join closure with itself) for O(log d)
     rounds at the cost of denser intermediate joins.
+
+    Scale note on the subtraction strategy: the closure lives as a
+    list of per-round frontier checkpoints and each new frontier
+    anti-joins every prior part, so round k's plan holds k anti-join
+    scans — O(rounds²) frontier scans total. Cheaper than
+    re-checkpointing the growing closure every round for the shallow
+    graphs this targets, but unbounded plan depth on long diameters;
+    so every ``compact_every`` rounds the parts are folded into ONE
+    eagerly-checkpointed closure table, bounding both the scan count
+    (≤ compact_every + 1 per round) and the plan depth at the cost of
+    one extra job per compaction.
     """
     e = (
         edges.select(F.col(src).alias("p_src"), F.col(dst).alias("p_dst"))
@@ -336,6 +353,26 @@ def transitive_closure(
             break
         parts.append(new_frontier)
         frontier = new_frontier
+        if len(parts) > compact_every:
+            # Fold the accumulated parts into one eager checkpoint so
+            # the next round anti-joins ONE table, not len(parts).
+            # Checkpointing a union of checkpointed children trips
+            # Spark's UnionBase.rewriteConstraints ("key not found:
+            # p_src#N") — constraint propagation is the buggy rewrite,
+            # so switch it off just for this checkpoint's analysis (it
+            # only prunes redundant IsNotNull filters; these plans
+            # carry none worth keeping).
+            folded = parts[0]
+            for p in parts[1:]:
+                folded = folded.union(p)
+            spark = folded.sparkSession
+            _key = "spark.sql.constraintPropagation.enabled"
+            _old = spark.conf.get(_key, "true")
+            spark.conf.set(_key, "false")
+            try:
+                parts = [folded.localCheckpoint(eager=True)]
+            finally:
+                spark.conf.set(_key, _old)
     if not converged:
         _warn_not_converged("transitive_closure", max_iterations)
     out = parts[0]

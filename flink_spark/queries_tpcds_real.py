@@ -203,13 +203,18 @@ def _split_ctes(text: str) -> tuple[list[tuple[str, str]], str]:
                 # skip the quoted region; SQL escapes a quote inside a
                 # single-quoted literal by doubling it ('don''t')
                 q, k = c, k + 1
-                while True:
+                while k < len(text):
                     if text[k] != q:
                         k += 1
                     elif text[k : k + 2] == q + q:
                         k += 2
                     else:
                         break
+                else:
+                    raise ValueError(
+                        f"unterminated {q}-quoted literal starting near "
+                        f"offset {k}: {text[max(0, k - 40):k]!r}"
+                    )
             elif c == "(":
                 depth += 1
             elif c == ")":

@@ -179,8 +179,34 @@ def bootstrap_keyed_state(
     pipeline on the same checkpoint continues FROM the seeded state,
     which is exactly Flink's bootstrap-then-restore flow. The seeded
     state is also immediately inspectable with ``read_keyed_state``.
+
+    ``source_dir`` must be FRESH (empty or absent): the bootstrap
+    drains the whole directory into a noop sink, so any pre-existing
+    live data files would have their state updates committed but
+    their emitted output silently discarded while the offset log
+    advances past them — a restarted query would never emit them.
+    Raises ValueError rather than risking that silent loss.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(source_dir)
+    fs = jpath.getFileSystem(hconf)
+    if fs.exists(jpath):
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if not name.startswith((".", "_")):
+                raise ValueError(
+                    "bootstrap_keyed_state requires a fresh source_dir: "
+                    f"{source_dir} already holds data file {name!r} whose "
+                    "emitted output the bootstrap drain would silently "
+                    "discard (its state would commit and the offset log "
+                    "would advance past it). Point the live query at a "
+                    "new directory and seed that instead."
+                )
 
     seeds.coalesce(1).write.mode("append").parquet(source_dir)
     stream = spark.readStream.schema(seeds.schema).parquet(source_dir)

@@ -402,10 +402,6 @@ def test_metadata_columns_filesystem(spark):
     assert row.fsize > 0
     assert row.mtime is not None
     # metadata column with the key defaulting to the column name
-    spec = parse_create_table(
-        "CREATE TABLE t (x INT, `file.name` STRING METADATA) "
-        "WITH ('connector' = 'filesystem', 'path' = '/x')"
-    ) if False else None  # backticked names out of scope; key-default below
     spec2 = parse_create_table(
         "CREATE TABLE t (x INT, file_size BIGINT METADATA) "
         "WITH ('connector' = 'filesystem', 'path' = '/x')"

@@ -175,3 +175,35 @@ def test_transitive_closure_two_jobs_per_round(spark):
     # 4-actions-per-round shape (>= 13) must fail.
     assert jobs <= 6, jobs
     assert rows == 3 + 2 + 1
+
+
+def test_transitive_closure_compaction_preserves_result(spark):
+    """ADVICE r6 #2: long-diameter runs fold the per-round frontier
+    parts into one checkpointed closure every `compact_every` rounds
+    so plan depth / anti-join scan count stay bounded. The fold must
+    not change the result: a 9-hop chain (9 productive rounds with
+    frontier-extension, i.e. multiple compactions at compact_every=2)
+    yields exactly the n*(n+1)/2 reachable pairs."""
+    from flink_spark.operators.graph import transitive_closure
+    n = 9
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    out = transitive_closure(chain, max_iterations=20, compact_every=2)
+    got = {(r.src, r.dst) for r in out.collect()}
+    want = {(i, j) for i in range(n + 1) for j in range(i + 1, n + 1)}
+    assert got == want
+
+
+def test_pagerank_empty_graph_converges_without_warning(spark):
+    """ADVICE r6 #4: epsilon mode on an empty edge set is trivially
+    converged (no vertices → nothing can change); it must not burn all
+    n_iterations and must not warn."""
+    import warnings as _w
+    from flink_spark.operators.graph import page_rank
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        rows = page_rank(empty, n_iterations=50, epsilon=1e-9).collect()
+    assert rows == []
+    assert not any("page_rank" in str(x.message) for x in w)

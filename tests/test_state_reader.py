@@ -187,3 +187,34 @@ def test_bootstrap_keyed_state_savepoint_writer_analog(spark, tmp_path):
         for r in read_keyed_state(spark, ckpt).collect()
     }
     assert final == {"a": 103, "b": 7, "c": 5}
+
+
+def test_bootstrap_refuses_nonempty_source_dir(spark, tmp_path):
+    """ADVICE r6 #1: bootstrap drains the whole source_dir into a noop
+    sink, so pre-existing live data would have its state committed but
+    its OUTPUT silently discarded (offset log advances past it). The
+    bootstrap must therefore refuse a dir that already holds data."""
+    import pandas as pd
+
+    from flink_spark.state_reader import bootstrap_keyed_state
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    # a pre-existing live data file
+    spark.createDataFrame(
+        [("a", 1, False)], "k string, v long, seed boolean"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def fn(key, pdfs, state):
+        if False:
+            yield pd.DataFrame()
+
+    seeds = spark.createDataFrame(
+        [("a", 100, True)], "k string, v long, seed boolean"
+    )
+    with pytest.raises(ValueError, match="fresh source_dir"):
+        bootstrap_keyed_state(
+            spark, seeds, src, ckpt, fn,
+            key_cols=["k"], output_schema="k string, total long",
+            state_schema="total long",
+        )

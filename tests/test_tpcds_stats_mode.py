@@ -78,6 +78,17 @@ def test_split_ctes_skips_quoted_parens():
     assert main.strip().startswith("select * from b")
 
 
+def test_split_ctes_unterminated_literal_raises_value_error():
+    """ADVICE r6 #3: an unterminated quote must surface as a legible
+    ValueError naming the literal, not an opaque IndexError."""
+    import pytest
+
+    from flink_spark.queries_tpcds_real import _split_ctes
+
+    with pytest.raises(ValueError, match="unterminated"):
+        _split_ctes("with a as (select 'oops from t) select * from a")
+
+
 def test_stats_catalog_reused_across_sessions(spark, monkeypatch):
     """r6: a recycled session (fresh _stats_ready, same persistent
     metastore) must NOT re-run the minutes-long ANALYZE when the stats
