@@ -39,6 +39,17 @@ r6 additions (VERDICT r5 missing #4):
   reference requires VIRTUAL for non-persistable metadata; the
   filesystem keys are all read-only, so both spellings behave as
   VIRTUAL here).
+
+r7 additions (VERDICT r6 #4):
+
+- ``CREATE TABLE t WITH (options) AS <query>`` — reference
+  SqlCreateTableAs (Parser.tdd:53-57): derive the schema from the
+  query, create the table, and run the insert as ONE statement.
+- ``ALTER TABLE t SET (...) | RESET (...) | ADD col | RENAME TO t2``
+  — reference SqlAlterTable* (Parser.tdd:58-96). SET/RESET mutate the
+  reader options (RESET may not remove 'connector', as in Flink);
+  ADD extends the schema (existing files surface the new physical
+  column as NULL); RENAME re-points the registration.
 """
 
 from __future__ import annotations
@@ -479,6 +490,145 @@ _FS_METADATA = {
 }
 
 
+# CREATE TABLE name WITH (options) AS <query> — reference
+# SqlCreateTableAs (flink-table/flink-sql-parser/src/main/codegen/data/
+# Parser.tdd:53-57 parses CREATE TABLE ... AS alongside LIKE; runtime
+# semantics in flink-table/flink-table-operations: derive the schema
+# from the query, create the sink table, submit the insert job as one
+# statement). The WITH clause is required (the sink needs a connector),
+# matching Flink, and must precede AS.
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(\w+)\s+WITH\s*\((.*?)\)\s*AS\s+(.+)$",
+    re.I | re.S,
+)
+
+
+def _create_table_as(
+    spark: SparkSession, name: str, opts_txt: str, query: str
+) -> DataFrame:
+    """CTAS: run the query, derive the physical schema from its result,
+    write the rows through the declared connector, register the table.
+    One statement = create + insert, exactly Flink's CTAS contract."""
+    opts = _parse_options(opts_txt)
+    if opts.get("connector") != "filesystem":
+        raise ValueError(
+            f"CREATE TABLE {name} AS: only the filesystem connector "
+            "accepts CTAS writes in this front-end"
+        )
+    path = opts.get("path")
+    if not path:
+        raise ValueError("filesystem connector needs a 'path' option")
+    q = query.strip().rstrip(";")
+    if re.match(r"^VALUES\b", q, re.I):
+        q = f"SELECT * FROM ({q})"
+    out = spark.sql(q)
+    spec = TableSpec(
+        name, list(out.dtypes), [], None, [], opts, []
+    )
+    fmt = opts.get("format", "parquet")
+    fmt_opts = {
+        k.split(".", 1)[1]: v
+        for k, v in opts.items()
+        if k.startswith(f"{fmt}.")
+    }
+    # CREATE semantics: the table's content IS the query result — a
+    # re-created table must not append onto stale files
+    out.write.mode("overwrite").format(fmt).options(**fmt_opts).save(path)
+    register_table(spark, spec)
+    return spark.createDataFrame([("OK",)], "result string")
+
+
+_ALTER_RE = re.compile(r"^\s*ALTER\s+TABLE\s+(\w+)\s+(.+?)\s*;?\s*$", re.I | re.S)
+
+
+def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
+    """ALTER TABLE on a DDL-registered table — reference SqlAlterTable*
+    (Parser.tdd:58-96: SET/RESET options, ADD column, RENAME). The
+    mutated spec is re-registered, so the change is visible to the next
+    read: SET/RESET swap reader options, ADD extends the read schema
+    (absent columns in existing files surface as NULL — parquet
+    resolves by name, Flink's filesystem connector behaves the same),
+    RENAME re-points the temp view."""
+    spec = _REGISTERED.get(name)
+    if spec is None:
+        raise ValueError(
+            f"ALTER TABLE {name}: table not registered through this "
+            "DDL front-end"
+        )
+    m = re.match(r"^SET\s*\((.*)\)$", action, re.I | re.S)
+    if m:
+        new_opts = dict(spec.options)
+        new_opts.update(_parse_options(m.group(1)))
+        spec = TableSpec(
+            spec.name, list(spec.physical), list(spec.computed),
+            spec.watermark, list(spec.primary_key), new_opts,
+            list(spec.metadata),
+        )
+        register_table(spark, spec)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = re.match(r"^RESET\s*\((.*)\)$", action, re.I | re.S)
+    if m:
+        keys = re.findall(r"'([^']+)'", m.group(1))
+        if "connector" in keys:
+            # Flink: ValidationException — a table cannot lose its connector
+            raise ValueError("ALTER TABLE RESET cannot remove 'connector'")
+        new_opts = {k: v for k, v in spec.options.items() if k not in keys}
+        spec = TableSpec(
+            spec.name, list(spec.physical), list(spec.computed),
+            spec.watermark, list(spec.primary_key), new_opts,
+            list(spec.metadata),
+        )
+        register_table(spark, spec)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = re.match(r"^ADD\s+(.+)$", action, re.I | re.S)
+    if m:
+        frag = m.group(1).strip()
+        if frag.startswith("(") and frag.endswith(")"):
+            frag = frag[1:-1]
+        physical, computed, metadata, wm, pk = _parse_columns(frag)
+        if wm or pk:
+            raise ValueError(
+                "ALTER TABLE ADD supports columns only (no watermark or "
+                "primary key) in this front-end"
+            )
+        dup = {c for c, _ in physical} | {c for c, _ in computed} | {
+            c for c, _, _ in metadata
+        }
+        existing = {c for c, _ in spec.physical} | {
+            c for c, _ in spec.computed
+        } | {c for c, _, _ in spec.metadata}
+        clash = dup & existing
+        if clash:
+            raise ValueError(f"ALTER TABLE ADD: column(s) exist: {sorted(clash)}")
+        spec = TableSpec(
+            spec.name, list(spec.physical) + physical,
+            list(spec.computed) + computed, spec.watermark,
+            list(spec.primary_key), dict(spec.options),
+            list(spec.metadata) + metadata,
+        )
+        register_table(spark, spec)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = re.match(r"^RENAME\s+TO\s+(\w+)$", action, re.I)
+    if m:
+        new_name = m.group(1)
+        if new_name in _REGISTERED:
+            raise ValueError(f"ALTER TABLE RENAME: {new_name} already exists")
+        spec = TableSpec(
+            new_name, list(spec.physical), list(spec.computed),
+            spec.watermark, list(spec.primary_key), dict(spec.options),
+            list(spec.metadata),
+        )
+        spark.catalog.dropTempView(name)
+        _REGISTERED.pop(name, None)
+        register_table(spark, spec)
+        return spark.createDataFrame([("OK",)], "result string")
+    raise ValueError(
+        f"unsupported ALTER TABLE action for this front-end: {action[:60]!r} "
+        "(supported: SET (...), RESET (...), ADD col/cols, RENAME TO name)"
+    )
+
+
 _VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(\w+)\s+AS\s+(.+)$",
@@ -593,6 +743,12 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
     is_create_table = re.match(
         r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\b", stripped, re.I
     )
+    cm = _CTAS_RE.match(stripped.rstrip(";"))
+    if cm:
+        return _create_table_as(spark, cm.group(1), cm.group(2), cm.group(3))
+    am = _ALTER_RE.match(stripped)
+    if am:
+        return _alter_table(spark, am.group(1), am.group(2))
     if is_create_table and (
         _CREATE_RE.match(stripped.rstrip(";"))
         or _split_top_level_like(stripped.rstrip(";")) is not None

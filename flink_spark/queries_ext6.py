@@ -698,3 +698,48 @@ def ddl_like_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_regionkey, count(*) AS n, max(upper_name) AS max_upper
         FROM ddl_nation_like GROUP BY n_regionkey
     """)
+
+
+@query(
+    "ddl_ctas_nation",
+    r"""
+    SELECT rk, CAST(n AS BIGINT) AS n, names
+    FROM (SELECT n_regionkey AS rk, count(*) AS n,
+                 min(n_name) AS names
+          FROM nation GROUP BY n_regionkey)
+    """,
+)
+def ddl_ctas_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... AS through the Flink-DDL front-end (r7,
+    reference SqlCreateTableAs, Parser.tdd:53-57 — schema derived from
+    the query, create + insert as one statement), then ALTER TABLE ADD
+    a computed column on the result (SqlAlterTable, Parser.tdd:58-96)
+    and read it back — exercising CTAS write → register → ALTER →
+    re-read end-to-end. The oracle is an independent plain-SQL spelling
+    over the source parquet."""
+    import tempfile
+
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    tmp = tempfile.mkdtemp(prefix="ddl_ctas_")
+    execute_ddl(spark, f"""
+        CREATE TABLE nation_fixture_src (
+            n_nationkey INT, n_name STRING, n_regionkey INT
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/nation.parquet', 'format' = 'parquet')
+    """)
+    _REGISTERED.pop("ddl_nation_summary", None)
+    execute_ddl(spark, f"""
+        CREATE TABLE ddl_nation_summary
+        WITH ('connector' = 'filesystem', 'path' = '{tmp}/summary',
+              'format' = 'parquet')
+        AS SELECT n_regionkey AS rk, count(*) AS n,
+                  min(n_name) AS min_name
+           FROM nation_fixture_src GROUP BY n_regionkey
+    """)
+    execute_ddl(
+        spark, "ALTER TABLE ddl_nation_summary ADD (names AS min_name)"
+    )
+    return spark.sql(
+        "SELECT rk, n, names FROM ddl_nation_summary"
+    )

@@ -57,6 +57,47 @@ TPCDS_TABLES = (
 # sessions (by id) whose temp views currently point at the TPC-DS schema
 _dfs: dict[int, dict[str, DataFrame]] = {}
 
+# stats-mode sessions whose shadowing temp views were already cleared
+# once (later registers only need to re-drop the fixture overlap)
+_views_cleared: set[int] = set()
+
+# TPC-DS table names the TPC-H/LLM fixture catalog also uses — the only
+# temp views a fixture query (or _run_real's own `customer` restore) can
+# re-create between stats-mode registers
+_FIXTURE_OVERLAP = ("customer",)
+
+# memoized fixture `customer` DataFrame per (session id, sf_dir), so the
+# per-query restore is one createOrReplaceTempView call, not a parquet
+# schema read
+_fixture_customer: dict[tuple[int, str], DataFrame] = {}
+
+# Analyzed-plan cache (VERDICT r6 #2's named lever): repeated runs of
+# the same text re-pay parse + analysis + catalog/stats resolution —
+# ~0.2 s/query of pure planning constant, ~20 s across a 103-query
+# sweep. Flink's SQL gateway caches operations per statement the same
+# way. The cache stores the ANALYZED LOGICAL PLAN only — never a
+# DataFrame: a DataFrame would pin its executed QueryExecution, whose
+# adaptive plan holds the query's materialized BROADCAST blocks, and
+# 350 pinned queries OOM a long-lived session (measured: drive_entry
+# heap-died at query ~280 with the DataFrame spelling). Every hit
+# builds a brand-new Dataset over the plan (Dataset.ofRows), so
+# optimization, AQE and execution run fresh — no shuffle-stage reuse,
+# timed re-runs still do all the physical work, and the executed
+# Datasets stay collectible. CTE-materialized queries are excluded
+# (their temp-view lifecycle is per-call by design: re-runs must
+# re-pay the materialization).
+_plan_cache: dict[tuple[int, str, str, bool], object] = {}
+
+
+def _fresh_execution(spark: SparkSession, analyzed) -> DataFrame:
+    """New Dataset over an analyzed logical plan: skips parse/analyze,
+    re-runs optimize + AQE + execution from scratch (new QueryExecution
+    → new RDDs → no stage or shuffle reuse)."""
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, analyzed
+    )
+    return DataFrame(jdf, spark)
+
 # SPARK_GRAFT_TPCDS_STATS=1 → the reference's ``--useTableStats`` path
 # (TpcdsTestProgram.java:99,185 → TpcdsStatsProvider.registerTpcdsStats):
 # register catalog tables, ANALYZE ... FOR ALL COLUMNS, enable CBO join
@@ -133,14 +174,30 @@ def _register_tpcds(spark: SparkSession) -> None:
                     f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS"
                 )
             _stats_ready.add(key)
-        for t in TPCDS_TABLES:
-            spark.catalog.dropTempView(t)
+        # Temp views of the same names would shadow the catalog tables.
+        # The full 24-view drop loop is 24 py4j catalog round trips
+        # (~25 ms — a real slice of the per-query planning constant at
+        # bench scale), but after the FIRST register in a session only
+        # the fixture-overlap views can have been re-created (each
+        # _run_real's finally restores exactly the `customer` fixture
+        # view, and the non-stats fixture path only registers TPC-H/LLM
+        # table names) — so later calls drop just the overlap set.
+        if id(spark) in _views_cleared:
+            for t in _FIXTURE_OVERLAP:
+                spark.catalog.dropTempView(t)
+        else:
+            for t in TPCDS_TABLES:
+                spark.catalog.dropTempView(t)
+            _views_cleared.add(id(spark))
         return
     cache = _dfs.setdefault(id(spark), {})
     for t in TPCDS_TABLES:
         if t not in cache:
             cache[t] = spark.read.parquet(f"{d}/{t}.parquet")
         cache[t].createOrReplaceTempView(t)
+    # this path re-created every TPC-DS temp view: a later stats-mode
+    # register must do the full shadow-drop again
+    _views_cleared.discard(id(spark))
 
 
 # CTE materialization (the engine's second SQL-layer physical rule —
@@ -276,6 +333,24 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
     stays bound to the TPC-DS relations even after ``customer`` is
     re-pointed at the fixture table for subsequent fixture queries.
     """
+    ckey = (id(spark), qid, TPCDS_DIR, USE_TABLE_STATS)
+    cached = _plan_cache.get(ckey)
+    if cached is not None:
+        if USE_TABLE_STATS:
+            # the bound plan needs no catalog, but CBO must be on when
+            # THIS QueryExecution optimizes (bench blocks reset it)
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        # a previous CTE-materialized query's persisted views must not
+        # linger in storage memory across cached runs (the non-cached
+        # path does this inside _materialize_ctes)
+        prev = _cte_cache.get(id(spark))
+        if prev:
+            for name, pdf in prev.items():
+                pdf.unpersist()
+                spark.catalog.dropTempView(name)
+            prev.clear()
+        return _fresh_execution(spark, cached)
     _register_tpcds(spark)
     text, names, casts = _TPCDS_REAL[qid]
     for old, new in _SPARK_REWRITE.get(qid, ()):
@@ -288,21 +363,38 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         if USE_TABLE_STATS:
             spark.sql("USE default")  # stats db is for the bound plan only
         try:
-            Catalog(spark, sf_dir).table("customer").createOrReplaceTempView(
-                "customer"
-            )
+            key = (id(spark), sf_dir)
+            cust = _fixture_customer.get(key)
+            if cust is None:
+                cust = Catalog(spark, sf_dir).table("customer")
+                _fixture_customer[key] = cust
+            cust.createOrReplaceTempView("customer")
         except Exception:
             pass  # fixture data absent (pure-TPC-DS session): nothing to restore
+    # Positional rename, then ONE projection for all casts: a
+    # withColumn chain re-analyzes the growing plan once per cast
+    # (~0.1 s on cast-heavy texts like q2 — pure per-query constant at
+    # bench scale). toDF stays positional because the raw output names
+    # can duplicate ("sum(x)" twice) or contain dots.
     df = df.toDF(*names)
-    for c, t in casts.items():
-        if t == "double6":
-            # round-to-6dp on BOTH sides (oracle wraps round(c, 6)):
-            # identity for avg(decimal(7,2)) (scale exactly 6), and the
-            # agreed precision for higher-scale decimal divisions
-            # (e.g. q90's decimal(38,9) ratio, q12's revenueratio)
-            df = df.withColumn(c, F.round(F.col(c), 6).cast("double"))
-        else:
-            df = df.withColumn(c, F.col(c).cast(t))
+    if casts:
+        exprs = []
+        for c in names:
+            t = casts.get(c)
+            if t is None:
+                exprs.append(F.col(c))
+            elif t == "double6":
+                # round-to-6dp on BOTH sides (oracle wraps round(c, 6)):
+                # identity for avg(decimal(7,2)) (scale exactly 6), and
+                # the agreed precision for higher-scale decimal
+                # divisions (q90's decimal(38,9) ratio, q12's
+                # revenueratio)
+                exprs.append(F.round(F.col(c), 6).cast("double").alias(c))
+            else:
+                exprs.append(F.col(c).cast(t).alias(c))
+        df = df.select(*exprs)
+    if qid not in _CTE_MATERIALIZE:
+        _plan_cache[ckey] = df._jdf.queryExecution().analyzed()
     return df
 
 
@@ -555,6 +647,39 @@ _SPARK_REWRITE: dict[str, tuple[tuple[str, str], ...]] = {
         (
             "and sr_item_sk             = cs_item_sk",
             "and sr_item_sk - cs_item_sk = 0",
+        ),
+    ),
+    # q80 (r7, VERDICT r6 #2): the three-channel returns rollup joins
+    # each fact to its returns table on a TWO-column key with NO filter
+    # on the returns side — the same composite-key probe cliff as
+    # q50/q93. Packing each pair into one xxhash64 equi-key (+ exact
+    # difference residuals, so hash collisions cannot leak rows)
+    # measured 8.70 s → 3.00 s at sf10 fact volume (min-of-2,
+    # tools/probe_returns_family.py discipline). q40's cs⋈cr carries
+    # the same key shape but measured a LOSS (1.35 → 1.76 s: its item
+    # side is pre-filtered to ~nothing by i_current_price, so the probe
+    # is already cheap) — packing stays q80-only.
+    "80": (
+        (
+            "(ss_item_sk = sr_item_sk and ss_ticket_number = sr_ticket_number)",
+            "(xxhash64(ss_item_sk, ss_ticket_number)"
+            " = xxhash64(sr_item_sk, sr_ticket_number)\n"
+            "   and ss_item_sk - sr_item_sk = 0"
+            " and ss_ticket_number - sr_ticket_number = 0)",
+        ),
+        (
+            "(cs_item_sk = cr_item_sk and cs_order_number = cr_order_number)",
+            "(xxhash64(cs_item_sk, cs_order_number)"
+            " = xxhash64(cr_item_sk, cr_order_number)\n"
+            "   and cs_item_sk - cr_item_sk = 0"
+            " and cs_order_number - cr_order_number = 0)",
+        ),
+        (
+            "(ws_item_sk = wr_item_sk and ws_order_number = wr_order_number)",
+            "(xxhash64(ws_item_sk, ws_order_number)"
+            " = xxhash64(wr_item_sk, wr_order_number)\n"
+            "   and ws_item_sk - wr_item_sk = 0"
+            " and ws_order_number - wr_order_number = 0)",
         ),
     ),
     # q85: ws ⋈ wr on (item, order).

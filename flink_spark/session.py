@@ -28,6 +28,14 @@ def get_spark(
     overhead, while at 100 TB the AQE coalesce takes over and this
     setting only caps the initial plan.
     """
+    # Activate the vendored protobuf fallback BEFORE the JVM starts, so
+    # Python workers inherit PYTHONPATH and transformWithStateInPandas'
+    # state protocol works out of the box (no-op when a real
+    # google.protobuf is installed; see flink_spark/_vendor/README.md).
+    from flink_spark._vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

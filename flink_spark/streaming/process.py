@@ -31,8 +31,14 @@ def timers_available() -> bool:
     """True when transformWithState's Python state protocol can run:
     it speaks protobuf to the JVM state server
     (pyspark/sql/streaming/proto/StateMessage_pb2), so the
-    ``google.protobuf`` package must be importable. Same construct-time
-    gating policy as the Avro/Kafka connectors."""
+    ``google.protobuf`` package must be importable — either a real
+    installation or the pure-Python runtime vendored under
+    flink_spark/_vendor (r7; activation is a no-op when real protobuf
+    exists). Same construct-time gating policy as Avro/Kafka."""
+    from flink_spark._vendor import ensure_protobuf
+
+    if not ensure_protobuf():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -83,6 +89,7 @@ def inactivity_session_end(
 
     ensure_rocksdb_state_store(df.sparkSession)
     key_type = df.schema[key].dataType.simpleString()
+    key_col = key  # the callbacks' `key` param is the grouping tuple
 
     class Inactivity(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -91,7 +98,7 @@ def inactivity_session_end(
                 "sess", "last_ms long, n long, total double"
             )
 
-        def handleInputRows(self, k, rows, timerValues) -> Iterator[pd.DataFrame]:
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             last_ms, n, total = (
                 self._sess.get() if self._sess.exists() else (None, 0, 0.0)
             )
@@ -111,13 +118,13 @@ def inactivity_session_end(
             self._handle.registerTimer(last_ms + gap_ms)
             return iter(())
 
-        def handleExpiredTimer(self, k, timerValues, expiredTimerInfo):
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if self._sess.exists():
                 last_ms, n, total = self._sess.get()
                 self._sess.clear()
                 yield pd.DataFrame(
                     {
-                        key: [k[0]],
+                        key_col: [key[0]],
                         "session_end_ms": [
                             expiredTimerInfo.getExpiryTimeInMs()
                         ],
@@ -141,4 +148,58 @@ def inactivity_session_end(
             outputMode="append",
             timeMode="eventTime",
         )
+    )
+
+
+def running_total_with_initial_state(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    initial_state: DataFrame,
+) -> DataFrame:
+    """Keyed running total whose state is SEEDED from a batch table —
+    Spark 4's first-class ``transformWithStateInPandas(initialState=)``
+    surface (StatefulProcessor.handleInitialState), the direct analog
+    of Flink's SavepointWriter bootstrap-then-run flow
+    (flink-libraries/flink-state-processor-api/.../SavepointWriter.java):
+    the batch rows become each key's initial state before the first
+    micro-batch, no seed-replay files needed (state_reader.
+    bootstrap_keyed_state remains the protobuf-free fallback).
+
+    ``initial_state`` must have columns (key, total); output rows are
+    (key, total) after each input batch per key.
+    """
+    _require_timers()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ensure_rocksdb_state_store(df.sparkSession)
+    key_type = df.schema[key].dataType.simpleString()
+    key_col = key  # the callbacks' `key` param is the grouping tuple
+
+    class SeededTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("total", "total double")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._tot.update((float(initialState["total"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            total = self._tot.get()[0] if self._tot.exists() else 0.0
+            for pdf in rows:
+                total += float(pdf[value_col].sum())
+            self._tot.update((total,))
+            yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        SeededTotal(),
+        outputStructType=f"{key} {key_type}, total double",
+        outputMode="update",
+        timeMode="none",
+        initialState=initial_state.groupBy(key),
     )

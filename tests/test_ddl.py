@@ -407,3 +407,119 @@ def test_metadata_columns_filesystem(spark):
         "WITH ('connector' = 'filesystem', 'path' = '/x')"
     )
     assert spec2.metadata == [("file_size", "bigint", "file_size")]
+
+
+# ---------------------------------------------------------------- r7: CTAS
+
+
+def test_create_table_as_roundtrip(spark, tmp_path):
+    """SqlCreateTableAs (Parser.tdd:53-57): one statement derives the
+    schema from the query, writes the rows, and registers the table."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "id int, k string, v double",
+    ).write.parquet(src)
+    execute_ddl(spark, f"""
+        CREATE TABLE ctas_src (id INT, k STRING, v DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{src}',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, f"""
+        CREATE TABLE ctas_agg
+        WITH ('connector' = 'filesystem',
+              'path' = '{tmp_path}/agg', 'format' = 'parquet')
+        AS SELECT k, sum(v) AS total FROM ctas_src GROUP BY k
+    """)
+    got = {(r.k, r.total) for r in spark.sql("SELECT * FROM ctas_agg").collect()}
+    assert got == {("a", 40.0), ("b", 20.0)}
+    # registered like any other DDL table: INSERT works against it
+    spec = _REGISTERED["ctas_agg"]
+    assert [c for c, _ in spec.physical] == ["k", "total"]
+    execute_ddl(spark, "INSERT INTO ctas_agg VALUES ('c', 5.0)")
+    assert spark.sql("SELECT count(*) AS n FROM ctas_agg").collect()[0].n == 3
+    # re-running the CTAS overwrites (CREATE semantics, not append)
+    execute_ddl(spark, f"""
+        CREATE TABLE ctas_agg
+        WITH ('connector' = 'filesystem',
+              'path' = '{tmp_path}/agg', 'format' = 'parquet')
+        AS SELECT k, sum(v) AS total FROM ctas_src GROUP BY k
+    """)
+    assert spark.sql("SELECT count(*) AS n FROM ctas_agg").collect()[0].n == 2
+
+
+def test_create_table_as_requires_connector(spark):
+    from flink_spark.ddl import execute_ddl
+
+    with pytest.raises(ValueError, match="filesystem connector"):
+        execute_ddl(
+            spark,
+            "CREATE TABLE nope WITH ('connector' = 'datagen') AS SELECT 1",
+        )
+
+
+# --------------------------------------------------------- r7: ALTER TABLE
+
+
+def test_alter_table_set_and_reset_options(spark, tmp_path):
+    """SqlAlterTable SET/RESET (Parser.tdd:58-96): option changes take
+    effect on the next read — witnessed via a csv separator swap."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "part.csv").write_text("1|x\n2|y\n")
+    execute_ddl(spark, f"""
+        CREATE TABLE alt_csv (id INT, s STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{d}',
+              'format' = 'csv', 'csv.sep' = ',')
+    """)
+    # comma sep: each line parses as one field + null
+    assert spark.sql(
+        "SELECT count(*) AS n FROM alt_csv WHERE s IS NULL"
+    ).collect()[0].n == 2
+    execute_ddl(spark, "ALTER TABLE alt_csv SET ('csv.sep' = '|')")
+    got = {(r.id, r.s) for r in spark.sql("SELECT * FROM alt_csv").collect()}
+    assert got == {(1, "x"), (2, "y")}
+    assert _REGISTERED["alt_csv"].options["csv.sep"] == "|"
+    execute_ddl(spark, "ALTER TABLE alt_csv RESET ('csv.sep')")
+    assert "csv.sep" not in _REGISTERED["alt_csv"].options
+    with pytest.raises(ValueError, match="connector"):
+        execute_ddl(spark, "ALTER TABLE alt_csv RESET ('connector')")
+
+
+def test_alter_table_add_column_and_rename(spark, tmp_path):
+    """ADD extends the read schema (old files surface NULL for the new
+    physical column; computed columns evaluate); RENAME re-points the
+    registration."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, 2.0)], "a int, b double").write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE alt_t (a INT, b DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{p}',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, "ALTER TABLE alt_t ADD (c STRING, twice AS b * 2)")
+    row = spark.sql("SELECT a, b, c, twice FROM alt_t").collect()[0]
+    assert (row.a, row.b, row.c, row.twice) == (1, 2.0, None, 4.0)
+    with pytest.raises(ValueError, match="exist"):
+        execute_ddl(spark, "ALTER TABLE alt_t ADD (a INT)")
+    execute_ddl(spark, "ALTER TABLE alt_t RENAME TO alt_t2")
+    assert "alt_t" not in _REGISTERED and "alt_t2" in _REGISTERED
+    assert spark.sql("SELECT count(*) AS n FROM alt_t2").collect()[0].n == 1
+    with pytest.raises(Exception):
+        spark.sql("SELECT * FROM alt_t").collect()  # old view dropped
+
+
+def test_alter_table_unknown_action_and_table(spark):
+    from flink_spark.ddl import execute_ddl
+
+    with pytest.raises(ValueError, match="not registered"):
+        execute_ddl(spark, "ALTER TABLE never_made SET ('x' = 'y')")
+    # unsupported action on a registered table surfaces legibly
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        execute_ddl(spark, "ALTER TABLE alt_t2 DROP COLUMN a")

@@ -168,6 +168,9 @@ def test_topk_corpus_side_not_shuffled(spark):
 @pytest.mark.parametrize("name,n_packed", [
     ("tpcds_real_q50", 1),  # ss⋈sr on (ticket, item, customer)
     ("tpcds_real_q93", 1),  # ss left⋈ sr on (item, ticket)
+    # r7: the three-channel returns rollup — ss⋈sr, cs⋈cr, ws⋈wr each
+    # packed (8.70 s → 3.00 s at sf10, VERDICT r6 #2/#7)
+    ("tpcds_real_q80", 3),
 ])
 def test_returns_join_packs_to_single_long_key(spark, name, n_packed):
     """q50/q93 (the r5 scale regressions, 20x/14.6x at sf10 fact

