@@ -45,11 +45,14 @@ r7 additions (VERDICT r6 #4):
 - ``CREATE TABLE t WITH (options) AS <query>`` — reference
   SqlCreateTableAs (Parser.tdd:53-57): derive the schema from the
   query, create the table, and run the insert as ONE statement.
-- ``ALTER TABLE t SET (...) | RESET (...) | ADD col | RENAME TO t2``
-  — reference SqlAlterTable* (Parser.tdd:58-96). SET/RESET mutate the
-  reader options (RESET may not remove 'connector', as in Flink);
-  ADD extends the schema (existing files surface the new physical
-  column as NULL); RENAME re-points the registration.
+- ``ALTER TABLE t SET (...) | RESET (...) | ADD col | MODIFY col |
+  DROP col(s) | RENAME TO t2`` — reference SqlAlterTable*
+  (Parser.tdd:58-96). SET/RESET mutate the reader options (RESET may
+  not remove 'connector', as in Flink); ADD extends the schema
+  (existing files surface the new physical column as NULL); MODIFY
+  re-types a physical column / re-defines a computed one; DROP removes
+  columns (refusing while a surviving computed column references a
+  dropped one); RENAME re-points the registration.
 """
 
 from __future__ import annotations
@@ -609,6 +612,72 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
         )
         register_table(spark, spec)
         return spark.createDataFrame([("OK",)], "result string")
+    m = re.match(r"^MODIFY\s+(.+)$", action, re.I | re.S)
+    if m:
+        frag = m.group(1).strip()
+        if frag.startswith("(") and frag.endswith(")"):
+            frag = frag[1:-1]
+        physical, computed, metadata, wm, pk = _parse_columns(frag)
+        if wm or pk or metadata:
+            raise ValueError(
+                "ALTER TABLE MODIFY supports physical/computed columns "
+                "only in this front-end"
+            )
+        new_physical = list(spec.physical)
+        new_computed = list(spec.computed)
+        phys_idx = {c: i for i, (c, _) in enumerate(new_physical)}
+        comp_idx = {c: i for i, (c, _) in enumerate(new_computed)}
+        for c, t in physical:
+            if c not in phys_idx:
+                raise ValueError(
+                    f"ALTER TABLE MODIFY: {c!r} is not a physical column"
+                )
+            new_physical[phys_idx[c]] = (c, t)
+        for c, expr in computed:
+            if c not in comp_idx:
+                raise ValueError(
+                    f"ALTER TABLE MODIFY: {c!r} is not a computed column"
+                )
+            new_computed[comp_idx[c]] = (c, expr)
+        spec = TableSpec(
+            spec.name, new_physical, new_computed, spec.watermark,
+            list(spec.primary_key), dict(spec.options), list(spec.metadata),
+        )
+        register_table(spark, spec)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = re.match(r"^DROP\s+(?:COLUMN\s+)?\(?\s*([\w\s,]+?)\s*\)?$", action, re.I)
+    if m:
+        cols = [c.strip() for c in m.group(1).split(",")]
+        names = {c for c, _ in spec.physical} | {
+            c for c, _ in spec.computed
+        } | {c for c, _, _ in spec.metadata}
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"ALTER TABLE DROP: unknown column(s) {missing}")
+        # a computed column may reference a dropped physical one — the
+        # re-register would fail opaquely; check references up front
+        drop = set(cols)
+        for cc, expr in spec.computed:
+            if cc not in drop and any(
+                re.search(rf"\b{re.escape(c)}\b", expr) for c in drop
+            ):
+                raise ValueError(
+                    f"ALTER TABLE DROP: computed column {cc!r} references "
+                    "a dropped column; drop it first"
+                )
+        if all(c in drop for c, _ in spec.physical):
+            raise ValueError("ALTER TABLE DROP: cannot drop every physical column")
+        spec = TableSpec(
+            spec.name,
+            [p for p in spec.physical if p[0] not in drop],
+            [p for p in spec.computed if p[0] not in drop],
+            spec.watermark,
+            [k for k in spec.primary_key if k not in drop],
+            dict(spec.options),
+            [p for p in spec.metadata if p[0] not in drop],
+        )
+        register_table(spark, spec)
+        return spark.createDataFrame([("OK",)], "result string")
     m = re.match(r"^RENAME\s+TO\s+(\w+)$", action, re.I)
     if m:
         new_name = m.group(1)
@@ -625,7 +694,8 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
         return spark.createDataFrame([("OK",)], "result string")
     raise ValueError(
         f"unsupported ALTER TABLE action for this front-end: {action[:60]!r} "
-        "(supported: SET (...), RESET (...), ADD col/cols, RENAME TO name)"
+        "(supported: SET (...), RESET (...), ADD/MODIFY/DROP col(s), "
+        "RENAME TO name)"
     )
 
 

@@ -522,4 +522,34 @@ def test_alter_table_unknown_action_and_table(spark):
         execute_ddl(spark, "ALTER TABLE never_made SET ('x' = 'y')")
     # unsupported action on a registered table surfaces legibly
     with pytest.raises(ValueError, match="unsupported ALTER"):
-        execute_ddl(spark, "ALTER TABLE alt_t2 DROP COLUMN a")
+        execute_ddl(spark, "ALTER TABLE alt_t2 PARTITION BY (a)")
+
+
+def test_alter_table_modify_and_drop(spark, tmp_path):
+    """MODIFY re-types a physical column / re-defines a computed one;
+    DROP removes columns, refusing when a surviving computed column
+    still references a dropped one (reference SqlAlterTable
+    ADD/MODIFY/DROP, Parser.tdd:58-96)."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, 2.0)], "a int, b double").write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE mod_t (a INT, b DOUBLE, twice AS b * 2)
+        WITH ('connector' = 'filesystem', 'path' = '{p}',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, "ALTER TABLE mod_t MODIFY (a BIGINT, twice AS b * 4)")
+    row = spark.sql("SELECT a, twice FROM mod_t").collect()[0]
+    assert (row.a, row.twice) == (1, 8.0)
+    assert dict(_REGISTERED["mod_t"].physical)["a"] == "bigint"
+    with pytest.raises(ValueError, match="not a physical column"):
+        execute_ddl(spark, "ALTER TABLE mod_t MODIFY (nope INT)")
+    # DROP refuses while `twice` still references b
+    with pytest.raises(ValueError, match="references"):
+        execute_ddl(spark, "ALTER TABLE mod_t DROP b")
+    execute_ddl(spark, "ALTER TABLE mod_t DROP (twice, b)")
+    assert [c for c, _ in _REGISTERED["mod_t"].physical] == ["a"]
+    assert spark.sql("SELECT * FROM mod_t").columns == ["a"]
+    with pytest.raises(ValueError, match="every physical"):
+        execute_ddl(spark, "ALTER TABLE mod_t DROP a")

@@ -276,3 +276,21 @@ def test_nexmark_n6_single_exchange_with_group_limit(spark):
     # tree-section edges only (details re-list nodes without args)
     assert len(re.findall(r"[+:]- Exchange \(", plan)) == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["tpcds_real_q38", "tpcds_real_q87"])
+def test_intersect_family_channels_broadcast_dims(spark, name):
+    """q38/q87 (r7 probe, BASELINE.md round-7): each channel must probe
+    BROADCAST date_dim and customer (6 broadcast joins across the three
+    channels) — the channels' cost is then the per-channel fact scan +
+    partial distinct aggregate, and the INTERSECT/EXCEPT set-op joins
+    are the only shuffled joins. A channel falling back to a shuffled
+    dimension join would re-shuffle the 9.4M-row fact side per channel
+    (the class of plan the r7 probe showed immaterial set-ops sit on
+    top of)."""
+    plan = plan_of(spark, name)
+    # explain-formatted double-counts each operator (tree + details)
+    assert plan.count("BroadcastHashJoin") >= 12, plan  # 2 dims x 3 channels
+    # the set-op joins (2) may shuffle; no OTHER shuffled join allowed
+    shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffled <= 4, plan  # 2 set-op joins, double-counted
