@@ -18,7 +18,12 @@ The registered name is a temp view, so `sql_query`/`spark.sql` see it.
 Scope (explicit errors beyond it): connector 'filesystem' (parquet/
 csv/json, batch + streaming via `'scan.streaming' = 'true'`) and
 'datagen' (rate source); PRIMARY KEY ... NOT ENFORCED is recorded and
-ignored (Flink doesn't enforce it either); PARTITIONED BY raises.
+ignored (Flink doesn't enforce it either); PARTITIONED BY (r7) maps to
+hive-style partition directories — writes go through
+``partitionBy(...)`` with dynamic partition overwrite, reads
+partition-prune (PartitionFilters in the scan), and
+``INSERT INTO t PARTITION (p='v') ...`` static specs fill the
+partition columns from the spec.
 
 r6 additions (VERDICT r5 missing #4):
 
@@ -136,6 +141,8 @@ class TableSpec:
     options: dict[str, str] = field(default_factory=dict)
     metadata: list[tuple[str, str, str]] = field(default_factory=list)
     # (col, spark_type, metadata_key) — key defaults to the column name
+    partitioned: list[str] = field(default_factory=list)
+    # PARTITIONED BY columns (must be physical; hive-style dirs on disk)
 
     @property
     def spark_schema(self) -> str:
@@ -164,11 +171,12 @@ _METADATA_COL_RE = re.compile(
 )
 
 
-def _split_top_level_like(stmt: str) -> tuple[str, str] | None:
-    """(head, tail) around a depth-0, non-quoted LIKE keyword; None if
-    the statement has no top-level LIKE."""
+def _split_top_level_kw(stmt: str, kw: str) -> tuple[str, str] | None:
+    """(head, tail) around a depth-0, non-quoted keyword; None if the
+    statement has no top-level occurrence."""
     depth, in_str = 0, False
-    up = stmt.upper()
+    up, kw = stmt.upper(), kw.upper()
+    n = len(kw)
     for i, ch in enumerate(stmt):
         if ch == "'":
             in_str = not in_str
@@ -179,15 +187,39 @@ def _split_top_level_like(stmt: str) -> tuple[str, str] | None:
                 depth -= 1
             elif (
                 depth == 0
-                and up[i : i + 4] == "LIKE"
+                and up[i : i + n] == kw
                 and (i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_"))
                 and (
-                    i + 4 >= len(up)
-                    or not (up[i + 4].isalnum() or up[i + 4] == "_")
+                    i + n >= len(up)
+                    or not (up[i + n].isalnum() or up[i + n] == "_")
                 )
             ):
-                return stmt[:i], stmt[i + 4 :]
+                return stmt[:i], stmt[i + n :]
     return None
+
+
+def _split_top_level_like(stmt: str) -> tuple[str, str] | None:
+    """(head, tail) around a depth-0, non-quoted LIKE keyword; None if
+    the statement has no top-level LIKE."""
+    return _split_top_level_kw(stmt, "LIKE")
+
+
+def _split_partitioned_by(stmt: str) -> tuple[str, list[str]]:
+    """Strip a top-level ``PARTITIONED BY (cols)`` clause (reference
+    SqlCreateTable partition list, Parser.tdd:53-57; semantics
+    FileSystemTableFactory — hive-style partition directories). Returns
+    (statement with the clause removed, partition column names)."""
+    split = _split_top_level_kw(stmt, "PARTITIONED")
+    if split is None:
+        return stmt, []
+    head, tail = split
+    m = re.match(r"^\s*BY\s*\(([^)]*)\)\s*(.*)$", tail, re.I | re.S)
+    if not m:
+        raise ValueError(f"cannot parse PARTITIONED BY clause: {tail[:60]!r}")
+    cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+    if not cols:
+        raise ValueError("PARTITIONED BY needs at least one column")
+    return head + " " + m.group(2), cols
 
 
 _WM_RE = re.compile(
@@ -203,17 +235,26 @@ def parse_create_table(sql: str) -> TableSpec:
         split = _split_top_level_like(stripped)
         if split is not None:
             return _parse_create_like(*split)
+    stripped, part_cols = _split_partitioned_by(stripped)
     m = _CREATE_RE.match(stripped)
     if not m:
         raise ValueError(
             "not a CREATE TABLE statement this front-end understands "
-            "(expected: CREATE [TEMPORARY] TABLE name (cols...) WITH (...)"
-            " [LIKE base])"
+            "(expected: CREATE [TEMPORARY] TABLE name (cols...) "
+            "[PARTITIONED BY (...)] WITH (...) [LIKE base])"
         )
     name, cols_txt, with_txt = m.group(1), m.group(2), m.group(3)
     physical, computed, metadata, watermark, pk = _parse_columns(cols_txt)
     options = _parse_options(with_txt)
-    return TableSpec(name, physical, computed, watermark, pk, options, metadata)
+    phys_names = {c for c, _ in physical}
+    bad = [c for c in part_cols if c not in phys_names]
+    if bad:
+        # Flink: partition keys must be physical columns of the table
+        raise ValueError(f"PARTITIONED BY column(s) not physical: {bad}")
+    return TableSpec(
+        name, physical, computed, watermark, pk, options, metadata,
+        part_cols,
+    )
 
 
 def _parse_columns(cols_txt: str):
@@ -279,7 +320,10 @@ def _parse_options(with_txt: str) -> dict[str, str]:
 # LIKE merge strategies (reference MergeTableLikeUtil.MergingStrategy):
 # feature -> INCLUDING | EXCLUDING | OVERWRITING. Flink's default when
 # no like options are given is INCLUDING ALL OVERWRITING OPTIONS.
-_LIKE_FEATURES = ("CONSTRAINTS", "GENERATED", "METADATA", "OPTIONS", "WATERMARKS")
+_LIKE_FEATURES = (
+    "CONSTRAINTS", "GENERATED", "METADATA", "OPTIONS", "WATERMARKS",
+    "PARTITIONS",
+)
 _LIKE_OVERWRITABLE = ("GENERATED", "METADATA", "OPTIONS", "WATERMARKS")
 
 
@@ -300,8 +344,6 @@ def _parse_like_options(txt: str | None) -> dict[str, str]:
             for f in _LIKE_FEATURES:
                 strategies[f] = verb
             continue
-        if feat == "PARTITIONS":
-            continue  # PARTITIONED BY itself is out of scope; no-op
         if feat not in _LIKE_FEATURES:
             raise ValueError(f"unknown LIKE feature {feat!r}")
         if verb == "OVERWRITING" and feat not in _LIKE_OVERWRITABLE:
@@ -392,9 +434,13 @@ def _parse_create_like(head: str, tail: str) -> TableSpec:
                     "(use OVERWRITING OPTIONS)")
             merged_opts[k] = v
 
+    merged_parts = (
+        [] if strat["PARTITIONS"] == "EXCLUDING" else list(base.partitioned)
+    )
+
     return TableSpec(
         name, merged_physical, merged_computed, merged_wm, merged_pk,
-        merged_opts, merged_metadata,
+        merged_opts, merged_metadata, merged_parts,
     )
 
 
@@ -566,7 +612,7 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
         spec = TableSpec(
             spec.name, list(spec.physical), list(spec.computed),
             spec.watermark, list(spec.primary_key), new_opts,
-            list(spec.metadata),
+            list(spec.metadata), list(spec.partitioned),
         )
         register_table(spark, spec)
         return spark.createDataFrame([("OK",)], "result string")
@@ -580,7 +626,7 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
         spec = TableSpec(
             spec.name, list(spec.physical), list(spec.computed),
             spec.watermark, list(spec.primary_key), new_opts,
-            list(spec.metadata),
+            list(spec.metadata), list(spec.partitioned),
         )
         register_table(spark, spec)
         return spark.createDataFrame([("OK",)], "result string")
@@ -608,7 +654,7 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
             spec.name, list(spec.physical) + physical,
             list(spec.computed) + computed, spec.watermark,
             list(spec.primary_key), dict(spec.options),
-            list(spec.metadata) + metadata,
+            list(spec.metadata) + metadata, list(spec.partitioned),
         )
         register_table(spark, spec)
         return spark.createDataFrame([("OK",)], "result string")
@@ -641,7 +687,8 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
             new_computed[comp_idx[c]] = (c, expr)
         spec = TableSpec(
             spec.name, new_physical, new_computed, spec.watermark,
-            list(spec.primary_key), dict(spec.options), list(spec.metadata),
+            list(spec.primary_key), dict(spec.options),
+            list(spec.metadata), list(spec.partitioned),
         )
         register_table(spark, spec)
         return spark.createDataFrame([("OK",)], "result string")
@@ -667,6 +714,11 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
                 )
         if all(c in drop for c, _ in spec.physical):
             raise ValueError("ALTER TABLE DROP: cannot drop every physical column")
+        part_hit = drop & set(spec.partitioned)
+        if part_hit:
+            raise ValueError(
+                f"ALTER TABLE DROP: {sorted(part_hit)} are partition keys"
+            )
         spec = TableSpec(
             spec.name,
             [p for p in spec.physical if p[0] not in drop],
@@ -675,6 +727,7 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
             [k for k in spec.primary_key if k not in drop],
             dict(spec.options),
             [p for p in spec.metadata if p[0] not in drop],
+            list(spec.partitioned),
         )
         register_table(spark, spec)
         return spark.createDataFrame([("OK",)], "result string")
@@ -686,7 +739,7 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
         spec = TableSpec(
             new_name, list(spec.physical), list(spec.computed),
             spec.watermark, list(spec.primary_key), dict(spec.options),
-            list(spec.metadata),
+            list(spec.metadata), list(spec.partitioned),
         )
         spark.catalog.dropTempView(name)
         _REGISTERED.pop(name, None)
@@ -731,6 +784,28 @@ def _insert_into(
             "writes in this front-end"
         )
     q = query.strip()
+    # Static partition spec: INSERT INTO t PARTITION (p='v', ...) <query>
+    # (reference SqlInsert partition clause; FileSystemTableSink static
+    # partitions). The spec'd columns become literals appended to the
+    # query output; the query must then produce the remaining columns.
+    static_parts: dict[str, str] = {}
+    pm = re.match(r"^PARTITION\s*\(([^)]*)\)\s*(.+)$", q, re.I | re.S)
+    if pm:
+        for pair in pm.group(1).split(","):
+            kv = re.match(r"^\s*(\w+)\s*=\s*'([^']*)'\s*$", pair)
+            if not kv:
+                raise ValueError(
+                    f"cannot parse PARTITION spec entry {pair.strip()!r} "
+                    "(expected col='value')"
+                )
+            static_parts[kv.group(1)] = kv.group(2)
+        bad = [c for c in static_parts if c not in spec.partitioned]
+        if bad:
+            raise ValueError(
+                f"PARTITION spec column(s) {bad} are not partition keys "
+                f"of {name} (declared: {spec.partitioned})"
+            )
+        q = pm.group(2).strip()
     # Flink supports an explicit column list: INSERT INTO t (c1, c2)
     # SELECT ... — unmentioned columns are padded with NULLs
     # (SqlValidatorImpl target-column expansion).
@@ -752,6 +827,10 @@ def _insert_into(
         q = f"SELECT * FROM ({q})"
     out = spark.sql(q)
     cols = [c for c, _ in spec.physical]
+    # columns the query must supply (static partition values are filled
+    # from the PARTITION spec, not the query — Flink's static-partition
+    # insert contract)
+    fill = [c for c in cols if c not in static_parts]
     if explicit_cols is not None:
         if len(out.columns) != len(explicit_cols):
             raise ValueError(
@@ -765,18 +844,20 @@ def _insert_into(
         out = out.select(
             *[
                 (F.col(c) if c in explicit_cols else F.lit(None)).alias(c)
-                for c in cols
+                for c in fill
             ]
         )
-    elif sorted(out.columns) == sorted(cols):
-        out = out.select(*cols)  # align by name
-    elif len(out.columns) == len(cols):
-        out = out.toDF(*cols)  # positional, Flink's implicit mapping
+    elif sorted(out.columns) == sorted(fill):
+        out = out.select(*fill)  # align by name
+    elif len(out.columns) == len(fill):
+        out = out.toDF(*fill)  # positional, Flink's implicit mapping
     else:
         raise ValueError(
             f"INSERT INTO {name}: query produces {len(out.columns)} columns "
-            f"({out.columns}), table declares {len(cols)} ({cols})"
+            f"({out.columns}), table expects {len(fill)} ({fill})"
         )
+    for c, v in static_parts.items():
+        out = out.withColumn(c, F.lit(v))
     out = out.select(
         *[F.col(c).cast(t) for c, t in spec.physical]
     )
@@ -797,13 +878,89 @@ def _insert_into(
     out = out.cache()
     try:
         n = out.count()
-        out.write.mode(mode).format(fmt).options(**fmt_opts).save(
-            spec.options["path"]
-        )
+        writer = out.write.mode(mode).format(fmt).options(**fmt_opts)
+        if spec.partitioned:
+            # hive-style partition directories; INSERT OVERWRITE replaces
+            # only the partitions the query writes (dynamic overwrite —
+            # Flink's filesystem sink overwrite-within-partition
+            # semantics), never the whole table
+            writer = writer.partitionBy(*spec.partitioned).option(
+                "partitionOverwriteMode", "dynamic"
+            )
+        writer.save(spec.options["path"])
     finally:
         out.unpersist()
     register_table(spark, spec)  # refresh the view over the new files
     return spark.createDataFrame([(n,)], "rows_inserted bigint")
+
+
+def _raise_type(spark_t: str) -> str:
+    """Spark SQL DDL type → Flink spelling (inverse of _lower_type for
+    the supported surface; structs go back to ROW<...>)."""
+    t = spark_t.strip()
+    m = re.match(r"^struct<(.+)>$", t, re.I | re.S)
+    if m:
+        inner = ", ".join(
+            f"{p.split(':', 1)[0].strip()} {_raise_type(p.split(':', 1)[1])}"
+            for p in _split_top_commas(m.group(1))
+        )
+        return f"ROW<{inner}>"
+    m = re.match(r"^array<(.+)>$", t, re.I | re.S)
+    if m:
+        return f"ARRAY<{_raise_type(m.group(1))}>"
+    m = re.match(r"^map<(.+),(.+)>$", t, re.I | re.S)
+    if m:
+        return f"MAP<{_raise_type(m.group(1))}, {_raise_type(m.group(2))}>"
+    return t.upper()
+
+
+def show_create_table(spark: SparkSession, name: str) -> str:
+    """Reconstruct the Flink-dialect DDL for a registered table —
+    reference SqlShowCreateTable (Parser.tdd SHOW CREATE TABLE;
+    ShowCreateUtil builds the canonical text from the resolved catalog
+    table). Round-trippable: feeding the output back through
+    execute_ddl registers an equivalent table."""
+    spec = _REGISTERED.get(name)
+    if spec is None:
+        raise ValueError(
+            f"SHOW CREATE TABLE {name}: table not registered through "
+            "this DDL front-end"
+        )
+    # Spark DDL types are lower-case; Flink spells them upper-case, and
+    # the parser re-lowers them — emit upper for dialect fidelity
+    lines = [f"{c} {_raise_type(t)}" for c, t in spec.physical]
+    lines += [
+        f"{c} {_raise_type(t)} METADATA" + ("" if k == c else f" FROM '{k}'")
+        for c, t, k in spec.metadata
+    ]
+    lines += [f"{c} AS {expr}" for c, expr in spec.computed]
+    if spec.primary_key:
+        lines.append(
+            f"PRIMARY KEY ({', '.join(spec.primary_key)}) NOT ENFORCED"
+        )
+    if spec.watermark:
+        col, delay = spec.watermark
+        n, unit = delay.split()
+        lines.append(
+            f"WATERMARK FOR {col} AS {col} - "
+            f"INTERVAL '{n}' {unit.rstrip('s').upper()}"
+        )
+    body = ",\n  ".join(lines)
+    part = (
+        f"\nPARTITIONED BY ({', '.join(spec.partitioned)})"
+        if spec.partitioned
+        else ""
+    )
+    opts = ",\n  ".join(f"'{k}' = '{v}'" for k, v in sorted(spec.options.items()))
+    return (
+        f"CREATE TABLE {spec.name} (\n  {body}\n){part}\nWITH (\n  {opts}\n)"
+    )
+
+
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", re.I
+)
+_DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(\w+)\s*;?\s*$", re.I)
 
 
 def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
@@ -819,6 +976,39 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
     am = _ALTER_RE.match(stripped)
     if am:
         return _alter_table(spark, am.group(1), am.group(2))
+    sm = _SHOW_CREATE_RE.match(stripped)
+    if sm:
+        return spark.createDataFrame(
+            [(show_create_table(spark, sm.group(1)),)], "result string"
+        )
+    dm2 = _DESCRIBE_RE.match(stripped)
+    if dm2 and dm2.group(1) in _REGISTERED:
+        # DESCRIBE on a DDL-registered table: Flink-style column report
+        # (name, type, null, key, extras, watermark) — reference
+        # SqlRichDescribeTable / DESCRIBE output shape
+        spec = _REGISTERED[dm2.group(1)]
+        wm = (
+            f"`{spec.watermark[0]}` - INTERVAL '{spec.watermark[1]}'"
+            if spec.watermark
+            else None
+        )
+        rows = []
+        for c, t in spec.physical:
+            key = "PRI(NOT ENFORCED)" if c in spec.primary_key else None
+            extras = (
+                f"PARTITIONED" if c in spec.partitioned else None
+            )
+            rows.append((c, t.upper(), True, key, extras,
+                         wm if spec.watermark and c == spec.watermark[0] else None))
+        for c, t, k in spec.metadata:
+            rows.append((c, t.upper(), True, None, f"METADATA FROM '{k}'", None))
+        for c, expr in spec.computed:
+            rows.append((c, "", True, None, f"AS {expr}", None))
+        return spark.createDataFrame(
+            rows,
+            "name string, type string, `null` boolean, key string, "
+            "extras string, watermark string",
+        )
     if is_create_table and (
         _CREATE_RE.match(stripped.rstrip(";"))
         or _split_top_level_like(stripped.rstrip(";")) is not None

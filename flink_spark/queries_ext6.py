@@ -743,3 +743,47 @@ def ddl_ctas_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT rk, n, names FROM ddl_nation_summary"
     )
+
+
+@query(
+    "ddl_partitioned_nation",
+    r"""
+    SELECT n_name, n_nationkey
+    FROM nation WHERE n_regionkey = 2
+    """,
+)
+def ddl_partitioned_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED BY through the Flink-DDL front-end (r7, reference
+    SqlCreateTable partition list + FileSystemTableFactory): create a
+    region-partitioned filesystem table, INSERT the nation fixture into
+    it (hive-style dirs via partitionBy), then read back ONE partition
+    — the filter prunes to that partition's directory (PartitionFilters
+    in the scan), the mechanism that keeps a date-partitioned 100 TB
+    table readable. Oracle: plain SQL over the source parquet."""
+    import tempfile
+
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    tmp = tempfile.mkdtemp(prefix="ddl_part_")
+    execute_ddl(spark, f"""
+        CREATE TABLE nation_part_src (
+            n_nationkey INT, n_name STRING, n_regionkey INT
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/nation.parquet', 'format' = 'parquet')
+    """)
+    _REGISTERED.pop("nation_by_region", None)
+    execute_ddl(spark, f"""
+        CREATE TABLE nation_by_region (
+            n_nationkey INT, n_name STRING, n_regionkey INT
+        ) PARTITIONED BY (n_regionkey)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp}/t',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, """
+        INSERT INTO nation_by_region
+        SELECT n_nationkey, n_name, n_regionkey FROM nation_part_src
+    """)
+    return spark.sql(
+        "SELECT n_name, n_nationkey FROM nation_by_region "
+        "WHERE n_regionkey = 2"
+    )

@@ -334,7 +334,12 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
     re-pointed at the fixture table for subsequent fixture queries.
     """
     ckey = (id(spark), qid, TPCDS_DIR, USE_TABLE_STATS)
-    cached = _plan_cache.get(ckey)
+    # _CTE_MATERIALIZE is checked on the LOOKUP too, not only the store:
+    # the opt-in set can change at runtime (tools/cte_ab.py, tests), and
+    # a plan cached while inline must not be served for a now-
+    # materialized query (or vice versa — the store below never caches
+    # materialized plans, but an earlier inline cache entry would leak).
+    cached = _plan_cache.get(ckey) if qid not in _CTE_MATERIALIZE else None
     if cached is not None:
         if USE_TABLE_STATS:
             # the bound plan needs no catalog, but CBO must be on when

@@ -553,3 +553,177 @@ def test_alter_table_modify_and_drop(spark, tmp_path):
     assert spark.sql("SELECT * FROM mod_t").columns == ["a"]
     with pytest.raises(ValueError, match="every physical"):
         execute_ddl(spark, "ALTER TABLE mod_t DROP a")
+
+
+# -------------------------------------------------- r7: PARTITIONED BY
+
+
+def test_partitioned_table_write_read_and_prune(spark, tmp_path):
+    """PARTITIONED BY (reference SqlCreateTable partition list +
+    FileSystemTableFactory): writes land as hive-style partition dirs,
+    reads see the partition column, and a filter on it PRUNES the scan
+    (PartitionFilters — the mechanism that makes a 100 TB date-
+    partitioned table readable)."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    path = str(tmp_path / "pt")
+    execute_ddl(spark, f"""
+        CREATE TABLE part_t (id INT, v DOUBLE, dt STRING)
+        PARTITIONED BY (dt)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    assert _REGISTERED["part_t"].partitioned == ["dt"]
+    execute_ddl(spark, """
+        INSERT INTO part_t VALUES
+        (1, 1.0, '2024-01-01'), (2, 2.0, '2024-01-01'), (3, 3.0, '2024-01-02')
+    """)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("dt=")
+    ) == ["dt=2024-01-01", "dt=2024-01-02"]
+    got = {(r.id, r.dt) for r in spark.sql("SELECT id, dt FROM part_t").collect()}
+    assert got == {(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")}
+    # partition pruning reaches the scan
+    df = spark.sql("SELECT id FROM part_t WHERE dt = '2024-01-02'")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan, plan
+    assert [r.id for r in df.collect()] == [3]
+
+
+def test_partitioned_static_insert_and_dynamic_overwrite(spark, tmp_path):
+    """INSERT INTO t PARTITION (p='v') fills the partition column from
+    the spec; INSERT OVERWRITE on a partitioned table replaces only the
+    partitions the query writes (dynamic overwrite), never the whole
+    table — Flink's filesystem-sink overwrite semantics."""
+    from flink_spark.ddl import execute_ddl
+
+    path = str(tmp_path / "pt2")
+    execute_ddl(spark, f"""
+        CREATE TABLE part_u (k STRING, amt BIGINT, region STRING)
+        PARTITIONED BY (region)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    r = execute_ddl(
+        spark,
+        "INSERT INTO part_u PARTITION (region='eu') VALUES ('a', 1), ('b', 2)",
+    )
+    assert r.collect()[0].rows_inserted == 2
+    execute_ddl(
+        spark,
+        "INSERT INTO part_u PARTITION (region='us') VALUES ('c', 3)",
+    )
+    got = {(r.k, r.region) for r in spark.sql("SELECT k, region FROM part_u").collect()}
+    assert got == {("a", "eu"), ("b", "eu"), ("c", "us")}
+    # dynamic overwrite: rewriting eu must keep us intact
+    execute_ddl(
+        spark,
+        "INSERT OVERWRITE part_u PARTITION (region='eu') VALUES ('z', 9)",
+    )
+    got = {(r.k, r.region) for r in spark.sql("SELECT k, region FROM part_u").collect()}
+    assert got == {("z", "eu"), ("c", "us")}
+    # spec'ing a non-partition column is an error
+    with pytest.raises(ValueError, match="not partition keys"):
+        execute_ddl(
+            spark, "INSERT INTO part_u PARTITION (k='x') VALUES (1)"
+        )
+
+
+def test_partitioned_by_validation_and_like_merge(spark, tmp_path):
+    """Partition keys must be physical columns; LIKE copies them by
+    default (INCLUDING ALL) and EXCLUDING PARTITIONS drops them;
+    ALTER DROP refuses a partition key."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl, parse_create_table
+
+    with pytest.raises(ValueError, match="not physical"):
+        parse_create_table("""
+            CREATE TABLE t (a INT) PARTITIONED BY (nope)
+            WITH ('connector' = 'filesystem', 'path' = '/x')
+        """)
+    path = str(tmp_path / "pl")
+    execute_ddl(spark, f"""
+        CREATE TABLE part_base (a INT, p STRING) PARTITIONED BY (p)
+        WITH ('connector' = 'filesystem', 'path' = '{path}/b',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, f"""
+        CREATE TABLE part_like (extra AS a * 2)
+        WITH ('path' = '{path}/l') LIKE part_base
+    """)
+    assert _REGISTERED["part_like"].partitioned == ["p"]
+    execute_ddl(spark, f"""
+        CREATE TABLE part_nolike (extra AS a * 2)
+        WITH ('path' = '{path}/n')
+        LIKE part_base (EXCLUDING PARTITIONS, OVERWRITING OPTIONS)
+    """)
+    assert _REGISTERED["part_nolike"].partitioned == []
+    with pytest.raises(ValueError, match="partition keys"):
+        execute_ddl(spark, "ALTER TABLE part_base DROP p")
+
+
+# ------------------------------------------ r7: SHOW CREATE TABLE / DESCRIBE
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """SqlShowCreateTable / ShowCreateUtil parity: the reconstructed DDL
+    must re-register an EQUIVALENT table when fed back through
+    execute_ddl (canonical-text round trip)."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl, show_create_table
+
+    path = str(tmp_path / "sct")
+    execute_ddl(spark, f"""
+        CREATE TABLE sct_t (
+            id BIGINT,
+            ts TIMESTAMP(3),
+            v DECIMAL(10, 2),
+            tags ARRAY<STRING>,
+            nested ROW<x INT, y STRING>,
+            dt STRING,
+            day_str AS date_format(ts, 'yyyy-MM-dd'),
+            PRIMARY KEY (id) NOT ENFORCED,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) PARTITIONED BY (dt)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    ddl = show_create_table(spark, "sct_t")
+    assert "PARTITIONED BY (dt)" in ddl and "WATERMARK FOR ts" in ddl
+    orig = _REGISTERED["sct_t"]
+    execute_ddl(spark, ddl.replace("TABLE sct_t", "TABLE sct_t2"))
+    clone = _REGISTERED["sct_t2"]
+    assert clone.physical == orig.physical
+    assert clone.computed == orig.computed
+    assert clone.watermark == orig.watermark
+    assert clone.primary_key == orig.primary_key
+    assert clone.partitioned == orig.partitioned
+    assert clone.options == orig.options
+    # SHOW CREATE TABLE routes through execute_ddl too
+    out = execute_ddl(spark, "SHOW CREATE TABLE sct_t")
+    assert "CREATE TABLE sct_t" in out.collect()[0].result
+
+
+def test_describe_registered_table(spark, tmp_path):
+    """DESCRIBE on a DDL-registered table: Flink-style column report
+    (SqlRichDescribeTable output shape)."""
+    from flink_spark.ddl import execute_ddl
+
+    path = str(tmp_path / "dsc")
+    execute_ddl(spark, f"""
+        CREATE TABLE dsc_t (
+            id BIGINT, dt STRING, double_id AS id * 2,
+            PRIMARY KEY (id) NOT ENFORCED
+        ) PARTITIONED BY (dt)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    rows = {r.name: r for r in execute_ddl(spark, "DESCRIBE dsc_t").collect()}
+    assert rows["id"].key == "PRI(NOT ENFORCED)"
+    assert rows["dt"].extras == "PARTITIONED"
+    assert rows["double_id"].extras == "AS id * 2"
