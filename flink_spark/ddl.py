@@ -50,14 +50,16 @@ r7 additions (VERDICT r6 #4):
 - ``CREATE TABLE t WITH (options) AS <query>`` — reference
   SqlCreateTableAs (Parser.tdd:53-57): derive the schema from the
   query, create the table, and run the insert as ONE statement.
-- ``ALTER TABLE t SET (...) | RESET (...) | ADD col | MODIFY col |
-  DROP col(s) | RENAME TO t2`` — reference SqlAlterTable*
-  (Parser.tdd:58-96). SET/RESET mutate the reader options (RESET may
-  not remove 'connector', as in Flink); ADD extends the schema
-  (existing files surface the new physical column as NULL); MODIFY
-  re-types a physical column / re-defines a computed one; DROP removes
-  columns (refusing while a surviving computed column references a
-  dropped one); RENAME re-points the registration.
+- ``ALTER TABLE t SET (...) | RESET (...) | ADD col/WATERMARK |
+  MODIFY col/WATERMARK | DROP col(s) | RENAME TO t2`` — reference
+  SqlAlterTable* (Parser.tdd:58-96). SET/RESET mutate the reader
+  options (RESET may not remove 'connector', as in Flink); ADD extends
+  the schema (existing files surface the new physical column as NULL)
+  or attaches a watermark to a table without one; MODIFY re-types a
+  physical column / re-defines a computed one / replaces the existing
+  watermark; DROP removes columns (refusing while a surviving computed
+  column references a dropped one, and refusing partition keys);
+  RENAME re-points the registration.
 """
 
 from __future__ import annotations
@@ -636,10 +638,17 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
         if frag.startswith("(") and frag.endswith(")"):
             frag = frag[1:-1]
         physical, computed, metadata, wm, pk = _parse_columns(frag)
-        if wm or pk:
+        if pk:
             raise ValueError(
-                "ALTER TABLE ADD supports columns only (no watermark or "
-                "primary key) in this front-end"
+                "ALTER TABLE ADD supports columns and WATERMARK only "
+                "(no primary key) in this front-end"
+            )
+        if wm and spec.watermark is not None:
+            # Flink: ADD WATERMARK on a table that has one is an error —
+            # MODIFY WATERMARK replaces it
+            raise ValueError(
+                f"ALTER TABLE ADD: {name} already has a watermark "
+                "(use ALTER TABLE ... MODIFY WATERMARK ...)"
             )
         dup = {c for c, _ in physical} | {c for c, _ in computed} | {
             c for c, _, _ in metadata
@@ -652,7 +661,7 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
             raise ValueError(f"ALTER TABLE ADD: column(s) exist: {sorted(clash)}")
         spec = TableSpec(
             spec.name, list(spec.physical) + physical,
-            list(spec.computed) + computed, spec.watermark,
+            list(spec.computed) + computed, wm or spec.watermark,
             list(spec.primary_key), dict(spec.options),
             list(spec.metadata) + metadata, list(spec.partitioned),
         )
@@ -664,10 +673,15 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
         if frag.startswith("(") and frag.endswith(")"):
             frag = frag[1:-1]
         physical, computed, metadata, wm, pk = _parse_columns(frag)
-        if wm or pk or metadata:
+        if pk or metadata:
             raise ValueError(
                 "ALTER TABLE MODIFY supports physical/computed columns "
-                "only in this front-end"
+                "and WATERMARK only in this front-end"
+            )
+        if wm and spec.watermark is None:
+            raise ValueError(
+                f"ALTER TABLE MODIFY: {name} has no watermark to modify "
+                "(use ALTER TABLE ... ADD WATERMARK ...)"
             )
         new_physical = list(spec.physical)
         new_computed = list(spec.computed)
@@ -686,7 +700,7 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
                 )
             new_computed[comp_idx[c]] = (c, expr)
         spec = TableSpec(
-            spec.name, new_physical, new_computed, spec.watermark,
+            spec.name, new_physical, new_computed, wm or spec.watermark,
             list(spec.primary_key), dict(spec.options),
             list(spec.metadata), list(spec.partitioned),
         )

@@ -727,3 +727,40 @@ def test_describe_registered_table(spark, tmp_path):
     assert rows["id"].key == "PRI(NOT ENFORCED)"
     assert rows["dt"].extras == "PARTITIONED"
     assert rows["double_id"].extras == "AS id * 2"
+
+
+def test_alter_table_add_and_modify_watermark(spark, tmp_path):
+    """SqlAlterTable ADD/MODIFY WATERMARK: ADD attaches a watermark to a
+    table without one (error if one exists); MODIFY replaces an existing
+    one (error if none). The streaming read picks up the new delay."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    p = str(tmp_path / "wm")
+    spark.createDataFrame(
+        [], "id long, ts timestamp"
+    ).write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE wm_t (id BIGINT, ts TIMESTAMP(3))
+        WITH ('connector' = 'filesystem', 'path' = '{p}',
+              'format' = 'parquet')
+    """)
+    with pytest.raises(ValueError, match="no watermark"):
+        execute_ddl(
+            spark,
+            "ALTER TABLE wm_t MODIFY (WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)",
+        )
+    execute_ddl(
+        spark,
+        "ALTER TABLE wm_t ADD (WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)",
+    )
+    assert _REGISTERED["wm_t"].watermark == ("ts", "5 seconds")
+    with pytest.raises(ValueError, match="already has a watermark"):
+        execute_ddl(
+            spark,
+            "ALTER TABLE wm_t ADD (WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)",
+        )
+    execute_ddl(
+        spark,
+        "ALTER TABLE wm_t MODIFY (WATERMARK FOR ts AS ts - INTERVAL '2' MINUTE)",
+    )
+    assert _REGISTERED["wm_t"].watermark == ("ts", "2 minutes")
