@@ -107,6 +107,26 @@ _R7_PRIORITY = [
     "tpcds_real_q75", "tpcds_real_q38", "tpcds_real_q40",
 ]
 
+# Round 8 (VERDICT r7 task #1): the 27 remaining never-checked entries
+# (tpcds_real q68–q99 window overflow) fill the front automatically;
+# the REMAINING window slots re-verify the rows whose executed plans
+# changed since their driver row was recorded — the r7 plan cache
+# touched every real text's execution path, and q80's SQL was
+# rewritten (xxhash64 packing). Priority: the verdict-named six
+# (q80/q50/q93*/q17/q25/q29 — *q93 is in the never-checked front
+# already), then the plan-cache's biggest beneficiaries (q14/q23/q24
+# families), then this round's other probe/rewrite targets. After this
+# round the cumulative ledger is 354/354 and the registry freeze lifts.
+_R8_REVERIFY = [
+    "tpcds_real_q80", "tpcds_real_q50", "tpcds_real_q17",
+    "tpcds_real_q25", "tpcds_real_q29", "tpcds_real_q4",
+    "tpcds_real_q14a", "tpcds_real_q14b", "tpcds_real_q23a",
+    "tpcds_real_q23b", "tpcds_real_q24a", "tpcds_real_q24b",
+    "tpcds_real_q2", "tpcds_real_q5", "tpcds_real_q38",
+    "tpcds_real_q40", "tpcds_real_q87", "tpcds_real_q75",
+    "tpcds_real_q64", "tpcds_real_q67", "tpcds_real_q72",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
@@ -119,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rank = {n: i - 100 for i, n in enumerate(_R7_PRIORITY)}
     rank.update({n: i for i, n in enumerate(_R5_BACKLOG) if n not in rank})
     front.sort(key=lambda n: (rank.get(n, 999), n))
+    # r8: append the plan-touched re-verify list right after the
+    # never-checked front so both land inside the 50-slot window
+    front += [n for n in _R8_REVERIFY if n in allq and n not in front]
     back = [n for n in allq if n not in front]
     back.sort(key=lambda n: (not n.startswith("tpcds_"),))
     ordered = front + back

@@ -178,6 +178,10 @@ def _stream_bench(spark, sf_dir: str) -> dict | None:
             os.symlink(path, os.path.join(src_dir, "part-00000.parquet"))
             stream = spark.readStream.schema(batch.schema).parquet(src_dir)
             stream_s = float("inf")
+            run_walls: list[float] = []  # VERDICT r7 #8: emit every
+            # run's wall (warm-up first) so a low DRIVER number is
+            # attributable — init cost shows as run[0] >> run[1:],
+            # container load shows as uniformly high runs
             for run in range(3):
                 with tempfile.TemporaryDirectory() as ckpt:
                     t0 = time.perf_counter()
@@ -193,6 +197,7 @@ def _stream_bench(spark, sf_dir: str) -> dict | None:
                     q.awaitTermination(300)
                     elapsed = time.perf_counter() - t0
                 spark.sql("DROP TABLE IF EXISTS bench_stream")
+                run_walls.append(round(elapsed, 3))
                 if run > 0:  # run 0 = warm-up (provider/class init)
                     stream_s = min(stream_s, elapsed)
         return {
@@ -200,6 +205,7 @@ def _stream_bench(spark, sf_dir: str) -> dict | None:
             "wall_s": round(stream_s, 3),
             "rows_per_s": round(n_rows / stream_s),
             "batch_equiv_s": round(batch_s, 3),
+            "run_walls_s": run_walls,
         }
     except Exception as exc:  # the batch bench must still emit
         print(f"# streaming bench failed: {exc!r}", file=sys.stderr)

@@ -549,18 +549,29 @@ _FS_METADATA = {
 # statement). The WITH clause is required (the sink needs a connector),
 # matching Flink, and must precede AS.
 _CTAS_RE = re.compile(
-    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"(\w+)\s+WITH\s*\((.*?)\)\s*AS\s+(.+)$",
     re.I | re.S,
 )
 
 
 def _create_table_as(
-    spark: SparkSession, name: str, opts_txt: str, query: str
+    spark: SparkSession, name: str, opts_txt: str, query: str,
+    if_not_exists: bool = False,
 ) -> DataFrame:
     """CTAS: run the query, derive the physical schema from its result,
     write the rows through the declared connector, register the table.
-    One statement = create + insert, exactly Flink's CTAS contract."""
+    One statement = create + insert, exactly Flink's CTAS contract.
+    IF NOT EXISTS skips the write when the table is already registered;
+    without the flag a re-create is an error (Flink's TableEnvironment
+    createTable semantics) instead of a silent file overwrite."""
+    if name in _REGISTERED:
+        if if_not_exists:
+            return spark.createDataFrame([("OK",)], "result string")
+        raise ValueError(
+            f"CREATE TABLE {name} AS: table already exists "
+            "(use IF NOT EXISTS to skip, or DROP TABLE first)"
+        )
     opts = _parse_options(opts_txt)
     if opts.get("connector") != "filesystem":
         raise ValueError(
@@ -728,6 +739,15 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
                 )
         if all(c in drop for c, _ in spec.physical):
             raise ValueError("ALTER TABLE DROP: cannot drop every physical column")
+        # Flink rejects dropping the watermark's rowtime column; without
+        # this guard the spec keeps a dangling watermark, SHOW CREATE
+        # TABLE emits non-roundtrippable DDL, and a streaming
+        # re-register fails opaquely inside withWatermark.
+        if spec.watermark and spec.watermark[0] in drop:
+            raise ValueError(
+                f"ALTER TABLE DROP: column {spec.watermark[0]!r} is the "
+                "watermark rowtime column; drop the watermark first"
+            )
         part_hit = drop & set(spec.partitioned)
         if part_hit:
             raise ValueError(
@@ -755,9 +775,12 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
             spec.watermark, list(spec.primary_key), dict(spec.options),
             list(spec.metadata), list(spec.partitioned),
         )
+        # register the new name FIRST so a failed registration (e.g. the
+        # backing path vanished) leaves the old table intact — rename is
+        # atomic-or-noop, never lose-the-table
+        register_table(spark, spec)
         spark.catalog.dropTempView(name)
         _REGISTERED.pop(name, None)
-        register_table(spark, spec)
         return spark.createDataFrame([("OK",)], "result string")
     raise ValueError(
         f"unsupported ALTER TABLE action for this front-end: {action[:60]!r} "
@@ -782,15 +805,11 @@ _INSERT_RE = re.compile(
 )
 
 
-def _insert_into(
-    spark: SparkSession, name: str, mode_kw: str, query: str
+def _build_insert(
+    spark: SparkSession, name: str, query: str
 ) -> DataFrame:
-    """INSERT INTO/OVERWRITE a DDL-registered filesystem table — Flink's
-    TableSink path (executeSql("INSERT INTO ...") submits a write job).
-    The SELECT runs through Spark SQL, columns are aligned to the
-    declared physical schema by name (Flink validates the same), files
-    land via the table's format at its path, and the temp view is
-    re-registered so subsequent reads see the new files."""
+    """Build the schema-aligned DataFrame an INSERT would write, without
+    writing it (shared by _insert_into and EXPLAIN-over-INSERT)."""
     spec = _REGISTERED[name]
     if spec.options.get("connector") != "filesystem":
         raise ValueError(
@@ -872,9 +891,22 @@ def _insert_into(
         )
     for c, v in static_parts.items():
         out = out.withColumn(c, F.lit(v))
-    out = out.select(
+    return out.select(
         *[F.col(c).cast(t) for c, t in spec.physical]
     )
+
+
+def _insert_into(
+    spark: SparkSession, name: str, mode_kw: str, query: str
+) -> DataFrame:
+    """INSERT INTO/OVERWRITE a DDL-registered filesystem table — Flink's
+    TableSink path (executeSql("INSERT INTO ...") submits a write job).
+    The SELECT runs through Spark SQL, columns are aligned to the
+    declared physical schema by name (Flink validates the same), files
+    land via the table's format at its path, and the temp view is
+    re-registered so subsequent reads see the new files."""
+    spec = _REGISTERED[name]
+    out = _build_insert(spark, name, query)
     fmt = spec.options.get("format", "parquet")
     # Apply the table's declared format options on the WRITE side too —
     # a 'csv.sep'='|' table must produce pipe-delimited files, or the
@@ -906,6 +938,359 @@ def _insert_into(
         out.unpersist()
     register_table(spark, spec)  # refresh the view over the new files
     return spark.createDataFrame([(n,)], "rows_inserted bigint")
+
+
+# ------------------------------------------------------- STATEMENT SET
+#
+# Reference: SqlBeginStatementSet / SqlEndStatementSet
+# (flink-table/flink-sql-parser/src/main/codegen/data/Parser.tdd:79) and
+# the EXECUTE STATEMENT SET BEGIN ... END form (SqlExecute). Multi-sink
+# DML is WHY the reference's optimizer is common-subgraph based
+# (flink-table/flink-table-planner/.../plan/optimize/
+# StreamCommonSubGraphBasedOptimizer.scala:107 — it exists to share
+# scans across sinks). The Spark mapping: build every INSERT's
+# DataFrame, cache the ANALYZED plan of each source referenced by more
+# than one sink (spark.catalog.cacheTable — Catalyst's CacheManager
+# then substitutes the InMemoryRelation into every query whose plan
+# contains that subtree, so the shared scan is executed once and the
+# remaining sinks read the materialization), run the writes, uncache.
+#
+# Scale note (100 TB): sharing-by-materialization trades one extra
+# write+read of the COMMON subtree for N-1 repeated scans; the cache is
+# MEMORY_AND_DISK so it degrades to a disk spill, and only tables
+# referenced by ≥2 sinks are ever cached. When the shared source is a
+# raw 100 TB fact table it is often cheaper to re-scan (column-pruned
+# parquet scans are cheap) — pass share_scans=False for that. Flink's
+# runtime shares the scan operator inside ONE dataflow instead; Spark
+# batch has no multi-sink job, so materialize-or-rescan is the honest
+# choice space.
+_STMT_SET_RE = re.compile(
+    r"^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN\b|BEGIN\s+STATEMENT\s+SET\s*;)"
+    r"(.+?)\bEND\s*;?\s*$",
+    re.I | re.S,
+)
+
+# test/diagnostic hook: optimized-plan text per INSERT from the latest
+# statement set (lets ITCases pin the shared-scan InMemoryRelation)
+_LAST_STATEMENT_SET_PLANS: list[str] = []
+
+
+def _split_statements(body: str) -> list[str]:
+    """Split on top-level semicolons, respecting single-quoted strings."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    for ch in body:
+        if ch == "'":
+            in_str = not in_str
+            buf.append(ch)
+        elif ch == ";" and not in_str:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _statement_set(
+    spark: SparkSession, body: str, share_scans: bool = True
+) -> DataFrame:
+    """Execute a STATEMENT SET: N INSERTs submitted as one logical job.
+    Returns one row per sink (sink, rows_inserted). Batch only — for
+    streaming multi-sink the Spark mapping is a foreachBatch fan-out
+    (each micro-batch persisted once, written to every sink), which
+    `flink_spark.sinks` covers; registered `scan.streaming` sources are
+    rejected here the way Flink's batch TableEnvironment rejects
+    unbounded sources."""
+    global _LAST_STATEMENT_SET_PLANS
+    stmts = _split_statements(body)
+    if not stmts:
+        raise ValueError("STATEMENT SET: no statements between BEGIN and END")
+    parsed: list[tuple[str, str, str]] = []  # (mode, sink, query)
+    for s in stmts:
+        im = _INSERT_RE.match(s)
+        if not im:
+            raise ValueError(
+                "STATEMENT SET accepts INSERT statements only (Flink's "
+                f"SqlBeginStatementSet contract); got: {s[:60]!r}"
+            )
+        sink = im.group(2)
+        if sink not in _REGISTERED:
+            raise ValueError(
+                f"STATEMENT SET: sink table {sink!r} is not registered "
+                "through this DDL front-end"
+            )
+        parsed.append((im.group(1), sink, im.group(3)))
+    # count how many sinks reference each registered table; tables the
+    # statements share become cached scans for the duration of the job
+    refs: dict[str, int] = {}
+    for _mode, _sink, q in parsed:
+        for name, spec in _REGISTERED.items():
+            if spec.options.get("scan.streaming", "false").lower() == "true":
+                if re.search(rf"\b{re.escape(name)}\b", q):
+                    raise ValueError(
+                        f"STATEMENT SET is batch-only in this front-end; "
+                        f"{name!r} is a streaming source (use the "
+                        "foreachBatch fan-out in flink_spark.sinks)"
+                    )
+            if re.search(rf"\b{re.escape(name)}\b", q):
+                refs[name] = refs.get(name, 0) + 1
+    shared = [n for n, c in refs.items() if c >= 2] if share_scans else []
+    for n in shared:
+        spark.catalog.cacheTable(n)  # lazy analyzed-plan cache: the
+        # first write materializes it, later sinks read the cache
+        # (never cache an EXECUTED DataFrame — that pins broadcasts)
+    results: list[tuple[str, int]] = []
+    plans: list[str] = []
+    try:
+        for mode, sink, q in parsed:
+            qtext = q.strip().rstrip(";")
+            if re.match(r"^PARTITION\b|^\(", qtext, re.I):
+                plans.append("")  # partial-insert forms: skip plan capture
+            else:
+                probe = qtext
+                if re.match(r"^VALUES\b", probe, re.I):
+                    probe = f"SELECT * FROM ({probe})"
+                plans.append(
+                    spark.sql(probe)._jdf.queryExecution().optimizedPlan().toString()
+                )
+            n = _insert_into(spark, sink, mode, q).collect()[0][0]
+            results.append((sink, n))
+    finally:
+        for n in shared:
+            try:
+                spark.catalog.uncacheTable(n)
+            except Exception:
+                pass
+        _LAST_STATEMENT_SET_PLANS = plans
+    return spark.createDataFrame(
+        results, "sink string, rows_inserted bigint"
+    )
+
+
+# --------------------------------------- statement inventory (r8)
+#
+# The remaining SqlNode statements of the reference parser
+# (flink-table/flink-sql-parser/src/main/codegen/data/Parser.tdd):
+# SHOW TABLES/VIEWS/DATABASES/FUNCTIONS/COLUMNS, USE, CREATE DATABASE,
+# EXPLAIN (SqlRichExplain, Parser.tdd:87), ANALYZE TABLE (Parser.tdd:76),
+# ALTER VIEW, ALTER TABLE ADD/DROP PRIMARY KEY + COMPACT
+# (Parser.tdd:39-41). Each maps onto the Spark catalog / ANALYZE /
+# file-rewrite machinery; result column names follow Flink's
+# ShowOperation output ("table name", "database name", ...).
+
+# views created through this front-end's CREATE VIEW route (SHOW VIEWS
+# needs to tell them apart from registered tables' temp views)
+_VIEWS: set[str] = set()
+
+_STATS_DB = "flink_ddl_stats"
+
+
+def _one_col(spark: SparkSession, col: str, values: list[str]) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return spark.createDataFrame(
+        [(v,) for v in sorted(values)],
+        StructType([StructField(col, StringType())]),
+    )
+
+
+def _describe_rows(spark: SparkSession, name: str) -> DataFrame:
+    """Flink-style column report for a registered table — shared by
+    DESCRIBE and SHOW COLUMNS (SqlRichDescribeTable / SqlShowColumns)."""
+    spec = _REGISTERED[name]
+    wm = (
+        f"`{spec.watermark[0]}` - INTERVAL '{spec.watermark[1]}'"
+        if spec.watermark
+        else None
+    )
+    rows = []
+    for c, t in spec.physical:
+        key = "PRI(NOT ENFORCED)" if c in spec.primary_key else None
+        extras = "PARTITIONED" if c in spec.partitioned else None
+        rows.append((c, t.upper(), True, key, extras,
+                     wm if spec.watermark and c == spec.watermark[0] else None))
+    for c, t, k in spec.metadata:
+        rows.append((c, t.upper(), True, None, f"METADATA FROM '{k}'", None))
+    for c, expr in spec.computed:
+        rows.append((c, "", True, None, f"AS {expr}", None))
+    return spark.createDataFrame(
+        rows,
+        "name string, type string, `null` boolean, key string, "
+        "extras string, watermark string",
+    )
+
+
+def _analyze_table(spark: SparkSession, name: str, cols_clause: str) -> DataFrame:
+    """ANALYZE TABLE (reference SqlAnalyzeTable, Parser.tdd:76 —
+    FlinkSqlParserImpl computes table/column stats into the catalog for
+    the CBO). Spark mapping: mirror the registered filesystem table as
+    an external catalog table (temp views cannot carry stats), run
+    Spark's own `ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS]` on
+    it — the SAME call the TPC-DS stats mode uses
+    (queries_tpcds_real.py:174), so the stats feed the same CBO — then
+    re-point the registered view at the catalog table so subsequent
+    reads plan with those stats (sticky across re-registers via the
+    __stats_table__ option)."""
+    spec = _REGISTERED.get(name)
+    if spec is None:
+        # not ours: pass through to Spark's native ANALYZE (catalog tables)
+        tail = f" {cols_clause}" if cols_clause else ""
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{tail}")
+        return spark.createDataFrame([("OK",)], "result string")
+    if spec.options.get("connector") != "filesystem":
+        raise ValueError(
+            f"ANALYZE TABLE {name}: only filesystem tables carry stats "
+            "in this front-end"
+        )
+    if spec.options.get("format", "parquet") != "parquet":
+        raise ValueError("ANALYZE TABLE: parquet tables only")
+    path = spec.options["path"]
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_STATS_DB}")
+    cat = f"{_STATS_DB}.{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {cat}")
+    if spec.partitioned:
+        cols = ", ".join(f"{c} {t}" for c, t in spec.physical)
+        parts = ", ".join(spec.partitioned)
+        spark.sql(
+            f"CREATE TABLE {cat} ({cols}) USING parquet "
+            f"PARTITIONED BY ({parts}) LOCATION '{path}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {cat}")
+    else:
+        spark.sql(f"CREATE TABLE {cat} USING parquet LOCATION '{path}'")
+    tail = f" {cols_clause}" if cols_clause else ""
+    spark.sql(f"ANALYZE TABLE {cat} COMPUTE STATISTICS{tail}")
+    new_opts = dict(spec.options)
+    new_opts["__stats_table__"] = cat
+    spec = TableSpec(
+        spec.name, list(spec.physical), list(spec.computed),
+        spec.watermark, list(spec.primary_key), new_opts,
+        list(spec.metadata), list(spec.partitioned),
+    )
+    register_table(spark, spec)
+    return spark.createDataFrame([("OK",)], "result string")
+
+
+def _compact_table(
+    spark: SparkSession, name: str, partition: dict[str, str] | None
+) -> DataFrame:
+    """ALTER TABLE ... [PARTITION (...)] COMPACT (reference
+    SqlAlterTableCompact, Parser.tdd:39-41 — the filesystem connector's
+    small-file compaction). Rewrite the table's (or one partition's)
+    files: read, repartition by the partition keys (one writer task —
+    and so one output file — per live partition), write to a side
+    directory, then atomically swap via the Hadoop FS rename. The
+    rewrite is a single Spark job; at 100 TB you compact per-partition
+    (pass PARTITION) so the job touches only the small-file dirs."""
+    spec = _REGISTERED.get(name)
+    if spec is None:
+        raise ValueError(f"ALTER TABLE {name} COMPACT: table not registered")
+    if spec.options.get("connector") != "filesystem":
+        raise ValueError("COMPACT applies to filesystem tables")
+    if partition and not spec.partitioned:
+        raise ValueError(f"{name} is not partitioned")
+    fmt = spec.options.get("format", "parquet")
+    path = spec.options["path"].rstrip("/")
+    fmt_opts = {
+        k.split(".", 1)[1]: v
+        for k, v in spec.options.items()
+        if k.startswith(f"{fmt}.")
+    }
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    if partition:
+        bad = [c for c in partition if c not in spec.partitioned]
+        if bad:
+            raise ValueError(
+                f"PARTITION spec column(s) {bad} are not partition keys "
+                f"of {name} (declared: {spec.partitioned})"
+            )
+        sub = "/".join(f"{c}={partition[c]}" for c in spec.partitioned
+                       if c in partition)
+        src = f"{path}/{sub}"
+        df = (
+            spark.read.format(fmt).options(**fmt_opts).load(src)
+        ).repartition(1)
+    else:
+        src = path
+        reader = spark.read.format(fmt).options(**fmt_opts)
+        df = reader.load(src)
+        if spec.partitioned:
+            df = df.repartition(*[F.col(c) for c in spec.partitioned])
+    tmp = f"{path}__compact_tmp"
+    writer = df.write.mode("overwrite").format(fmt).options(**fmt_opts)
+    if not partition and spec.partitioned:
+        writer = writer.partitionBy(*spec.partitioned)
+    writer.save(tmp)
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    src_p = jvm.org.apache.hadoop.fs.Path(src)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(src_p, True)
+    if partition:
+        # the side write has no partition dirs (the read stripped the
+        # partition columns); move the tmp dir to the partition path
+        fs.mkdirs(src_p.getParent())
+    fs.rename(tmp_p, src_p)
+    register_table(spark, _REGISTERED[name])  # refresh the view
+    return spark.createDataFrame([("OK",)], "result string")
+
+
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+(TABLES|VIEWS|DATABASES|FUNCTIONS|CURRENT\s+DATABASE)\s*;?\s*$",
+    re.I,
+)
+_SHOW_COLUMNS_RE = re.compile(
+    r"^\s*SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(\w+)\s*;?\s*$", re.I
+)
+_USE_RE = re.compile(r"^\s*USE\s+(\w+)\s*;?\s*$", re.I)
+_CREATE_DB_RE = re.compile(
+    r"^\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+)
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?:PLAN\s+FOR\s+)?(.+)$", re.I | re.S
+)
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS"
+    r"(\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+[\w\s,]+?))?\s*;?\s*$",
+    re.I,
+)
+_ALTER_VIEW_RE = re.compile(
+    r"^\s*ALTER\s+VIEW\s+(\w+)\s+(RENAME\s+TO\s+(\w+)|AS\s+(.+))$",
+    re.I | re.S,
+)
+_COMPACT_RE = re.compile(
+    r"^\s*(?:PARTITION\s*\(([^)]*)\)\s+)?COMPACT\s*$", re.I
+)
+_ADD_PK_RE = re.compile(
+    r"^ADD\s+(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([\w\s,]+)\)\s*"
+    r"(NOT\s+ENFORCED)?\s*$",
+    re.I,
+)
+_DROP_PK_RE = re.compile(r"^DROP\s+PRIMARY\s+KEY\s*$", re.I)
+
+
+def _show_statement(spark: SparkSession, what: str) -> DataFrame:
+    what = re.sub(r"\s+", " ", what.upper())
+    if what == "TABLES":
+        # Flink SHOW TABLES lists tables AND views of the current
+        # database; here: every registered table + created view
+        names = set(_REGISTERED) | _VIEWS
+        return _one_col(spark, "table name", sorted(names))
+    if what == "VIEWS":
+        return _one_col(spark, "view name", sorted(_VIEWS))
+    if what == "DATABASES":
+        dbs = [r.namespace for r in spark.sql("SHOW DATABASES").collect()]
+        return _one_col(spark, "database name", dbs)
+    if what == "FUNCTIONS":
+        fns = [f.name for f in spark.catalog.listFunctions()]
+        return _one_col(spark, "function name", fns)
+    if what == "CURRENT DATABASE":
+        return _one_col(
+            spark, "current database name", [spark.catalog.currentDatabase()]
+        )
+    raise AssertionError(what)
 
 
 def _raise_type(spark_t: str) -> str:
@@ -981,12 +1366,18 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
     """Route a Flink DDL statement; None if ``sql`` isn't DDL (caller
     should fall through to spark.sql)."""
     stripped = sql.strip()
+    ssm = _STMT_SET_RE.match(stripped)
+    if ssm:
+        return _statement_set(spark, ssm.group(1))
     is_create_table = re.match(
         r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\b", stripped, re.I
     )
     cm = _CTAS_RE.match(stripped.rstrip(";"))
     if cm:
-        return _create_table_as(spark, cm.group(1), cm.group(2), cm.group(3))
+        return _create_table_as(
+            spark, cm.group(2), cm.group(3), cm.group(4),
+            if_not_exists=bool(cm.group(1)),
+        )
     am = _ALTER_RE.match(stripped)
     if am:
         return _alter_table(spark, am.group(1), am.group(2))

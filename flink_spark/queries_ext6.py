@@ -746,6 +746,71 @@ def ddl_ctas_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_statement_set_nation",
+    r"""
+    WITH rc AS (SELECT n_regionkey AS rk, count(*) AS cnt
+                FROM nation GROUP BY n_regionkey),
+         ln AS (SELECT n_regionkey AS rk, min(n_name) AS nm_min
+                FROM nation WHERE length(n_name) > 6
+                GROUP BY n_regionkey)
+    SELECT rc.rk, CAST(rc.cnt AS BIGINT) AS cnt, ln.nm_min
+    FROM rc JOIN ln ON rc.rk = ln.rk
+    """,
+)
+def ddl_statement_set_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEMENT SET through the Flink-DDL front-end (r8, reference
+    SqlBeginStatementSet, Parser.tdd:79): two INSERTs from ONE source
+    table run as one logical job — the shared nation scan is executed
+    once via the analyzed-plan cache (the Spark mapping of the
+    reference's common-subgraph optimizer,
+    StreamCommonSubGraphBasedOptimizer.scala:107) — then the query
+    joins both sinks back. Oracle: independent plain-SQL spelling over
+    the source parquet."""
+    import tempfile
+
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    tmp = tempfile.mkdtemp(prefix="ddl_ss_")
+    for n in ("ss_nation_src", "ss_region_counts", "ss_long_names"):
+        _REGISTERED.pop(n, None)
+    execute_ddl(spark, f"""
+        CREATE TABLE ss_nation_src (
+            n_nationkey INT, n_name STRING, n_regionkey INT
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/nation.parquet', 'format' = 'parquet')
+    """)
+    execute_ddl(spark, f"""
+        CREATE TABLE ss_region_counts (rk INT, cnt BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp}/rc',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, f"""
+        CREATE TABLE ss_long_names (rk INT, nm STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp}/ln',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, """
+        EXECUTE STATEMENT SET
+        BEGIN
+          INSERT INTO ss_region_counts
+            SELECT n_regionkey AS rk, count(*) AS cnt
+            FROM ss_nation_src GROUP BY n_regionkey;
+          INSERT INTO ss_long_names
+            SELECT n_regionkey AS rk, n_name AS nm
+            FROM ss_nation_src WHERE length(n_name) > 6;
+        END
+    """)
+    return spark.sql("""
+        SELECT rc.rk, rc.cnt,
+               ln.nm_min
+        FROM ss_region_counts rc
+        JOIN (SELECT rk, min(nm) AS nm_min
+              FROM ss_long_names GROUP BY rk) ln
+          ON rc.rk = ln.rk
+    """)
+
+
+@query(
     "ddl_partitioned_nation",
     r"""
     SELECT n_name, n_nationkey

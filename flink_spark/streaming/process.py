@@ -61,6 +61,13 @@ def ensure_rocksdb_state_store(spark: SparkSession) -> None:
     backed default does not implement the new state API) — the direct
     analogue of picking EmbeddedRocksDBStateBackend in the reference."""
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    # If the session was created OUTSIDE flink_spark.session.get_spark,
+    # the JVM captured its env before ensure_protobuf's PYTHONPATH
+    # export — push the vendored runtime to workers via sc.environment /
+    # addPyFile so the driver-side gate and worker-side reality agree.
+    from flink_spark._vendor import propagate_to_workers
+
+    propagate_to_workers(spark)
 
 
 def inactivity_session_end(

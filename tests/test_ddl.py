@@ -440,7 +440,25 @@ def test_create_table_as_roundtrip(spark, tmp_path):
     assert [c for c, _ in spec.physical] == ["k", "total"]
     execute_ddl(spark, "INSERT INTO ctas_agg VALUES ('c', 5.0)")
     assert spark.sql("SELECT count(*) AS n FROM ctas_agg").collect()[0].n == 3
-    # re-running the CTAS overwrites (CREATE semantics, not append)
+    # re-running CTAS on an existing table is an error (Flink createTable
+    # semantics — r8, closes the silent-overwrite ADVICE item) ...
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, f"""
+            CREATE TABLE ctas_agg
+            WITH ('connector' = 'filesystem',
+                  'path' = '{tmp_path}/agg', 'format' = 'parquet')
+            AS SELECT k, sum(v) AS total FROM ctas_src GROUP BY k
+        """)
+    # ... IF NOT EXISTS skips without touching the files ...
+    execute_ddl(spark, f"""
+        CREATE TABLE IF NOT EXISTS ctas_agg
+        WITH ('connector' = 'filesystem',
+              'path' = '{tmp_path}/agg', 'format' = 'parquet')
+        AS SELECT k, sum(v) AS total FROM ctas_src GROUP BY k
+    """)
+    assert spark.sql("SELECT count(*) AS n FROM ctas_agg").collect()[0].n == 3
+    # ... and DROP + re-create overwrites (CREATE semantics, not append)
+    execute_ddl(spark, "DROP TABLE ctas_agg")
     execute_ddl(spark, f"""
         CREATE TABLE ctas_agg
         WITH ('connector' = 'filesystem',
@@ -553,6 +571,160 @@ def test_alter_table_modify_and_drop(spark, tmp_path):
     assert spark.sql("SELECT * FROM mod_t").columns == ["a"]
     with pytest.raises(ValueError, match="every physical"):
         execute_ddl(spark, "ALTER TABLE mod_t DROP a")
+
+
+# ----------------------------------------------------- r8: STATEMENT SET
+
+
+def test_statement_set_multi_sink_shares_scan(spark, tmp_path):
+    """BEGIN STATEMENT SET (Parser.tdd:79 SqlBeginStatementSet): two
+    INSERTs from one source run as one logical job, and the shared
+    source scan executes ONCE — the Spark mapping of the reference's
+    common-subgraph optimizer (StreamCommonSubGraphBasedOptimizer
+    .scala:107) is an analyzed-plan cache substituted into both sink
+    plans (InMemoryRelation), released when the set completes."""
+    import flink_spark.ddl as ddl_mod
+    from flink_spark.ddl import execute_ddl
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "k%d" % (i % 3), float(i)) for i in range(100)],
+        "id int, k string, v double",
+    ).write.parquet(src)
+    for ddl in (
+        f"""CREATE TABLE ss_src (id INT, k STRING, v DOUBLE)
+            WITH ('connector' = 'filesystem', 'path' = '{src}',
+                  'format' = 'parquet')""",
+        f"""CREATE TABLE ss_agg (k STRING, total DOUBLE)
+            WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/agg',
+                  'format' = 'parquet')""",
+        f"""CREATE TABLE ss_big (id INT, v DOUBLE)
+            WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/big',
+                  'format' = 'parquet')""",
+    ):
+        execute_ddl(spark, ddl)
+    out = execute_ddl(spark, """
+        EXECUTE STATEMENT SET
+        BEGIN
+          INSERT INTO ss_agg SELECT k, sum(v) AS total FROM ss_src GROUP BY k;
+          INSERT INTO ss_big SELECT id, v FROM ss_src WHERE v >= 50;
+        END
+    """)
+    got = {(r.sink, r.rows_inserted) for r in out.collect()}
+    assert got == {("ss_agg", 3), ("ss_big", 50)}
+    # both sinks readable with the right contents
+    tot = {
+        (r.k, r.total)
+        for r in spark.sql("SELECT * FROM ss_agg").collect()
+    }
+    assert tot == {
+        ("k0", float(sum(i for i in range(100) if i % 3 == 0))),
+        ("k1", float(sum(i for i in range(100) if i % 3 == 1))),
+        ("k2", float(sum(i for i in range(100) if i % 3 == 2))),
+    }
+    assert spark.sql("SELECT count(*) AS n FROM ss_big").collect()[0].n == 50
+    # the shared-scan pin: every captured sink plan reads the cached
+    # relation, so the parquet scan of ss_src executed once
+    plans = ddl_mod._LAST_STATEMENT_SET_PLANS
+    assert len(plans) == 2
+    for p in plans:
+        assert "InMemoryRelation" in p, p
+    # and the cache is released after the set completes
+    assert not spark.catalog.isCached("ss_src")
+
+
+def test_statement_set_validation(spark, tmp_path):
+    from flink_spark.ddl import execute_ddl
+
+    with pytest.raises(ValueError, match="INSERT statements only"):
+        execute_ddl(
+            spark, "BEGIN STATEMENT SET; SELECT 1; END"
+        )
+    with pytest.raises(ValueError, match="not registered"):
+        execute_ddl(
+            spark,
+            "EXECUTE STATEMENT SET BEGIN INSERT INTO nope SELECT 1; END",
+        )
+    with pytest.raises(ValueError, match="no statements"):
+        execute_ddl(spark, "BEGIN STATEMENT SET; END")
+
+
+def test_statement_set_single_source_not_cached(spark, tmp_path):
+    """A source referenced by only ONE sink is not cached — nothing to
+    share, and materializing it would be pure overhead at scale."""
+    from flink_spark.ddl import execute_ddl
+
+    src = str(tmp_path / "one")
+    spark.createDataFrame([(1,)], "a int").write.parquet(src)
+    execute_ddl(spark, f"""
+        CREATE TABLE ss_one (a INT)
+        WITH ('connector' = 'filesystem', 'path' = '{src}',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, f"""
+        CREATE TABLE ss_one_out (a INT)
+        WITH ('connector' = 'filesystem', 'path' = '{tmp_path}/oneout',
+              'format' = 'parquet')
+    """)
+    import flink_spark.ddl as ddl_mod
+
+    execute_ddl(spark, """
+        BEGIN STATEMENT SET;
+        INSERT INTO ss_one_out SELECT a FROM ss_one;
+        END
+    """)
+    assert "InMemoryRelation" not in ddl_mod._LAST_STATEMENT_SET_PLANS[0]
+    assert spark.sql("SELECT * FROM ss_one_out").collect()[0].a == 1
+
+
+def test_alter_table_drop_watermark_column_refused(spark, tmp_path):
+    """Dropping the watermark's rowtime column is rejected (Flink does
+    the same) — otherwise the spec keeps a dangling watermark and SHOW
+    CREATE TABLE emits non-roundtrippable DDL (r8 ADVICE fix)."""
+    from flink_spark.ddl import execute_ddl
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "a int, ts string"
+    ).write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE wm_t (
+            a INT, ts TIMESTAMP(3),
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{p}',
+                'format' = 'parquet')
+    """)
+    with pytest.raises(ValueError, match="watermark rowtime"):
+        execute_ddl(spark, "ALTER TABLE wm_t DROP ts")
+    # dropping a non-watermark column still works
+    execute_ddl(spark, "ALTER TABLE wm_t DROP a")
+
+
+def test_alter_table_rename_is_atomic(spark, tmp_path, monkeypatch):
+    """RENAME registers the new name before dropping the old one: a
+    failed re-registration leaves the original table intact instead of
+    losing it (r8 ADVICE fix)."""
+    import flink_spark.ddl as ddl_mod
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "a int").write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE ren_t (a INT)
+        WITH ('connector' = 'filesystem', 'path' = '{p}',
+              'format' = 'parquet')
+    """)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated registration failure")
+
+    monkeypatch.setattr(ddl_mod, "register_table", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        execute_ddl(spark, "ALTER TABLE ren_t RENAME TO ren_t2")
+    monkeypatch.undo()
+    # old table survives, both in the registry and as a readable view
+    assert "ren_t" in _REGISTERED and "ren_t2" not in _REGISTERED
+    assert spark.sql("SELECT count(*) AS n FROM ren_t").collect()[0].n == 1
 
 
 # -------------------------------------------------- r7: PARTITIONED BY

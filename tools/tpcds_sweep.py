@@ -110,6 +110,19 @@ def main() -> None:
     worst = sorted(
         spark_s, key=lambda q: spark_s[q] / max(duck_s[q], 1e-9), reverse=True
     )[:10]
+    # r8 (VERDICT r7 #3): the PRIMARY ratio uses the pinned quiet-machine
+    # oracle baseline (ORACLE_BASELINE.json, tools/pin_oracle_baseline.py)
+    # so the denominator cannot roll between runs; the live re-measure
+    # stays as the secondary column.
+    pinned: dict[str, float] = {}
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ORACLE_BASELINE.json",
+        )) as f:
+            pinned = json.load(f).get(f"sf{_SCALE}", {}).get("oracle_s", {})
+    except (OSError, json.JSONDecodeError):
+        pass
     out = {
         "metric": f"tpcds_real_sweep_sf{_SCALE}",
         "value": round(total_s, 3),
@@ -123,6 +136,18 @@ def main() -> None:
             f"q{k}": round(spark_s[k] / max(duck_s[k], 1e-9), 2) for k in worst
         },
     }
+    if pinned and all(f"q{k}" in pinned for k in spark_s):
+        pinned_total = sum(pinned[f"q{k}"] for k in spark_s)
+        out["headline_ratio_pinned"] = round(total_s / pinned_total, 3)
+        out["oracle_pinned_total_s"] = round(pinned_total, 3)
+        worst_p = sorted(
+            spark_s, key=lambda q: spark_s[q] / max(pinned[f"q{q}"], 1e-9),
+            reverse=True,
+        )[:10]
+        out["worst_ratio_pinned"] = {
+            f"q{k}": round(spark_s[k] / max(pinned[f"q{k}"], 1e-9), 2)
+            for k in worst_p
+        }
     line = json.dumps(out)
     print(line)
     if len(sys.argv) > 1:
