@@ -469,7 +469,12 @@ def register_table(spark: SparkSession, spec: TableSpec) -> DataFrame:
                     f"unknown filesystem metadata key {key!r} — supported: "
                     f"{sorted(_FS_METADATA)}"
                 )
-    if connector == "filesystem":
+    if connector == "filesystem" and "__stats_table__" in spec.options and not streaming:
+        # ANALYZE TABLE mirrored this table into the stats catalog —
+        # read through the catalog table so the CBO sees its statistics
+        # (sticky across re-registers; see _analyze_table)
+        df = spark.table(spec.options["__stats_table__"])
+    elif connector == "filesystem":
         path = spec.options.get("path")
         fmt = spec.options.get("format", "parquet")
         if not path:
@@ -618,6 +623,57 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
             f"ALTER TABLE {name}: table not registered through this "
             "DDL front-end"
         )
+    m = _ADD_PK_RE.match(action)
+    if m:
+        # SqlAlterTableAdd constraint (Parser.tdd:39-41). Flink accepts
+        # only NOT ENFORCED primary keys (no engine enforces them).
+        if not m.group(2):
+            raise ValueError(
+                "ALTER TABLE ADD PRIMARY KEY requires NOT ENFORCED "
+                "(Flink rejects enforced constraints)"
+            )
+        if spec.primary_key:
+            raise ValueError(
+                f"ALTER TABLE {name}: a primary key already exists "
+                "(DROP PRIMARY KEY first)"
+            )
+        pk = [c.strip() for c in m.group(1).split(",")]
+        declared = {c for c, _ in spec.physical}
+        unknown = [c for c in pk if c not in declared]
+        if unknown:
+            raise ValueError(
+                f"ALTER TABLE ADD PRIMARY KEY: unknown column(s) {unknown}"
+            )
+        spec = TableSpec(
+            spec.name, list(spec.physical), list(spec.computed),
+            spec.watermark, pk, dict(spec.options),
+            list(spec.metadata), list(spec.partitioned),
+        )
+        register_table(spark, spec)
+        return spark.createDataFrame([("OK",)], "result string")
+    if _DROP_PK_RE.match(action):
+        if not spec.primary_key:
+            raise ValueError(f"ALTER TABLE {name}: no primary key to drop")
+        spec = TableSpec(
+            spec.name, list(spec.physical), list(spec.computed),
+            spec.watermark, [], dict(spec.options),
+            list(spec.metadata), list(spec.partitioned),
+        )
+        register_table(spark, spec)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _COMPACT_RE.match(action)
+    if m:
+        part: dict[str, str] | None = None
+        if m.group(1):
+            part = {}
+            for pair in m.group(1).split(","):
+                kv = re.match(r"^\s*(\w+)\s*=\s*'([^']*)'\s*$", pair)
+                if not kv:
+                    raise ValueError(
+                        f"cannot parse PARTITION spec entry {pair.strip()!r}"
+                    )
+                part[kv.group(1)] = kv.group(2)
+        return _compact_table(spark, name, part)
     m = re.match(r"^SET\s*\((.*)\)$", action, re.I | re.S)
     if m:
         new_opts = dict(spec.options)
@@ -785,7 +841,7 @@ def _alter_table(spark: SparkSession, name: str, action: str) -> DataFrame:
     raise ValueError(
         f"unsupported ALTER TABLE action for this front-end: {action[:60]!r} "
         "(supported: SET (...), RESET (...), ADD/MODIFY/DROP col(s), "
-        "RENAME TO name)"
+        "ADD/DROP PRIMARY KEY, [PARTITION (...)] COMPACT, RENAME TO name)"
     )
 
 
@@ -1162,6 +1218,10 @@ def _analyze_table(spark: SparkSession, name: str, cols_clause: str) -> DataFram
         spark.sql(f"CREATE TABLE {cat} USING parquet LOCATION '{path}'")
     tail = f" {cols_clause}" if cols_clause else ""
     spark.sql(f"ANALYZE TABLE {cat} COMPUTE STATISTICS{tail}")
+    # ANALYZE's whole point is stats-based planning: switch the CBO on,
+    # exactly what the TPC-DS stats mode does (queries_tpcds_real.py:149)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     new_opts = dict(spec.options)
     new_opts["__stats_table__"] = cat
     spec = TableSpec(
@@ -1391,29 +1451,66 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
         # DESCRIBE on a DDL-registered table: Flink-style column report
         # (name, type, null, key, extras, watermark) — reference
         # SqlRichDescribeTable / DESCRIBE output shape
-        spec = _REGISTERED[dm2.group(1)]
-        wm = (
-            f"`{spec.watermark[0]}` - INTERVAL '{spec.watermark[1]}'"
-            if spec.watermark
-            else None
-        )
-        rows = []
-        for c, t in spec.physical:
-            key = "PRI(NOT ENFORCED)" if c in spec.primary_key else None
-            extras = (
-                f"PARTITIONED" if c in spec.partitioned else None
+        return _describe_rows(spark, dm2.group(1))
+    scm = _SHOW_COLUMNS_RE.match(stripped)
+    if scm and scm.group(1) in _REGISTERED:
+        # SqlShowColumns — same report shape as DESCRIBE in Flink
+        return _describe_rows(spark, scm.group(1))
+    shm = _SHOW_RE.match(stripped)
+    if shm:
+        return _show_statement(spark, shm.group(1))
+    um = _USE_RE.match(stripped)
+    if um:
+        spark.sql(f"USE {um.group(1)}")
+        return spark.createDataFrame([("OK",)], "result string")
+    cdm = _CREATE_DB_RE.match(stripped)
+    if cdm:
+        ine = "IF NOT EXISTS " if cdm.group(1) else ""
+        spark.sql(f"CREATE DATABASE {ine}{cdm.group(2)}")
+        return spark.createDataFrame([("OK",)], "result string")
+    anm = _ANALYZE_RE.match(stripped)
+    if anm:
+        return _analyze_table(spark, anm.group(1), (anm.group(2) or "").strip())
+    avm = _ALTER_VIEW_RE.match(stripped.rstrip(";"))
+    if avm:
+        # SqlAlterView (Parser.tdd): RENAME TO re-points the temp view,
+        # AS replaces the definition
+        vname = avm.group(1)
+        try:
+            cur = spark.table(vname)
+        except Exception:
+            raise ValueError(f"ALTER VIEW {vname}: view not found")
+        if avm.group(3):
+            new_name = avm.group(3)
+            cur.createOrReplaceTempView(new_name)
+            spark.catalog.dropTempView(vname)
+            if vname in _VIEWS:
+                _VIEWS.discard(vname)
+                _VIEWS.add(new_name)
+        else:
+            spark.sql(avm.group(4)).createOrReplaceTempView(vname)
+        return spark.createDataFrame([("OK",)], "result string")
+    exm = _EXPLAIN_RE.match(stripped.rstrip(";"))
+    if exm:
+        # SqlRichExplain (Parser.tdd:87) — one string column `result`,
+        # like Flink's EXPLAIN output. INSERT targets explain the
+        # schema-aligned sink plan; queries explain via Spark directly.
+        target = exm.group(1).strip()
+        if re.match(r"^(FORMATTED|EXTENDED|CODEGEN|COST)\b", target, re.I):
+            # Spark-native explain mode: delegate verbatim
+            return spark.sql(stripped.rstrip(";")).toDF("result")
+        tim = _INSERT_RE.match(target)
+        if tim and tim.group(2) in _REGISTERED:
+            out = _build_insert(spark, tim.group(2), tim.group(3))
+            jqe = out._jdf.queryExecution()
+            text = (
+                f"== Sink ==\nfilesystem: "
+                f"{_REGISTERED[tim.group(2)].options.get('path')}\n" + str(jqe)
             )
-            rows.append((c, t.upper(), True, key, extras,
-                         wm if spec.watermark and c == spec.watermark[0] else None))
-        for c, t, k in spec.metadata:
-            rows.append((c, t.upper(), True, None, f"METADATA FROM '{k}'", None))
-        for c, expr in spec.computed:
-            rows.append((c, "", True, None, f"AS {expr}", None))
-        return spark.createDataFrame(
-            rows,
-            "name string, type string, `null` boolean, key string, "
-            "extras string, watermark string",
-        )
+        else:
+            jqe = spark.sql(target)._jdf.queryExecution()
+            text = str(jqe)
+        return spark.createDataFrame([(text,)], "result string")
     if is_create_table and (
         _CREATE_RE.match(stripped.rstrip(";"))
         or _split_top_level_like(stripped.rstrip(";")) is not None
@@ -1423,11 +1520,13 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
     vm = _VIEW_RE.match(stripped.rstrip(";"))
     if vm:
         spark.sql(vm.group(2)).createOrReplaceTempView(vm.group(1))
+        _VIEWS.add(vm.group(1))
         return spark.createDataFrame([("OK",)], "result string")
     dm = _DROP_RE.match(stripped)
     if dm:
         spark.catalog.dropTempView(dm.group(2))
         _REGISTERED.pop(dm.group(2), None)
+        _VIEWS.discard(dm.group(2))
         return spark.createDataFrame([("OK",)], "result string")
     im = _INSERT_RE.match(stripped.rstrip(";"))
     if im and im.group(2) in _REGISTERED:

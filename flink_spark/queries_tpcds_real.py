@@ -358,6 +358,8 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         return _fresh_execution(spark, cached)
     _register_tpcds(spark)
     text, names, casts = _TPCDS_REAL[qid]
+    if qid in _SPARK_FULL_REWRITE:
+        text = _SPARK_FULL_REWRITE[qid]
     for old, new in _SPARK_REWRITE.get(qid, ()):
         assert old in text, f"spark rewrite target missing in q{qid}"
         text = text.replace(old, new)
@@ -744,6 +746,69 @@ and ws1.ws_order_number in (select ws_order_number
             having min(ws_warehouse_sk) <> max(ws_warehouse_sk))""",
         ),
     ),
+}
+
+
+# Third rule (r8, VERDICT r7 task #2): whole-text restructures, applied
+# before the pair rewrites; the DuckDB oracle still runs the verbatim
+# text, and the hash gate + the driver CORRECTNESS row pin semantics.
+#
+# q4: the 6-times-referenced `year_total` CTE (3 channels x 2 years)
+# plans SIX year-filtered fact scans under Catalyst's InlineCTE, each
+# aggregating on SEVEN wide customer-attribute group keys. The
+# restructure aggregates each fact ONCE on the narrow int customer_sk
+# (map-side partial agg + cheap shuffle) with both years pivoted into
+# conditional-sum columns, joins the three per-channel aggregates on
+# the int key, and resolves customer attributes with ONE customer join
+# at the end — 3 fact scans instead of 6, int keys instead of wide
+# string tuples. Soundness: c_customer_sk and c_customer_id are both
+# unique keys of customer (TPC-DS business key), so the customer_id
+# 6-way self-join is isomorphic to the sk join; `y1 > 0` reproduces
+# `firstyear.year_total > 0` (NULL > 0 is false); a NULL secyear total
+# NULLs its ratio and fails the `>` predicates exactly as the verbatim
+# text's CASE does; fact rows whose customer_sk misses customer drop
+# at the join either way. Measured sf10 fact volume (tools/probe_q4.py,
+# min-of-2, row-identical vs verbatim in the same engine):
+# 6.78 s inline -> 4.78 s 3-scan-wide-keys -> 4.17 s this form (-39%).
+_Q4_CHANNELS = (
+    ("s", "store_sales", "ss_customer_sk", "ss_sold_date_sk",
+     "((ss_ext_list_price-ss_ext_wholesale_cost-ss_ext_discount_amt)"
+     "+ss_ext_sales_price)/2"),
+    ("c", "catalog_sales", "cs_bill_customer_sk", "cs_sold_date_sk",
+     "(((cs_ext_list_price-cs_ext_wholesale_cost-cs_ext_discount_amt)"
+     "+cs_ext_sales_price)/2)"),
+    ("w", "web_sales", "ws_bill_customer_sk", "ws_sold_date_sk",
+     "(((ws_ext_list_price-ws_ext_wholesale_cost-ws_ext_discount_amt)"
+     "+ws_ext_sales_price)/2)"),
+)
+
+_SPARK_FULL_REWRITE: dict[str, str] = {
+    "4": "with " + ",\n".join(
+        f"""agg_{ch} as (
+ select {cust_fk} sk
+       ,sum(case when d_year = 2001 then {amt} end) y1
+       ,sum(case when d_year = 2001+1 then {amt} end) y2
+ from {fact}, date_dim
+ where {date_fk} = d_date_sk
+   and d_year in (2001, 2001+1)
+ group by {cust_fk}
+)"""
+        for ch, fact, cust_fk, date_fk, amt in _Q4_CHANNELS
+    ) + """
+ select c_customer_id customer_id
+       ,c_first_name customer_first_name
+       ,c_last_name customer_last_name
+       ,c_preferred_cust_flag customer_preferred_cust_flag
+ from agg_s
+ join agg_c on agg_s.sk = agg_c.sk
+ join agg_w on agg_s.sk = agg_w.sk
+ join customer on c_customer_sk = agg_s.sk
+ where agg_s.y1 > 0 and agg_c.y1 > 0 and agg_w.y1 > 0
+   and agg_c.y2 / agg_c.y1 > agg_s.y2 / agg_s.y1
+   and agg_c.y2 / agg_c.y1 > agg_w.y2 / agg_w.y1
+ order by customer_id, customer_first_name, customer_last_name,
+          customer_preferred_cust_flag
+ limit 100""",
 }
 
 

@@ -294,3 +294,165 @@ def pattern_match_stream_with_timeouts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def pattern_match_stream_timers(
+    df: DataFrame,
+    pattern: Pattern,
+    key: str,
+    ts_col: str,
+    payload_cols: list[str],
+    delay: str = "0 seconds",
+    with_timeouts: bool = False,
+) -> DataFrame:
+    """Streaming CEP whose within()-window expiry runs on REAL per-key
+    event-time timers (r8, VERDICT r7 task #7) — transformWithState
+    timers instead of the per-key-watermark emulation above.
+
+    The semantic this fixes: ``pattern_match_stream`` closes anchors
+    against a PER-KEY watermark (max event time seen for that key −
+    delay), so a key that goes silent never emits its pending matches
+    or timed-out partials. The reference's CepOperator uses the
+    OPERATOR watermark — global across keys (CepOperator.java:82,
+    onEventTime processes buffered events up to the watermark). Here
+    each open anchor registers a timer at ``anchor_ts + within_ms``;
+    Spark's watermark (advanced by ANY key's input) fires it, and the
+    silent key emits from ``handleExpiredTimer`` — pinned by
+    test_streaming's ITCase feeding key 2 only and asserting key 1's
+    emission.
+
+    Output: (key, kind, match_id, step, ts_ms, <payload strings>);
+    kind='match' always, plus kind='timeout' longest-partials when
+    ``with_timeouts`` (TimedOutPartialMatchHandler channel).
+    """
+    from flink_spark.cep import _enumerate_from, _longest_partial_from
+    from flink_spark.streaming.process import (
+        _require_timers,
+        ensure_rocksdb_state_store,
+    )
+
+    if pattern.within_ms is None:
+        raise ValueError("requires within() — see pattern_match_stream")
+    _require_timers()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ensure_rocksdb_state_store(df.sparkSession)
+    within = pattern.within_ms
+    key_type = _key_type(df, key)
+    out_cols = [key, "kind", "match_id", "step", "ts_ms"] + payload_cols
+    out_fields = ", ".join(
+        [f"{key} {key_type}", "kind string", "match_id long",
+         "step string", "ts_ms long"]
+        + [f"{c} string" for c in payload_cols]
+    )
+
+    def _drain(buf, floor_key, next_id, next_tid, wm, k0):
+        """Emit everything conclusively closed at watermark ``wm``,
+        evict spent events, return (rows, buf, floor_key, ids)."""
+        events = []
+        for t_ms, sq, payload in buf:
+            d = dict(zip(payload_cols, payload))
+            d["__ts_ms"] = t_ms
+            d["__seq"] = sq
+            events.append(d)
+        finals, floor_key = closed_matches(events, pattern, wm, floor_key)
+        rows = []
+        for m in finals:
+            for step_name, ev in m:
+                rows.append(
+                    [k0, "match", next_id, step_name, ev["__ts_ms"]]
+                    + [ev[c] for c in payload_cols]
+                )
+            next_id += 1
+        if with_timeouts:
+            for i, ev0 in enumerate(events):
+                if ev0["__ts_ms"] + within > wm:
+                    continue
+                if any(True for _ in _enumerate_from(events, i, pattern, "__ts_ms")):
+                    continue
+                partial = _longest_partial_from(events, i, pattern, "__ts_ms")
+                if partial and partial[0][1] == i:
+                    for step_name, idx in partial:
+                        ev = events[idx]
+                        rows.append(
+                            [k0, "timeout", next_tid, step_name,
+                             ev["__ts_ms"]]
+                            + [ev[c] for c in payload_cols]
+                        )
+                    next_tid += 1
+        buf = [r for r in buf if r[0] > wm - within]
+        return rows, buf, floor_key, next_id, next_tid
+
+    class CepTimers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._st = handle.getValueState(
+                "cep", "buf string, floor string, next_id long, "
+                "next_tid long, seq long"
+            )
+
+        def _load(self):
+            if self._st.exists():
+                b, f, ni, nt, seq = self._st.get()
+                return [tuple(r) for r in json.loads(b)], json.loads(f), ni, nt, seq
+            return [], None, 0, 0, 0
+
+        def _store(self, buf, floor_key, next_id, next_tid, seq) -> None:
+            self._st.update(
+                (json.dumps([list(r) for r in buf]), json.dumps(floor_key),
+                 next_id, next_tid, seq)
+            )
+
+        def _retime(self, buf, wm) -> None:
+            """One pending timer per key: the earliest open anchor's
+            window close. registerTimer clamps to the key's next
+            conclusive event, so state drains without key input."""
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            if buf:
+                self._handle.registerTimer(min(r[0] for r in buf) + within)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            buf, floor_key, next_id, next_tid, seq = self._load()
+            wm = timerValues.getCurrentWatermarkInMs()
+            buf, _, seq = ingest_batch(
+                buf, wm, seq, rows, ts_col, payload_cols, 0
+            )
+            out, buf, floor_key, next_id, next_tid = _drain(
+                buf, floor_key, next_id, next_tid, wm, key[0]
+            )
+            self._store(buf, floor_key, next_id, next_tid, seq)
+            self._retime(buf, wm)
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            buf, floor_key, next_id, next_tid, seq = self._load()
+            wm = max(
+                timerValues.getCurrentWatermarkInMs(),
+                expiredTimerInfo.getExpiryTimeInMs(),
+            )
+            out, buf, floor_key, next_id, next_tid = _drain(
+                buf, floor_key, next_id, next_tid, wm, key[0]
+            )
+            self._store(buf, floor_key, next_id, next_tid, seq)
+            self._retime(buf, wm)
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.withWatermark(ts_col, delay)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            CepTimers(),
+            outputStructType=out_fields,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -936,3 +936,202 @@ def test_alter_table_add_and_modify_watermark(spark, tmp_path):
         "ALTER TABLE wm_t MODIFY (WATERMARK FOR ts AS ts - INTERVAL '2' MINUTE)",
     )
     assert _REGISTERED["wm_t"].watermark == ("ts", "2 minutes")
+
+
+# ------------------------------------ r8: statement inventory (Parser.tdd)
+
+
+def test_show_statements(spark, tmp_path):
+    """SHOW TABLES/VIEWS/DATABASES/FUNCTIONS/CURRENT DATABASE/COLUMNS —
+    the reference's ShowOperation family, with Flink's result column
+    names ("table name", "database name", ...)."""
+    from flink_spark.ddl import execute_ddl
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x")], "a int, s string").write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE show_t (a INT, s STRING, PRIMARY KEY (a) NOT ENFORCED)
+        WITH ('connector' = 'filesystem', 'path' = '{p}',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, "CREATE VIEW show_v AS SELECT a FROM show_t")
+    tables = {r[0] for r in execute_ddl(spark, "SHOW TABLES").collect()}
+    assert {"show_t", "show_v"} <= tables
+    views = {r[0] for r in execute_ddl(spark, "SHOW VIEWS").collect()}
+    assert "show_v" in views and "show_t" not in views
+    out = execute_ddl(spark, "SHOW TABLES")
+    assert out.columns == ["table name"]
+    dbs = {r[0] for r in execute_ddl(spark, "SHOW DATABASES").collect()}
+    assert "default" in dbs
+    fns = {r[0] for r in execute_ddl(spark, "SHOW FUNCTIONS").collect()}
+    assert "xxhash64" in fns or "abs" in fns
+    cur = execute_ddl(spark, "SHOW CURRENT DATABASE").collect()[0][0]
+    assert cur  # some database is always current
+    cols = execute_ddl(spark, "SHOW COLUMNS FROM show_t").collect()
+    byname = {r.name: r for r in cols}
+    assert byname["a"].key == "PRI(NOT ENFORCED)"
+    assert byname["s"].type == "STRING"
+    # DROP VIEW clears the SHOW VIEWS entry
+    execute_ddl(spark, "DROP VIEW show_v")
+    assert "show_v" not in {
+        r[0] for r in execute_ddl(spark, "SHOW VIEWS").collect()
+    }
+
+
+def test_use_and_create_database(spark):
+    from flink_spark.ddl import execute_ddl
+
+    execute_ddl(spark, "CREATE DATABASE IF NOT EXISTS ddl_inv_db")
+    execute_ddl(spark, "USE ddl_inv_db")
+    try:
+        assert spark.catalog.currentDatabase() == "ddl_inv_db"
+    finally:
+        execute_ddl(spark, "USE default")
+    assert spark.catalog.currentDatabase() == "default"
+
+
+def test_explain_statement(spark, tmp_path):
+    """SqlRichExplain (Parser.tdd:87): EXPLAIN [PLAN FOR] query returns
+    the plan as one `result` string; EXPLAIN over INSERT shows the
+    sink-aligned plan."""
+    from flink_spark.ddl import execute_ddl
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, 2.0)], "a int, v double").write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE exp_t (a INT, v DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{p}',
+              'format' = 'parquet')
+    """)
+    out = execute_ddl(spark, "EXPLAIN PLAN FOR SELECT a, sum(v) FROM exp_t GROUP BY a")
+    assert out.columns == ["result"]
+    txt = out.collect()[0].result
+    assert "Physical Plan" in txt and "exp_t" in txt.lower() or "Aggregate" in txt
+    # EXPLAIN over INSERT explains the schema-aligned sink plan
+    out2 = execute_ddl(spark, "EXPLAIN INSERT INTO exp_t SELECT a, v * 2 FROM exp_t")
+    txt2 = out2.collect()[0].result
+    assert txt2.startswith("== Sink ==")
+    # Spark-native mode passthrough
+    out3 = execute_ddl(spark, "EXPLAIN FORMATTED SELECT 1 AS one")
+    assert "Project" in out3.collect()[0].result
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """SqlAnalyzeTable (Parser.tdd:76) → Spark ANALYZE TABLE COMPUTE
+    STATISTICS on a catalog mirror; the registered view then reads
+    through the stats-backed catalog table so the CBO sees rowCount."""
+    from flink_spark.ddl import _REGISTERED, _STATS_DB, execute_ddl
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "a int, v double"
+    ).write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE an_t (a INT, v DOUBLE)
+        WITH ('connector' = 'filesystem', 'path' = '{p}',
+              'format' = 'parquet')
+    """)
+    execute_ddl(spark, "ANALYZE TABLE an_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    # catalog mirror carries the stats
+    rows = spark.sql(f"DESCRIBE FORMATTED {_STATS_DB}.an_t").collect()
+    stats = next((r.data_type for r in rows if r.col_name == "Statistics"), "")
+    assert "1000 rows" in stats, stats
+    # the registered view reads through it (stats reach the planner)
+    assert "__stats_table__" in _REGISTERED["an_t"].options
+    assert spark.sql("SELECT count(*) AS n FROM an_t").collect()[0].n == 1000
+    got = spark.table("an_t")._jdf.queryExecution().optimizedPlan().stats()
+    assert got.rowCount().isDefined() and got.rowCount().get() == 1000
+    # stats stay sticky across a re-register (ALTER TABLE SET)
+    execute_ddl(spark, "ALTER TABLE an_t SET ('x' = 'y')")
+    got2 = spark.table("an_t")._jdf.queryExecution().optimizedPlan().stats()
+    assert got2.rowCount().isDefined()
+
+
+def test_alter_view(spark, tmp_path):
+    from flink_spark.ddl import execute_ddl
+
+    execute_ddl(spark, "CREATE VIEW av_v AS SELECT 1 AS a")
+    execute_ddl(spark, "ALTER VIEW av_v AS SELECT 2 AS a")
+    assert spark.sql("SELECT a FROM av_v").collect()[0].a == 2
+    execute_ddl(spark, "ALTER VIEW av_v RENAME TO av_v2")
+    assert spark.sql("SELECT a FROM av_v2").collect()[0].a == 2
+    views = {r[0] for r in execute_ddl(spark, "SHOW VIEWS").collect()}
+    assert "av_v2" in views and "av_v" not in views
+    with pytest.raises(ValueError, match="not found"):
+        execute_ddl(spark, "ALTER VIEW never_was RENAME TO x")
+
+
+def test_alter_table_primary_key_constraint(spark, tmp_path):
+    """ALTER TABLE ADD/DROP PRIMARY KEY (SqlAlterTable constraint
+    variants, Parser.tdd:39-41) — NOT ENFORCED required, round-trips
+    through SHOW CREATE TABLE."""
+    from flink_spark.ddl import _REGISTERED, execute_ddl
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "x")], "id int, s string").write.parquet(p)
+    execute_ddl(spark, f"""
+        CREATE TABLE pk_t (id INT, s STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{p}',
+              'format' = 'parquet')
+    """)
+    with pytest.raises(ValueError, match="NOT ENFORCED"):
+        execute_ddl(spark, "ALTER TABLE pk_t ADD PRIMARY KEY (id)")
+    execute_ddl(spark, "ALTER TABLE pk_t ADD PRIMARY KEY (id) NOT ENFORCED")
+    assert _REGISTERED["pk_t"].primary_key == ["id"]
+    ddl_text = execute_ddl(spark, "SHOW CREATE TABLE pk_t").collect()[0][0]
+    assert "PRIMARY KEY (id) NOT ENFORCED" in ddl_text
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "ALTER TABLE pk_t ADD PRIMARY KEY (s) NOT ENFORCED")
+    execute_ddl(spark, "ALTER TABLE pk_t DROP PRIMARY KEY")
+    assert _REGISTERED["pk_t"].primary_key == []
+    with pytest.raises(ValueError, match="no primary key"):
+        execute_ddl(spark, "ALTER TABLE pk_t DROP PRIMARY KEY")
+    with pytest.raises(ValueError, match="unknown column"):
+        execute_ddl(spark, "ALTER TABLE pk_t ADD PRIMARY KEY (zz) NOT ENFORCED")
+
+
+def test_alter_table_compact(spark, tmp_path):
+    """ALTER TABLE COMPACT (SqlAlterTableCompact): many small files →
+    one per partition, same rows; partition-scoped compact touches only
+    that partition's directory."""
+    import os
+
+    from flink_spark.ddl import execute_ddl
+
+    path = str(tmp_path / "ct")
+    execute_ddl(spark, f"""
+        CREATE TABLE cmp_t (id INT, v DOUBLE, dt STRING)
+        PARTITIONED BY (dt)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'parquet')
+    """)
+    # 4 INSERTs -> many small files across 2 partitions
+    for i in range(4):
+        execute_ddl(spark, f"""
+            INSERT INTO cmp_t VALUES
+            ({i}, {i}.0, '2024-01-01'), ({i + 10}, {i}.5, '2024-01-02')
+        """)
+
+    def files_in(part):
+        d = os.path.join(path, f"dt={part}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in("2024-01-01")) >= 4
+    before = {
+        (r.id, r.v, r.dt) for r in spark.sql("SELECT * FROM cmp_t").collect()
+    }
+    # partition-scoped compact
+    execute_ddl(spark, "ALTER TABLE cmp_t PARTITION (dt='2024-01-01') COMPACT")
+    assert len(files_in("2024-01-01")) == 1
+    assert len(files_in("2024-01-02")) >= 4  # untouched
+    after = {
+        (r.id, r.v, r.dt) for r in spark.sql("SELECT * FROM cmp_t").collect()
+    }
+    assert after == before
+    # full-table compact
+    execute_ddl(spark, "ALTER TABLE cmp_t COMPACT")
+    assert len(files_in("2024-01-02")) == 1
+    final = {
+        (r.id, r.v, r.dt) for r in spark.sql("SELECT * FROM cmp_t").collect()
+    }
+    assert final == before

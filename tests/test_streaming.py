@@ -569,6 +569,120 @@ def test_keyed_process_event_time_timers_session_end(spark, tmp_path):
     assert 2 not in by_key or by_key[2][0] >= base + 72 * 60_000
 
 
+def test_stream_topn_ttl_timer_evicts_without_input(spark, tmp_path):
+    """r8 (VERDICT r7 task #7): streaming Top-N whose idle-state
+    eviction runs on a REAL event-time timer. The pin: key 1's
+    retraction row (rn=0, evicted=true) is emitted in a micro-batch
+    where key 1 received NO input — the watermark, advanced purely by
+    key 2's events, fired key 1's timer. GroupStateTimeout
+    (stateful.topn_stream) cannot express this event-time semantic."""
+    import datetime as dt
+
+    from flink_spark.streaming import process as SP
+
+    if not SP.timers_available():
+        pytest.skip("google.protobuf not installed in this container")
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(k, minute, v, p):
+        return (k, t0 + dt.timedelta(minutes=minute), float(v), p)
+
+    batches = [
+        # key 1 active only here; key 2 trickles on
+        [row(1, 0, 3.0, "a"), row(1, 1, 9.0, "b"), row(1, 2, 5.0, "c"),
+         row(2, 0, 1.0, "x")],
+        [row(2, 30, 2.0, "y")],
+        [row(2, 62, 3.0, "z")],   # watermark passes key 1's ttl timer
+        [row(2, 90, 4.0, "w")],   # flush batch: fired timer is emitted
+    ]
+    stream = _feed_batches(
+        spark, str(tmp_path), batches,
+        "k long, ts timestamp, v double, p string",
+    )
+    out = SP.topn_ttl_stream(
+        stream, "k", "ts", "v", ["p"], n=2,
+        ttl_ms=10 * 60_000, delay="1 minute",
+    )
+    SC.run_to_memory(out, "t_topn_ttl", "update")
+    rows = spark.sql("SELECT * FROM t_topn_ttl").collect()
+    # key 1's live top-2 (from its single input batch): 9.0 then 5.0
+    live1 = sorted(
+        [(r.rn, r.v, r.p) for r in rows if r.k == 1 and not r.evicted]
+    )
+    assert live1 == [(1, 9.0, "b"), (2, 5.0, "c")], rows
+    # the eviction row exists for key 1 — emitted with NO key-1 input
+    # after batch 0 (the timer, driven by key 2's watermark, fired it)
+    ev1 = [r for r in rows if r.k == 1 and r.evicted]
+    assert len(ev1) == 1 and ev1[0].rn == 0, rows
+    # key 2 stayed active the whole run: never evicted
+    assert not [r for r in rows if r.k == 2 and r.evicted], rows
+
+
+def test_stream_cep_timer_expiry_fires_for_silent_key(spark, tmp_path):
+    """r8 (VERDICT r7 task #7): CEP within()-expiry on REAL event-time
+    timers. Key 1 completes an A→B pattern then goes SILENT; only key
+    2's later events advance the watermark. The timer variant emits key
+    1's match (and its timed-out partial) from handleExpiredTimer — the
+    per-key-watermark emulation (pattern_match_stream) structurally
+    cannot, because a silent key's watermark never moves (CepOperator
+    uses the OPERATOR watermark; this pins that semantic)."""
+    import datetime as dt
+
+    from flink_spark.cep import Pattern
+    from flink_spark.streaming import cep_stream as CS
+    from flink_spark.streaming import process as SP
+
+    if not SP.timers_available():
+        pytest.skip("google.protobuf not installed in this container")
+
+    pattern = (
+        Pattern.begin("a").where(lambda e, b: e["tag"] == "A")
+        .next("b").where(lambda e, b: e["tag"] == "B")
+        .within(60_000)  # 1 minute
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(k, sec, tag):
+        return (k, t0 + dt.timedelta(seconds=sec), tag)
+
+    batches = [
+        # key 1: complete A→B match + a dangling A (times out); then silent
+        [row(1, 0, "A"), row(1, 10, "B"), row(1, 20, "A")],
+        # key 2 alone advances the watermark past key 1's windows
+        [row(2, 300, "C")],
+        [row(2, 600, "C")],  # flush: fired timers emit
+    ]
+    stream = _feed_batches(
+        spark, str(tmp_path), batches, "k long, ts timestamp, tag string"
+    )
+    out = CS.pattern_match_stream_timers(
+        stream, pattern, "k", "ts", ["tag"], with_timeouts=True
+    )
+    SC.run_to_memory(out, "t_cep_timers", "append")
+    rows = spark.sql("SELECT * FROM t_cep_timers ORDER BY ts_ms").collect()
+    matches = [(r.step, r.tag) for r in rows if r.k == 1 and r.kind == "match"]
+    assert matches == [("a", "A"), ("b", "B")], rows
+    # the dangling A at sec 20 timed out when the watermark (driven by
+    # key 2 only) passed 20s + 60s
+    touts = [(r.step, r.tag) for r in rows if r.k == 1 and r.kind == "timeout"]
+    assert touts == [("a", "A")], rows
+    # and the per-key-watermark emulation, fed the same stream, emits
+    # NOTHING for key 1 (its own watermark never reached the close) —
+    # the gap the timer variant exists to fix
+    out_emu = CS.pattern_match_stream(
+        _feed_batches(
+            spark, str(tmp_path / "emu"), batches,
+            "k long, ts timestamp, tag string",
+        ),
+        pattern, "k", "ts", ["tag"],
+    )
+    SC.run_to_memory(out_emu, "t_cep_emu", "append")
+    assert not [
+        r for r in spark.sql("SELECT * FROM t_cep_emu").collect() if r.k == 1
+    ]
+
+
 def test_stream_llm_dedup_quality_pipeline(spark):
     """Streaming composition of the LLM-pipeline map-only operators:
     file-stream the documents table, drop exact duplicates on the

@@ -94,23 +94,69 @@ def q4_restructured() -> str:
     )
 
 
+def q4_restructured_v2() -> str:
+    """v2: pre-aggregate each fact on the NARROW c_customer_sk int key
+    (map-side partial agg, cheap shuffle) instead of the 7 wide customer
+    attribute columns, join the three per-channel aggregates on the int
+    key, and resolve customer attrs with ONE customer join at the end.
+    Sound because c_customer_sk and c_customer_id are both unique keys
+    of customer (TPC-DS business key), so the 6-way customer_id join is
+    isomorphic to the sk join; fact rows whose customer_sk misses
+    customer drop at the join either way."""
+    aggs = []
+    for ch, (fact, cust_fk, date_fk, amt) in _CHANNELS.items():
+        aggs.append(f"""agg_{ch} as (
+ select {cust_fk} sk
+       ,sum(case when d_year = 2001 then {amt} end) y1
+       ,sum(case when d_year = 2001+1 then {amt} end) y2
+ from {fact}, date_dim
+ where {date_fk} = d_date_sk
+   and d_year in (2001, 2001+1)
+ group by {cust_fk}
+)""")
+    return (
+        "with " + ",\n".join(aggs) + """
+ select c_customer_id customer_id
+       ,c_first_name customer_first_name
+       ,c_last_name customer_last_name
+       ,c_preferred_cust_flag customer_preferred_cust_flag
+ from agg_s
+ join agg_c on agg_s.sk = agg_c.sk
+ join agg_w on agg_s.sk = agg_w.sk
+ join customer on c_customer_sk = agg_s.sk
+ where agg_s.y1 > 0 and agg_c.y1 > 0 and agg_w.y1 > 0
+   and agg_c.y2 / agg_c.y1 > agg_s.y2 / agg_s.y1
+   and agg_c.y2 / agg_c.y1 > agg_w.y2 / agg_w.y1
+ order by customer_id, customer_first_name, customer_last_name,
+          customer_preferred_cust_flag
+ limit 100"""
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="probe_q4")
     R._register_tpcds(spark)
     orig_text = R._TPCDS_REAL["4"][0]
     new_text = q4_restructured()
+    v2_text = q4_restructured_v2()
 
     # correctness first: identical row sets from the same engine
     a = [tuple(r) for r in spark.sql(orig_text).collect()]
-    b = [tuple(r) for r in spark.sql(new_text).collect()]
-    assert a == b, (
-        f"restructure diverges: {len(a)} vs {len(b)} rows; "
-        f"first diff {next((x for x, y in zip(a, b) if x != y), None)}"
-    )
-    print(f"# correctness: {len(a)} rows identical", file=sys.stderr)
+    for label, text in (("twolevel3", new_text), ("skagg3", v2_text)):
+        b = [tuple(r) for r in spark.sql(text).collect()]
+        assert a == b, (
+            f"{label} diverges: {len(a)} vs {len(b)} rows; "
+            f"first diff {next((x for x, y in zip(a, b) if x != y), None)}"
+        )
+    print(f"# correctness: {len(a)} rows identical (both variants)",
+          file=sys.stderr)
 
     results = {}
-    for label, text in (("inline6", orig_text), ("twolevel3", new_text)):
+    for label, text in (
+        ("inline6", orig_text),
+        ("twolevel3", new_text),
+        ("skagg3", v2_text),
+    ):
         spark.sql(text).toPandas()  # warm
         best = float("inf")
         for _ in range(2):
