@@ -227,7 +227,8 @@ def _register_tpcds(spark: SparkSession) -> None:
 _CTE_MATERIALIZE: dict[str, tuple[str, ...]] = {
     "24a": ("ssales",),
     "24b": ("ssales",),
-    "74": ("year_total",),
+    # "74" left this set in r8: its _SPARK_FULL_REWRITE restructure
+    # (sk-keyed conditional aggregation) removed the year_total CTE.
     "47": ("v1",),
     "57": ("v1",),
     "14a": ("cross_items", "avg_sales"),
@@ -689,6 +690,32 @@ _SPARK_REWRITE: dict[str, tuple[tuple[str, str], ...]] = {
             " and ws_order_number - wr_order_number = 0)",
         ),
     ),
+    # q24a/q24b (r8): ssales' ss ⋈ sr on the composite (ticket, item)
+    # with NO selective filter on either fact side — the q50/q93/q80
+    # probe-cliff shape, packed the same way. The materialized ssales
+    # CTE (both queries, _CTE_MATERIALIZE) builds through this join, so
+    # the pack benefits both references. sf10 min-of-2 through the real
+    # path (tools/probe_r8_family.py): q24b 3.29 -> 2.75 s (-17%);
+    # q24a neutral-to-better across an interleaved 3-trial A/B (mins
+    # 2.97 -> 2.66 s).
+    "24a": (
+        (
+            "where ss_ticket_number = sr_ticket_number",
+            "where xxhash64(ss_ticket_number, ss_item_sk)"
+            " = xxhash64(sr_ticket_number, sr_item_sk)\n"
+            "  and ss_ticket_number - sr_ticket_number = 0",
+        ),
+        ("and ss_item_sk = sr_item_sk", "and ss_item_sk - sr_item_sk = 0"),
+    ),
+    "24b": (
+        (
+            "where ss_ticket_number = sr_ticket_number",
+            "where xxhash64(ss_ticket_number, ss_item_sk)"
+            " = xxhash64(sr_ticket_number, sr_item_sk)\n"
+            "  and ss_ticket_number - sr_ticket_number = 0",
+        ),
+        ("and ss_item_sk = sr_item_sk", "and ss_item_sk - sr_item_sk = 0"),
+    ),
     # q85: ws ⋈ wr on (item, order).
     "85": (
         (
@@ -809,6 +836,160 @@ _SPARK_FULL_REWRITE: dict[str, str] = {
  order by customer_id, customer_first_name, customer_last_name,
           customer_preferred_cust_flag
  limit 100""",
+
+    # q11 (r8): the 4-times-referenced 2-channel year_total CTE — the
+    # q4 shape minus the catalog channel. Same restructure, same
+    # soundness argument as _SPARK_FULL_REWRITE["4"] above (sk and
+    # customer_id are both unique customer keys; NULL y2 -> NULL ratio
+    # -> the > predicate is false, exactly the verbatim inner join +
+    # CASE; the CASE's ELSE 0.0 arm is unreachable because y1 > 0 is
+    # required). Measured sf10 fact volume through the real path
+    # (tools/probe_r8_family.py, min-of-2, row-identical first):
+    # 4.74 -> 2.39 s (-50%).
+    "11": """with agg_s as (
+ select ss_customer_sk sk
+       ,sum(case when d_year = 2001 then ss_ext_list_price-ss_ext_discount_amt end) y1
+       ,sum(case when d_year = 2001+1 then ss_ext_list_price-ss_ext_discount_amt end) y2
+ from store_sales, date_dim
+ where ss_sold_date_sk = d_date_sk and d_year in (2001, 2001+1)
+ group by ss_customer_sk
+),
+agg_w as (
+ select ws_bill_customer_sk sk
+       ,sum(case when d_year = 2001 then ws_ext_list_price-ws_ext_discount_amt end) y1
+       ,sum(case when d_year = 2001+1 then ws_ext_list_price-ws_ext_discount_amt end) y2
+ from web_sales, date_dim
+ where ws_sold_date_sk = d_date_sk and d_year in (2001, 2001+1)
+ group by ws_bill_customer_sk
+)
+select c_customer_id customer_id
+      ,c_first_name customer_first_name
+      ,c_last_name customer_last_name
+      ,c_preferred_cust_flag customer_preferred_cust_flag
+from agg_s
+join agg_w on agg_s.sk = agg_w.sk
+join customer on c_customer_sk = agg_s.sk
+where agg_s.y1 > 0 and agg_w.y1 > 0
+  and case when agg_w.y1 > 0 then agg_w.y2 / agg_w.y1 else 0.0 end
+    > case when agg_s.y1 > 0 then agg_s.y2 / agg_s.y1 else 0.0 end
+order by customer_id, customer_first_name, customer_last_name, customer_preferred_cust_flag
+limit 100""",
+
+    # q74 (r8): same 2-channel year_total shape as q11 (net_paid
+    # amounts, ELSE null — unreachable under y1 > 0 either way; ORDER
+    # BY 1,1,1 is customer_id, unique per output row because year_total
+    # is grouped by it). Replaces the r5 CTE materialization (its
+    # _CTE_MATERIALIZE entry comes out with this rewrite — the CTE it
+    # named no longer exists). Measured sf10 through the real path:
+    # 1.70 -> 1.09 s (-36%).
+    "74": """with agg_s as (
+ select ss_customer_sk sk
+       ,sum(case when d_year = 2001 then ss_net_paid end) y1
+       ,sum(case when d_year = 2001+1 then ss_net_paid end) y2
+ from store_sales, date_dim
+ where ss_sold_date_sk = d_date_sk and d_year in (2001, 2001+1)
+ group by ss_customer_sk
+),
+agg_w as (
+ select ws_bill_customer_sk sk
+       ,sum(case when d_year = 2001 then ws_net_paid end) y1
+       ,sum(case when d_year = 2001+1 then ws_net_paid end) y2
+ from web_sales, date_dim
+ where ws_sold_date_sk = d_date_sk and d_year in (2001, 2001+1)
+ group by ws_bill_customer_sk
+)
+select c_customer_id customer_id
+      ,c_first_name customer_first_name
+      ,c_last_name customer_last_name
+from agg_s
+join agg_w on agg_s.sk = agg_w.sk
+join customer on c_customer_sk = agg_s.sk
+where agg_s.y1 > 0 and agg_w.y1 > 0
+  and case when agg_w.y1 > 0 then agg_w.y2 / agg_w.y1 else null end
+    > case when agg_s.y1 > 0 then agg_s.y2 / agg_s.y1 else null end
+order by customer_id
+limit 100""",
+
+    # q78 (r8): each CTE anti-joins the FULL fact against its returns
+    # table (LEFT JOIN + IS NULL on a composite key) BEFORE the date
+    # join — Catalyst cannot commute the inner date join ahead of the
+    # outer returns join (mixed inner/outer reorder is not performed),
+    # so the anti join probes all ~29M store_sales rows to keep ~20%.
+    # The rewrite nests the date join as a subquery INSIDE each CTE so
+    # the year filter lands before the anti join. Soundness: (fact ⟕
+    # returns) ⋈ date ≡ (fact ⋈ date) ⟕ returns because the outer
+    # join's condition references only fact/returns columns and the
+    # inner join's only fact/date columns (outer-join associativity);
+    # restricting every CTE to d_year = 2000 is exact because the
+    # outer WHERE pins ss_sold_year = 2000 and the final left-join
+    # conditions pin ws/cs_sold_year to it — rows from other years can
+    # never contribute. The constant sold_year columns then drop from
+    # the final join keys. Measured sf10 fact volume (min-of-2,
+    # row-identical vs verbatim in the same engine): 5.75 s verbatim
+    # -> 3.24 s (-44%). Rejected on the same A/B: xxhash64 key packing
+    # (6.09 s — the packed key forfeits column stats, q40's lesson),
+    # NOT EXISTS anti form (9.34 s — CBO plans the explicit anti join
+    # worse than the outer+filter it derives itself), and a redundant
+    # in-place d_year filter without the nesting (8.66 s — perturbs
+    # CBO's estimates while leaving the join order unchanged).
+    "78": """with ws as
+  (select 2000 ws_sold_year, ws_item_sk,
+    ws_customer_sk,
+    sum(ws_quantity) ws_qty,
+    sum(ws_wholesale_cost) ws_wc,
+    sum(ws_sales_price) ws_sp
+   from (select ws_order_number, ws_item_sk, ws_bill_customer_sk ws_customer_sk,
+                cast(ws_quantity as decimal(7, 2)) ws_quantity, ws_wholesale_cost, ws_sales_price
+         from web_sales join date_dim on ws_sold_date_sk = d_date_sk where d_year = 2000) f
+   left join web_returns on wr_order_number=ws_order_number and ws_item_sk=wr_item_sk
+   where wr_order_number is null
+   group by ws_item_sk, ws_customer_sk
+   ),
+cs as
+  (select 2000 cs_sold_year, cs_item_sk,
+    cs_customer_sk,
+    sum(cs_quantity) cs_qty,
+    sum(cs_wholesale_cost) cs_wc,
+    sum(cs_sales_price) cs_sp
+   from (select cs_order_number, cs_item_sk, cs_bill_customer_sk cs_customer_sk,
+                cs_quantity, cs_wholesale_cost, cs_sales_price
+         from catalog_sales join date_dim on cs_sold_date_sk = d_date_sk where d_year = 2000) f
+   left join catalog_returns on cr_order_number=cs_order_number and cs_item_sk=cr_item_sk
+   where cr_order_number is null
+   group by cs_item_sk, cs_customer_sk
+   ),
+ss as
+  (select 2000 ss_sold_year, ss_item_sk,
+    ss_customer_sk,
+    sum(ss_quantity) ss_qty,
+    sum(ss_wholesale_cost) ss_wc,
+    sum(ss_sales_price) ss_sp
+   from (select ss_ticket_number, ss_item_sk, ss_customer_sk,
+                ss_quantity, ss_wholesale_cost, ss_sales_price
+         from store_sales join date_dim on ss_sold_date_sk = d_date_sk where d_year = 2000) f
+   left join store_returns on sr_ticket_number=ss_ticket_number and ss_item_sk=sr_item_sk
+   where sr_ticket_number is null
+   group by ss_item_sk, ss_customer_sk
+   )
+ select
+ss_sold_year, ss_item_sk, ss_customer_sk,
+round(ss_qty/(coalesce(ws_qty,0)+coalesce(cs_qty,0)),2) ratio,
+ss_qty store_qty, ss_wc store_wholesale_cost, ss_sp store_sales_price,
+coalesce(ws_qty,0)+coalesce(cs_qty,0) other_chan_qty,
+coalesce(ws_wc,0)+coalesce(cs_wc,0) other_chan_wholesale_cost,
+coalesce(ws_sp,0)+coalesce(cs_sp,0) other_chan_sales_price
+from ss
+left join ws on (ws_item_sk=ss_item_sk and ws_customer_sk=ss_customer_sk)
+left join cs on (cs_item_sk=ss_item_sk and cs_customer_sk=ss_customer_sk)
+where (coalesce(ws_qty,0)>0 or coalesce(cs_qty, 0)>0)
+order by
+  ss_sold_year, ss_item_sk, ss_customer_sk,
+  ss_qty desc, ss_wc desc, ss_sp desc,
+  other_chan_qty,
+  other_chan_wholesale_cost,
+  other_chan_sales_price,
+  ratio
+limit 100""",
 }
 
 
