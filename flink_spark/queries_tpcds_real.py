@@ -690,6 +690,37 @@ _SPARK_REWRITE: dict[str, tuple[tuple[str, str], ...]] = {
             " and ws_order_number - wr_order_number = 0)",
         ),
     ),
+    # q14a/q14b (r8): each INTERSECT leg of cross_items joins the FULL
+    # fact to item only to emit the sold items' (brand, class,
+    # category) triples — a fact-sized hash join whose output is
+    # immediately set-deduped. The rewrite turns each leg into
+    # `item WHERE i_item_sk IN (fact-date subquery)`: the fact side
+    # reduces to a distinct int semi-join build before item is
+    # touched. Multiplicity is irrelevant under INTERSECT (set
+    # semantics), and the semi join admits exactly the items the
+    # verbatim inner join would; the leg's projected triples are
+    # identical. Applied inside the materialized cross_items build, so
+    # both references benefit. Measured sf10 through the real path
+    # (min-of-2, row-multiset-identical first): q14a 5.58 -> 4.27 s
+    # (-23%), q14b 4.23 -> 3.82 s (-10%).
+    "14a": tuple(
+        (
+            f" from {fact}\n     ,item {alias}\n     ,date_dim {dd}\n"
+            f" where {fk} = {alias}.i_item_sk\n"
+            f"   and {datefk} = {dd}.d_date_sk\n"
+            f"   and {dd}.d_year between 1999 AND 1999 + 2",
+            f" from item {alias}\n"
+            f" where {alias}.i_item_sk in (select {fk}\n"
+            f"   from {fact}, date_dim {dd}\n"
+            f"   where {datefk} = {dd}.d_date_sk\n"
+            f"   and {dd}.d_year between 1999 AND 1999 + 2)",
+        )
+        for fact, alias, fk, datefk, dd in (
+            ("store_sales", "iss", "ss_item_sk", "ss_sold_date_sk", "d1"),
+            ("catalog_sales", "ics", "cs_item_sk", "cs_sold_date_sk", "d2"),
+            ("web_sales", "iws", "ws_item_sk", "ws_sold_date_sk", "d3"),
+        )
+    ),
     # q24a/q24b (r8): ssales' ss ⋈ sr on the composite (ticket, item)
     # with NO selective filter on either fact side — the q50/q93/q80
     # probe-cliff shape, packed the same way. The materialized ssales
@@ -774,6 +805,8 @@ and ws1.ws_order_number in (select ws_order_number
         ),
     ),
 }
+# q14b shares q14a's cross_items CTE verbatim — same leg rewrites.
+_SPARK_REWRITE["14b"] = _SPARK_REWRITE["14a"]
 
 
 # Third rule (r8, VERDICT r7 task #2): whole-text restructures, applied
@@ -809,7 +842,100 @@ _Q4_CHANNELS = (
      "+ws_ext_sales_price)/2)"),
 )
 
+# q23a/q23b (r8): shared CTE restructure. frequent_ss_items groups by
+# (substr(i_item_desc,1,30), i_item_sk, d_date) — itemdesc is
+# functionally dependent on i_item_sk (item's primary key), so the
+# item join contributes only FK validation while shuffling a 30-char
+# string in every group key, twice (both IN-subquery references inline).
+# The rewrite groups by (ss_item_sk, d_date), keeps a broadcast semi
+# join on item for the FK filter, and emits DISTINCT item_sk (the only
+# consumer is IN, which ignores multiplicity). max_store_sales /
+# best_ss_customer join customer only to group by its unique key
+# c_customer_sk — grouped by ss_customer_sk directly with a semi join
+# on customer (a NULL ss_customer_sk fails the verbatim inner join and
+# the semi join identically). Measured sf10 through the real path
+# (tools/probe_q23.py, min-of-2, row-identical first): q23a 7.23 ->
+# 2.99 s (-59%), q23b 4.35 -> 2.13 s (-51%). Rejected on the same A/B:
+# materializing the two double-referenced CTEs (8.10 / 5.13 s — the
+# persisted views forfeit the stats-mode plan downstream, the q1/q30
+# mechanism).
+_Q23_CTES = """with frequent_ss_items as
+ (select distinct ss_item_sk item_sk
+  from (select ss_item_sk, d_date, count(*) cnt
+        from store_sales, date_dim
+        where ss_sold_date_sk = d_date_sk
+          and d_year in (2000,2000+1,2000+2,2000+3)
+          and ss_item_sk in (select i_item_sk from item)
+        group by ss_item_sk, d_date
+        having count(*) > 4)),
+ max_store_sales as
+ (select max(csales) tpcds_cmax
+  from (select ss_customer_sk, sum(ss_quantity*ss_sales_price) csales
+        from store_sales, date_dim
+        where ss_sold_date_sk = d_date_sk
+          and d_year in (2000,2000+1,2000+2,2000+3)
+          and ss_customer_sk in (select c_customer_sk from customer)
+        group by ss_customer_sk)),
+ best_ss_customer as
+ (select ss_customer_sk c_customer_sk, sum(ss_quantity*ss_sales_price) ssales
+  from store_sales
+  where ss_customer_sk in (select c_customer_sk from customer)
+  group by ss_customer_sk
+  having sum(ss_quantity*ss_sales_price) > (50/100.0) * (select
+  *
+from
+ max_store_sales))"""
+
 _SPARK_FULL_REWRITE: dict[str, str] = {
+    "23a": _Q23_CTES + """
+  select  sum(sales)
+ from (select cs_quantity*cs_list_price sales
+       from catalog_sales
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and cs_sold_date_sk = d_date_sk
+         and cs_item_sk in (select item_sk from frequent_ss_items)
+         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+      union all
+      select ws_quantity*ws_list_price sales
+       from web_sales
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and ws_sold_date_sk = d_date_sk
+         and ws_item_sk in (select item_sk from frequent_ss_items)
+         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer))
+ limit 100""",
+
+    "23b": _Q23_CTES + """
+  select  c_last_name,c_first_name,sales
+ from (select c_last_name,c_first_name,sum(cs_quantity*cs_list_price) sales
+        from catalog_sales
+            ,customer
+            ,date_dim
+        where d_year = 2000
+         and d_moy = 2
+         and cs_sold_date_sk = d_date_sk
+         and cs_item_sk in (select item_sk from frequent_ss_items)
+         and cs_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+         and cs_bill_customer_sk = c_customer_sk
+       group by c_last_name,c_first_name
+      union all
+      select c_last_name,c_first_name,sum(ws_quantity*ws_list_price) sales
+       from web_sales
+           ,customer
+           ,date_dim
+       where d_year = 2000
+         and d_moy = 2
+         and ws_sold_date_sk = d_date_sk
+         and ws_item_sk in (select item_sk from frequent_ss_items)
+         and ws_bill_customer_sk in (select c_customer_sk from best_ss_customer)
+         and ws_bill_customer_sk = c_customer_sk
+       group by c_last_name,c_first_name)
+     order by c_last_name,c_first_name,sales
+  limit 100""",
+
     "4": "with " + ",\n".join(
         f"""agg_{ch} as (
  select {cust_fk} sk
