@@ -120,6 +120,7 @@ _R7_PRIORITY = [
 _R8_REVERIFY = [
     "tpcds_real_q80", "tpcds_real_q50", "tpcds_real_q17",
     "tpcds_real_q25", "tpcds_real_q29", "tpcds_real_q4",
+    "tpcds_real_q11",  # sk-keyed year_total rewrite (same family as q4/q74)
     "tpcds_real_q14a", "tpcds_real_q14b", "tpcds_real_q23a",
     "tpcds_real_q23b", "tpcds_real_q24a", "tpcds_real_q24b",
     "tpcds_real_q2", "tpcds_real_q5", "tpcds_real_q38",

@@ -1116,6 +1116,269 @@ order by
   other_chan_sales_price,
   ratio
 limit 100""",
+
+    # q9 (r8): 15 scalar subqueries = 15 store_sales scans under
+    # Catalyst (scalar subqueries never share scans). One conditional
+    # aggregate: count(*) under a bucket predicate == count(CASE pred),
+    # avg over pred rows == avg(CASE pred THEN col) (avg skips NULLs);
+    # reason(r_reason_sk=1) stays a 1-row cross join. Measured sf10
+    # fact volume through the real path (tools/probe_r8b.py, min-of-2,
+    # row-identical first): 2.16 -> 0.72 s (-67%).
+    "9": """with agg as (select
+  count(case when ss_quantity between 1 and 20 then 1 end) c1,
+  avg(case when ss_quantity between 1 and 20 then ss_ext_discount_amt end) d1,
+  avg(case when ss_quantity between 1 and 20 then ss_net_paid end) n1,
+  count(case when ss_quantity between 21 and 40 then 1 end) c2,
+  avg(case when ss_quantity between 21 and 40 then ss_ext_discount_amt end) d2,
+  avg(case when ss_quantity between 21 and 40 then ss_net_paid end) n2,
+  count(case when ss_quantity between 41 and 60 then 1 end) c3,
+  avg(case when ss_quantity between 41 and 60 then ss_ext_discount_amt end) d3,
+  avg(case when ss_quantity between 41 and 60 then ss_net_paid end) n3,
+  count(case when ss_quantity between 61 and 80 then 1 end) c4,
+  avg(case when ss_quantity between 61 and 80 then ss_ext_discount_amt end) d4,
+  avg(case when ss_quantity between 61 and 80 then ss_net_paid end) n4,
+  count(case when ss_quantity between 81 and 100 then 1 end) c5,
+  avg(case when ss_quantity between 81 and 100 then ss_ext_discount_amt end) d5,
+  avg(case when ss_quantity between 81 and 100 then ss_net_paid end) n5
+ from store_sales where ss_quantity between 1 and 100)
+select case when c1 > 74129 then d1 else n1 end bucket1,
+       case when c2 > 122840 then d2 else n2 end bucket2,
+       case when c3 > 56580 then d3 else n3 end bucket3,
+       case when c4 > 10097 then d4 else n4 end bucket4,
+       case when c5 > 165306 then d5 else n5 end bucket5
+from reason, agg where r_reason_sk = 1""",
+
+    # q28 (r8): 6 bucket subqueries = 6 store_sales scans. The naive
+    # single-scan collapse with count(distinct CASE) LOST (+10% sf10: the
+    # 6-way distinct is an Expand x7 over every OR-matched row). Shipped
+    # two-level form: group by ss_list_price FIRST with per-bucket row
+    # counts (map-side combinable, shuffle |distinct prices| not |rows|),
+    # then fold the price groups -- CNT = sum of bucket counts over
+    # non-NULL prices, CNTD = count of price groups with a bucket hit,
+    # LP = sum(p*cnt)/sum(cnt) cast to avg's decimal(11,6) (same HALF_UP
+    # rounding; row-identity asserted at sf1 + sf10). Measured sf10:
+    # 2.65 -> 0.73 s (-72%).
+    "28": """with g as (select ss_list_price p,
+  count(case when (ss_quantity between 0 and 5 and (ss_list_price between 8 and 8+10 or ss_coupon_amt between 459 and 459+1000 or ss_wholesale_cost between 57 and 57+20)) then 1 end) c1,
+  count(case when (ss_quantity between 6 and 10 and (ss_list_price between 90 and 90+10 or ss_coupon_amt between 2323 and 2323+1000 or ss_wholesale_cost between 31 and 31+20)) then 1 end) c2,
+  count(case when (ss_quantity between 11 and 15 and (ss_list_price between 142 and 142+10 or ss_coupon_amt between 12214 and 12214+1000 or ss_wholesale_cost between 79 and 79+20)) then 1 end) c3,
+  count(case when (ss_quantity between 16 and 20 and (ss_list_price between 135 and 135+10 or ss_coupon_amt between 6071 and 6071+1000 or ss_wholesale_cost between 38 and 38+20)) then 1 end) c4,
+  count(case when (ss_quantity between 21 and 25 and (ss_list_price between 122 and 122+10 or ss_coupon_amt between 836 and 836+1000 or ss_wholesale_cost between 17 and 17+20)) then 1 end) c5,
+  count(case when (ss_quantity between 26 and 30 and (ss_list_price between 154 and 154+10 or ss_coupon_amt between 7326 and 7326+1000 or ss_wholesale_cost between 7 and 7+20)) then 1 end) c6
+ from store_sales
+ where (ss_quantity between 0 and 5 and (ss_list_price between 8 and 8+10 or ss_coupon_amt between 459 and 459+1000 or ss_wholesale_cost between 57 and 57+20))
+    or (ss_quantity between 6 and 10 and (ss_list_price between 90 and 90+10 or ss_coupon_amt between 2323 and 2323+1000 or ss_wholesale_cost between 31 and 31+20))
+    or (ss_quantity between 11 and 15 and (ss_list_price between 142 and 142+10 or ss_coupon_amt between 12214 and 12214+1000 or ss_wholesale_cost between 79 and 79+20))
+    or (ss_quantity between 16 and 20 and (ss_list_price between 135 and 135+10 or ss_coupon_amt between 6071 and 6071+1000 or ss_wholesale_cost between 38 and 38+20))
+    or (ss_quantity between 21 and 25 and (ss_list_price between 122 and 122+10 or ss_coupon_amt between 836 and 836+1000 or ss_wholesale_cost between 17 and 17+20))
+    or (ss_quantity between 26 and 30 and (ss_list_price between 154 and 154+10 or ss_coupon_amt between 7326 and 7326+1000 or ss_wholesale_cost between 7 and 7+20))
+ group by ss_list_price)
+select cast(sum(p * c1) / sum(case when c1 > 0 then c1 end) as decimal(11,6)) B1_LP,
+       coalesce(sum(case when p is not null then c1 end), 0) B1_CNT,
+       count(case when p is not null and c1 > 0 then 1 end) B1_CNTD,
+       cast(sum(p * c2) / sum(case when c2 > 0 then c2 end) as decimal(11,6)) B2_LP,
+       coalesce(sum(case when p is not null then c2 end), 0) B2_CNT,
+       count(case when p is not null and c2 > 0 then 1 end) B2_CNTD,
+       cast(sum(p * c3) / sum(case when c3 > 0 then c3 end) as decimal(11,6)) B3_LP,
+       coalesce(sum(case when p is not null then c3 end), 0) B3_CNT,
+       count(case when p is not null and c3 > 0 then 1 end) B3_CNTD,
+       cast(sum(p * c4) / sum(case when c4 > 0 then c4 end) as decimal(11,6)) B4_LP,
+       coalesce(sum(case when p is not null then c4 end), 0) B4_CNT,
+       count(case when p is not null and c4 > 0 then 1 end) B4_CNTD,
+       cast(sum(p * c5) / sum(case when c5 > 0 then c5 end) as decimal(11,6)) B5_LP,
+       coalesce(sum(case when p is not null then c5 end), 0) B5_CNT,
+       count(case when p is not null and c5 > 0 then 1 end) B5_CNTD,
+       cast(sum(p * c6) / sum(case when c6 > 0 then c6 end) as decimal(11,6)) B6_LP,
+       coalesce(sum(case when p is not null then c6 end), 0) B6_CNT,
+       count(case when p is not null and c6 > 0 then 1 end) B6_CNTD
+from g
+limit 100""",
+
+    # q88 (r8): 8 half-hour count(*) subqueries sharing the hd/store
+    # predicates = 8 four-table join pipelines. One join pass under the
+    # union of the time windows, counts split per bucket. Measured sf10:
+    # 1.01 -> 0.23 s (-77%).
+    "88": """select count(case when t_hour = 8 and t_minute >= 30 then 1 end) h8_30_to_9,
+       count(case when t_hour = 9 and t_minute < 30 then 1 end) h9_to_9_30,
+       count(case when t_hour = 9 and t_minute >= 30 then 1 end) h9_30_to_10,
+       count(case when t_hour = 10 and t_minute < 30 then 1 end) h10_to_10_30,
+       count(case when t_hour = 10 and t_minute >= 30 then 1 end) h10_30_to_11,
+       count(case when t_hour = 11 and t_minute < 30 then 1 end) h11_to_11_30,
+       count(case when t_hour = 11 and t_minute >= 30 then 1 end) h11_30_to_12,
+       count(case when t_hour = 12 and t_minute < 30 then 1 end) h12_to_12_30
+from store_sales, household_demographics, time_dim, store
+where ss_sold_time_sk = time_dim.t_time_sk
+  and ss_hdemo_sk = household_demographics.hd_demo_sk
+  and ss_store_sk = s_store_sk
+  and ((t_hour = 8 and t_minute >= 30) or t_hour in (9, 10, 11)
+       or (t_hour = 12 and t_minute < 30))
+  and ((household_demographics.hd_dep_count = 4 and household_demographics.hd_vehicle_count<=4+2) or
+       (household_demographics.hd_dep_count = 2 and household_demographics.hd_vehicle_count<=2+2) or
+       (household_demographics.hd_dep_count = 0 and household_demographics.hd_vehicle_count<=0+2))
+  and store.s_store_name = 'ese'""",
+
+    # q31 (r8): 6 CTE refs (ss x q1/q2/q3, ws x q1/q2/q3) = 6 fact
+    # scans. Quarter-pivot per channel (2 scans); the verbatim's inner
+    # joins enforce per-quarter GROUP EXISTENCE, reproduced by HAVING
+    # count(CASE qoy)>0 (a quarter group exists iff >= 1 joined row,
+    # independent of NULL sums); NULL ca_county groups excluded -- the
+    # verbatim equality joins drop them. Output ratios q2/q1, q3/q2 are
+    # emitted unconditionally exactly as the verbatim does (surviving
+    # rows have q1,q2 > 0 from the CASE predicates). Measured sf10:
+    # 2.10 -> 1.37 s (-35%).
+    "31": """with ssp as (select ca_county,
+   sum(case when d_qoy = 1 then ss_ext_sales_price end) q1,
+   count(case when d_qoy = 1 then 1 end) n1,
+   sum(case when d_qoy = 2 then ss_ext_sales_price end) q2,
+   count(case when d_qoy = 2 then 1 end) n2,
+   sum(case when d_qoy = 3 then ss_ext_sales_price end) q3,
+   count(case when d_qoy = 3 then 1 end) n3
+ from store_sales, date_dim, customer_address
+ where ss_sold_date_sk = d_date_sk and ss_addr_sk = ca_address_sk
+   and d_year = 2000 and d_qoy in (1, 2, 3)
+   and ca_county is not null
+ group by ca_county
+ having count(case when d_qoy = 1 then 1 end) > 0
+    and count(case when d_qoy = 2 then 1 end) > 0
+    and count(case when d_qoy = 3 then 1 end) > 0),
+wsp as (select ca_county,
+   sum(case when d_qoy = 1 then ws_ext_sales_price end) q1,
+   count(case when d_qoy = 1 then 1 end) n1,
+   sum(case when d_qoy = 2 then ws_ext_sales_price end) q2,
+   count(case when d_qoy = 2 then 1 end) n2,
+   sum(case when d_qoy = 3 then ws_ext_sales_price end) q3,
+   count(case when d_qoy = 3 then 1 end) n3
+ from web_sales, date_dim, customer_address
+ where ws_sold_date_sk = d_date_sk and ws_bill_addr_sk = ca_address_sk
+   and d_year = 2000 and d_qoy in (1, 2, 3)
+   and ca_county is not null
+ group by ca_county
+ having count(case when d_qoy = 1 then 1 end) > 0
+    and count(case when d_qoy = 2 then 1 end) > 0
+    and count(case when d_qoy = 3 then 1 end) > 0)
+select ssp.ca_county
+      ,2000 d_year
+      ,wsp.q2/wsp.q1 web_q1_q2_increase
+      ,ssp.q2/ssp.q1 store_q1_q2_increase
+      ,wsp.q3/wsp.q2 web_q2_q3_increase
+      ,ssp.q3/ssp.q2 store_q2_q3_increase
+from ssp join wsp on ssp.ca_county = wsp.ca_county
+where case when wsp.q1 > 0 then wsp.q2/wsp.q1 else null end
+    > case when ssp.q1 > 0 then ssp.q2/ssp.q1 else null end
+  and case when wsp.q2 > 0 then wsp.q3/wsp.q2 else null end
+    > case when ssp.q2 > 0 then ssp.q3/ssp.q2 else null end
+order by ssp.ca_county""",
+
+    # q51 (r8): two windowed CTEs + full outer join + re-window = 3
+    # shuffles + 3 sorts. Union-agg both channels by (item, d_date) once,
+    # then ONE (item, d_date) sort serves the per-channel running sums
+    # AND the running maxes. A channel's cume is NULL-masked on days that
+    # channel had no rows (the full outer join's NULL side); the window
+    # SUM skips NULL day-sums exactly as the per-channel window stepped
+    # over that channel's dates only. Measured sf10: 2.84 -> 1.22 s
+    # (-57%).
+    "51": """with daily as (
+ select item_sk, d_date,
+        sum(case when ch = 1 then price end) w_sum,
+        max(case when ch = 1 then 1 end) w_has,
+        sum(case when ch = 2 then price end) s_sum,
+        max(case when ch = 2 then 1 end) s_has
+ from (select ws_item_sk item_sk, d_date, ws_sales_price price, 1 ch
+       from web_sales, date_dim
+       where ws_sold_date_sk = d_date_sk
+         and d_month_seq between 1200 and 1200+11
+         and ws_item_sk is not null
+       union all
+       select ss_item_sk, d_date, ss_sales_price, 2
+       from store_sales, date_dim
+       where ss_sold_date_sk = d_date_sk
+         and d_month_seq between 1200 and 1200+11
+         and ss_item_sk is not null) u
+ group by item_sk, d_date
+),
+v as (
+ select item_sk, d_date,
+   case when w_has = 1 then sum(w_sum) over
+     (partition by item_sk order by d_date
+      rows between unbounded preceding and current row) end web_sales,
+   case when s_has = 1 then sum(s_sum) over
+     (partition by item_sk order by d_date
+      rows between unbounded preceding and current row) end store_sales
+ from daily
+)
+select * from (
+ select item_sk, d_date, web_sales, store_sales,
+   max(web_sales) over (partition by item_sk order by d_date
+      rows between unbounded preceding and current row) web_cumulative,
+   max(store_sales) over (partition by item_sk order by d_date
+      rows between unbounded preceding and current row) store_cumulative
+ from v) y
+where web_cumulative > store_cumulative
+order by item_sk, d_date
+limit 100""",
+
+    # q75 (r8): all_sales is a 2-ref CTE -> 6 one-year fact scans
+    # after InlineCTE + pushdown. Year-pivot over ONE pass (3 two-year
+    # scans): the UNION dedups full tuples including d_year, so
+    # year-filter-then-dedup == dedup-then-year-filter; per-year group
+    # existence (the verbatim self-join is inner) becomes HAVING counts;
+    # NULL item-id groups excluded as the verbatim equality join drops
+    # them. Measured sf10: 4.84 -> 3.75 s (-23%).
+    "75": """with sales_detail as (
+ SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+        cs_quantity - COALESCE(cr_return_quantity,0) AS sales_cnt,
+        cs_ext_sales_price - COALESCE(cr_return_amount,0.0) AS sales_amt
+ FROM catalog_sales JOIN item ON i_item_sk=cs_item_sk
+                    JOIN date_dim ON d_date_sk=cs_sold_date_sk
+                    LEFT JOIN catalog_returns ON (cs_order_number=cr_order_number
+                                              AND cs_item_sk=cr_item_sk)
+ WHERE i_category='Books' AND d_year IN (2001, 2002)
+ UNION
+ SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+        ss_quantity - COALESCE(sr_return_quantity,0),
+        ss_ext_sales_price - COALESCE(sr_return_amt,0.0)
+ FROM store_sales JOIN item ON i_item_sk=ss_item_sk
+                  JOIN date_dim ON d_date_sk=ss_sold_date_sk
+                  LEFT JOIN store_returns ON (ss_ticket_number=sr_ticket_number
+                                          AND ss_item_sk=sr_item_sk)
+ WHERE i_category='Books' AND d_year IN (2001, 2002)
+ UNION
+ SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+        ws_quantity - COALESCE(wr_return_quantity,0),
+        ws_ext_sales_price - COALESCE(wr_return_amt,0.0)
+ FROM web_sales JOIN item ON i_item_sk=ws_item_sk
+                JOIN date_dim ON d_date_sk=ws_sold_date_sk
+                LEFT JOIN web_returns ON (ws_order_number=wr_order_number
+                                      AND ws_item_sk=wr_item_sk)
+ WHERE i_category='Books' AND d_year IN (2001, 2002)
+),
+pv as (
+ select i_brand_id, i_class_id, i_category_id, i_manufact_id,
+        sum(case when d_year = 2001 then sales_cnt end) prev_cnt,
+        sum(case when d_year = 2001 then sales_amt end) prev_amt,
+        sum(case when d_year = 2002 then sales_cnt end) curr_cnt,
+        sum(case when d_year = 2002 then sales_amt end) curr_amt
+ from sales_detail
+ where i_brand_id is not null and i_class_id is not null
+   and i_category_id is not null and i_manufact_id is not null
+ group by i_brand_id, i_class_id, i_category_id, i_manufact_id
+ having count(case when d_year = 2001 then 1 end) > 0
+    and count(case when d_year = 2002 then 1 end) > 0
+)
+SELECT 2001 AS prev_year
+      ,2002 AS `year`
+      ,i_brand_id
+      ,i_class_id
+      ,i_category_id
+      ,i_manufact_id
+      ,prev_cnt AS prev_yr_cnt
+      ,curr_cnt AS curr_yr_cnt
+      ,curr_cnt - prev_cnt AS sales_cnt_diff
+      ,curr_amt - prev_amt AS sales_amt_diff
+FROM pv
+WHERE CAST(curr_cnt AS DECIMAL(17,2))/CAST(prev_cnt AS DECIMAL(17,2)) < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff
+limit 100""",
 }
 
 
