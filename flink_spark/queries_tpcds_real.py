@@ -804,6 +804,28 @@ and ws1.ws_order_number in (select ws_order_number
             having min(ws_warehouse_sk) <> max(ws_warehouse_sk))""",
         ),
     ),
+    # q95 (r8): ws_wh (web_sales self-join on order number with two
+    # different warehouses) only ever feeds IN-subqueries, so it
+    # collapses to the q94/q16 min<>max aggregate: an order has two
+    # different non-NULL warehouses iff min(wh) <> max(wh) (the `<>`
+    # in the verbatim null-rejects both sides). Map-side-combinable
+    # aggregate replaces the fact self-join; wh1/wh2 keep the CTE's
+    # schema. Measured sf10 via tools/probe_r8c.py (min-of-2,
+    # row-identical first): 2.12 -> 1.48 s (-30%). Oracle runs the
+    # verbatim text.
+    "95": (
+        (
+            """(select ws1.ws_order_number,ws1.ws_warehouse_sk wh1,ws2.ws_warehouse_sk wh2
+ from web_sales ws1,web_sales ws2
+ where ws1.ws_order_number = ws2.ws_order_number
+   and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)""",
+            """(select ws_order_number, min(ws_warehouse_sk) wh1, max(ws_warehouse_sk) wh2
+ from web_sales
+ where ws_warehouse_sk is not null
+ group by ws_order_number
+ having min(ws_warehouse_sk) <> max(ws_warehouse_sk))""",
+        ),
+    ),
 }
 # q14b shares q14a's cross_items CTE verbatim — same leg rewrites.
 _SPARK_REWRITE["14b"] = _SPARK_REWRITE["14a"]
@@ -1378,6 +1400,54 @@ SELECT 2001 AS prev_year
 FROM pv
 WHERE CAST(curr_cnt AS DECIMAL(17,2))/CAST(prev_cnt AS DECIMAL(17,2)) < 0.9
 ORDER BY sales_cnt_diff, sales_amt_diff
+limit 100""",
+
+    # q67 (r8): the ROLLUP over 8 columns runs Catalyst's Expand x9 over
+    # every joined fact row. Pre-aggregate at the finest (8-column)
+    # granularity FIRST, then rollup over the pre-agg: summing pre-agged
+    # sums per rollup level yields the identical output multiset (sum
+    # associativity; the per-row coalesce applies at the base level in
+    # both forms; genuine NULL group values flow through the two forms
+    # identically), while the Expand runs over |finest groups| instead
+    # of |fact rows|. Measured sf10 via tools/probe_r8c.py (min-of-2,
+    # row-identical first): 3.65 -> 1.77 s (-51%). q97's packed-key
+    # probe is a measured LOSS (+12%): the verbatim full outer join
+    # reuses both aggs' (customer, item) hash partitioning with no new
+    # exchange, and packing the keys into one bigint forces a
+    # re-shuffle by expression - left verbatim.
+    "67": """with base as (
+ select i_category, i_class, i_brand, i_product_name,
+        d_year, d_qoy, d_moy, s_store_id,
+        sum(coalesce(ss_sales_price*ss_quantity,0)) s
+ from store_sales, date_dim, store, item
+ where ss_sold_date_sk=d_date_sk
+   and ss_item_sk=i_item_sk
+   and ss_store_sk = s_store_sk
+   and d_month_seq between 1200 and 1200+11
+ group by i_category, i_class, i_brand, i_product_name,
+          d_year, d_qoy, d_moy, s_store_id
+)
+select * from (
+ select i_category, i_class, i_brand, i_product_name,
+        d_year, d_qoy, d_moy, s_store_id, sumsales,
+        rank() over (partition by i_category order by sumsales desc) rk
+ from (select i_category, i_class, i_brand, i_product_name,
+              d_year, d_qoy, d_moy, s_store_id,
+              sum(s) sumsales
+       from base
+       group by rollup(i_category, i_class, i_brand, i_product_name,
+                       d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+where rk <= 100
+order by i_category
+        ,i_class
+        ,i_brand
+        ,i_product_name
+        ,d_year
+        ,d_qoy
+        ,d_moy
+        ,s_store_id
+        ,sumsales
+        ,rk
 limit 100""",
 }
 
