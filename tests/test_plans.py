@@ -367,3 +367,17 @@ def test_q95_self_join_collapsed_to_minmax(spark):
     plan = plan_of(spark, "tpcds_real_q95")
     assert "min(ws_warehouse_sk" in plan and "max(ws_warehouse_sk" in plan, plan
     assert "NOT (ws_warehouse_sk" not in plan, plan
+
+
+@pytest.mark.parametrize("name,gone", [
+    # r8 activity-flag family: the OR-of-EXISTS forced ExistenceJoin
+    # nodes (q10/q35) and NOT-EXISTS forced LeftAnti (q69) in the
+    # verbatim; the union-agg flag rewrite plans ONE semi join and no
+    # per-channel existence machinery.
+    ("tpcds_real_q10", "ExistenceJoin"),
+    ("tpcds_real_q35", "ExistenceJoin"),
+    ("tpcds_real_q69", "LeftAnti"),
+])
+def test_activity_flag_family_single_pass(spark, name, gone):
+    plan = plan_of(spark, name)
+    assert gone not in plan, plan
