@@ -1699,6 +1699,66 @@ select
           cd_purchase_estimate,
           cd_credit_rating
  limit 100""",
+
+    # q38 / q87 (r8): INTERSECT / EXCEPT-chain over distinct
+    # (last, first, date) tuples. Set ops and GROUP BY share null-safe
+    # tuple equality, so the 3 per-channel distinct aggregates + 2
+    # set-op joins collapse into ONE flag group-by over the channel
+    # union: intersect == all three flags set, except-chain == store
+    # flag only. Same total shuffle volume (the union's partial
+    # distinct combines map-side), ZERO set-op joins left. Measured
+    # sf10 (tools/probe_r8f.py, min-of-2, row-identical): q38
+    # 1.57 -> 1.16 s (-26%), q87 1.35 -> 1.13 s (-17%). Oracle runs
+    # the verbatim set-op texts.
+    "38": """select count(*) from (
+ select c_last_name, c_first_name, d_date
+ from (
+   select c_last_name, c_first_name, d_date, 1 ch
+   from store_sales, date_dim, customer
+   where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     and store_sales.ss_customer_sk = customer.c_customer_sk
+     and d_month_seq between 1200 and 1200 + 11 union all
+   select c_last_name, c_first_name, d_date, 2 ch
+   from catalog_sales, date_dim, customer
+   where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+     and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+     and d_month_seq between 1200 and 1200 + 11 union all
+   select c_last_name, c_first_name, d_date, 3 ch
+   from web_sales, date_dim, customer
+   where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+     and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+     and d_month_seq between 1200 and 1200 + 11
+ ) u
+ group by c_last_name, c_first_name, d_date
+ having max(case when ch = 1 then 1 end) = 1
+    and max(case when ch = 2 then 1 end) = 1
+    and max(case when ch = 3 then 1 end) = 1
+) hot_cust
+limit 100""",
+    "87": """select count(*) from (
+ select c_last_name, c_first_name, d_date
+ from (
+   select c_last_name, c_first_name, d_date, 1 ch
+   from store_sales, date_dim, customer
+   where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     and store_sales.ss_customer_sk = customer.c_customer_sk
+     and d_month_seq between 1200 and 1200 + 11 union all
+   select c_last_name, c_first_name, d_date, 2 ch
+   from catalog_sales, date_dim, customer
+   where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+     and catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+     and d_month_seq between 1200 and 1200 + 11 union all
+   select c_last_name, c_first_name, d_date, 3 ch
+   from web_sales, date_dim, customer
+   where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+     and web_sales.ws_bill_customer_sk = customer.c_customer_sk
+     and d_month_seq between 1200 and 1200 + 11
+ ) u
+ group by c_last_name, c_first_name, d_date
+ having max(case when ch = 1 then 1 end) = 1
+    and max(case when ch = 2 then 1 end) is null
+    and max(case when ch = 3 then 1 end) is null
+) cool_cust""",
 }
 
 

@@ -291,9 +291,10 @@ def test_intersect_family_channels_broadcast_dims(spark, name):
     plan = plan_of(spark, name)
     # explain-formatted double-counts each operator (tree + details)
     assert plan.count("BroadcastHashJoin") >= 12, plan  # 2 dims x 3 channels
-    # the set-op joins (2) may shuffle; no OTHER shuffled join allowed
+    # r8: the set-op joins are GONE (flag group-by rewrite) — no
+    # shuffled join of any kind survives
     shuffled = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
-    assert shuffled <= 4, plan  # 2 set-op joins, double-counted
+    assert shuffled == 0, plan
 
 
 def _scan_count(plan: str, table: str) -> int:
