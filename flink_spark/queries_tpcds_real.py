@@ -1177,9 +1177,12 @@ from reason, agg where r_reason_sk = 1""",
     # counts (map-side combinable, shuffle |distinct prices| not |rows|),
     # then fold the price groups -- CNT = sum of bucket counts over
     # non-NULL prices, CNTD = count of price groups with a bucket hit,
-    # LP = sum(p*cnt)/sum(cnt) cast to avg's decimal(11,6) (same HALF_UP
-    # rounding; row-identity asserted at sf1 + sf10). Measured sf10:
-    # 2.65 -> 0.73 s (-72%).
+    # LP = sum(p*cnt)/sum(cnt over non-NULL-p groups) cast to avg's
+    # decimal(11,6) (same HALF_UP rounding; the denominator guards
+    # `p is not null` like B*_CNT does, since avg(ss_list_price)
+    # excludes NULL prices even when the row matched via the coupon /
+    # wholesale OR-legs -- ADVICE r8; row-identity asserted at sf1 +
+    # sf10). Measured sf10: 2.65 -> 0.73 s (-72%).
     "28": """with g as (select ss_list_price p,
   count(case when (ss_quantity between 0 and 5 and (ss_list_price between 8 and 8+10 or ss_coupon_amt between 459 and 459+1000 or ss_wholesale_cost between 57 and 57+20)) then 1 end) c1,
   count(case when (ss_quantity between 6 and 10 and (ss_list_price between 90 and 90+10 or ss_coupon_amt between 2323 and 2323+1000 or ss_wholesale_cost between 31 and 31+20)) then 1 end) c2,
@@ -1195,22 +1198,22 @@ from reason, agg where r_reason_sk = 1""",
     or (ss_quantity between 21 and 25 and (ss_list_price between 122 and 122+10 or ss_coupon_amt between 836 and 836+1000 or ss_wholesale_cost between 17 and 17+20))
     or (ss_quantity between 26 and 30 and (ss_list_price between 154 and 154+10 or ss_coupon_amt between 7326 and 7326+1000 or ss_wholesale_cost between 7 and 7+20))
  group by ss_list_price)
-select cast(sum(p * c1) / sum(case when c1 > 0 then c1 end) as decimal(11,6)) B1_LP,
+select cast(sum(p * c1) / sum(case when p is not null then c1 end) as decimal(11,6)) B1_LP,
        coalesce(sum(case when p is not null then c1 end), 0) B1_CNT,
        count(case when p is not null and c1 > 0 then 1 end) B1_CNTD,
-       cast(sum(p * c2) / sum(case when c2 > 0 then c2 end) as decimal(11,6)) B2_LP,
+       cast(sum(p * c2) / sum(case when p is not null then c2 end) as decimal(11,6)) B2_LP,
        coalesce(sum(case when p is not null then c2 end), 0) B2_CNT,
        count(case when p is not null and c2 > 0 then 1 end) B2_CNTD,
-       cast(sum(p * c3) / sum(case when c3 > 0 then c3 end) as decimal(11,6)) B3_LP,
+       cast(sum(p * c3) / sum(case when p is not null then c3 end) as decimal(11,6)) B3_LP,
        coalesce(sum(case when p is not null then c3 end), 0) B3_CNT,
        count(case when p is not null and c3 > 0 then 1 end) B3_CNTD,
-       cast(sum(p * c4) / sum(case when c4 > 0 then c4 end) as decimal(11,6)) B4_LP,
+       cast(sum(p * c4) / sum(case when p is not null then c4 end) as decimal(11,6)) B4_LP,
        coalesce(sum(case when p is not null then c4 end), 0) B4_CNT,
        count(case when p is not null and c4 > 0 then 1 end) B4_CNTD,
-       cast(sum(p * c5) / sum(case when c5 > 0 then c5 end) as decimal(11,6)) B5_LP,
+       cast(sum(p * c5) / sum(case when p is not null then c5 end) as decimal(11,6)) B5_LP,
        coalesce(sum(case when p is not null then c5 end), 0) B5_CNT,
        count(case when p is not null and c5 > 0 then 1 end) B5_CNTD,
-       cast(sum(p * c6) / sum(case when c6 > 0 then c6 end) as decimal(11,6)) B6_LP,
+       cast(sum(p * c6) / sum(case when p is not null then c6 end) as decimal(11,6)) B6_LP,
        coalesce(sum(case when p is not null then c6 end), 0) B6_CNT,
        count(case when p is not null and c6 > 0 then 1 end) B6_CNTD
 from g
