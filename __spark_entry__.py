@@ -129,19 +129,36 @@ _R8_REVERIFY = [
 ]
 
 
+# Round 9 (VERDICT r8 task #1): the cumulative ledger is 355/355, so
+# the window re-verifies rows whose EXECUTED PLANS changed since their
+# last driver row: (a) the 7 texts whose r8 driver rows predate their
+# rewrites (q9/q28/q31/q51/q10/q35/q69 — the verdict's stale list),
+# (b) q28 again (its LP denominator changed this round, ADVICE r8),
+# (c) q24a/q24b (the r8 xxhash64 packing was REVERTED this round —
+# fresh-session A/B measured it as a loss), and (d) this round's new
+# entries (auto-fronted as never-checked). Remaining slots re-verify
+# previously-green rows oldest-first as before.
+_R9_REVERIFY = [
+    "tpcds_real_q9", "tpcds_real_q28", "tpcds_real_q31",
+    "tpcds_real_q51", "tpcds_real_q10", "tpcds_real_q35",
+    "tpcds_real_q69", "tpcds_real_q24a", "tpcds_real_q24b",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    the driver's 50-query correctness window covers (1) the pinned
-    round-4 backlog, then (2) any other never-yet-checked entries
-    (round-5 additions), then previously-green rows."""
+    the driver's 50-query correctness window covers (1) never-checked
+    entries (this round's additions), then (2) the plan-touched
+    re-verify list, then previously-green rows."""
     allq = dict(_q.QUERIES)
     front = [n for n in allq if n not in _CHECKED]
     front += [n for n in _REFIXED if n in allq and n not in front]
     rank = {n: i - 100 for i, n in enumerate(_R7_PRIORITY)}
     rank.update({n: i for i, n in enumerate(_R5_BACKLOG) if n not in rank})
     front.sort(key=lambda n: (rank.get(n, 999), n))
-    # r8: append the plan-touched re-verify list right after the
+    # append the plan-touched re-verify list right after the
     # never-checked front so both land inside the 50-slot window
+    front += [n for n in _R9_REVERIFY if n in allq and n not in front]
     front += [n for n in _R8_REVERIFY if n in allq and n not in front]
     back = [n for n in allq if n not in front]
     back.sort(key=lambda n: (not n.startswith("tpcds_"),))

@@ -211,10 +211,86 @@ class DataStream:
         return KeyedStream(self.df, list(cols))
 
     # -- sinks --------------------------------------------------------------
-    def print(self, n: int = 20) -> None:
+    # Audited against the reference's full DataStream sink surface
+    # (flink-streaming-java/.../datastream/DataStream.java:934-1319):
+    # print/printToErr (+identifier), writeAsText/writeAsCsv (+WriteMode
+    # overloads), writeToSocket, writeUsingOutputFormat, addSink, sinkTo.
+
+    def print(self, n: int = 20, sink_identifier: str | None = None) -> None:
+        """DataStream.java:934,967 — print [with a prefixed identifier]."""
+        if sink_identifier:
+            print(f"== {sink_identifier} ==")
         self.df.show(n, truncate=False)
 
+    def print_to_err(self, n: int = 20,
+                     sink_identifier: str | None = None) -> None:
+        """DataStream.java:950,984 — same report on stderr."""
+        import contextlib
+        import sys as _sys
+
+        with contextlib.redirect_stdout(_sys.stderr):
+            self.print(n, sink_identifier)
+
+    def write_as_text(self, path: str, write_mode: str = "error") -> None:
+        """DataStream.java:1002,1021 — WriteMode NO_OVERWRITE (default)
+        / OVERWRITE map onto Spark save modes error/overwrite."""
+        from flink_spark import sinks
+
+        sinks.write_as_text(self.df, path, mode=write_mode)
+
+    def write_as_csv(self, path: str, write_mode: str = "error",
+                     **options: str) -> None:
+        """DataStream.java:1041-1093 (incl. the row/field-delimiter
+        overload — pass sep=.../lineSep=... options)."""
+        from flink_spark import sinks
+
+        sinks.write_as_csv(self.df, path, mode=write_mode, **options)
+
+    def write_to_socket(self, host: str, port: int,
+                        serializer: Callable[[tuple], bytes] | None = None,
+                        ) -> None:
+        """DataStream.java:1118 — every partition opens a client socket
+        to host:port and streams its rows through the serialization
+        schema, exactly Flink's per-subtask socket client. Executed
+        distributed via foreachPartition — rows never collect to the
+        driver."""
+        ser = serializer or (lambda row: (",".join(
+            "" if v is None else str(v) for v in row) + "\n").encode())
+
+        def send(rows):
+            import socket as _socket
+
+            with _socket.create_connection((host, port)) as s:
+                for r in rows:
+                    s.sendall(ser(tuple(r)))
+
+        self.df.foreachPartition(send)
+
+    def write_using_output_format(self, open_fn: Callable,
+                                  write_fn: Callable,
+                                  close_fn: Callable | None = None) -> None:
+        """DataStream.java:1142 — OutputFormat's open/writeRecord/close
+        lifecycle, run once per partition (Flink runs it once per
+        subtask)."""
+        def run(rows):
+            ctx = open_fn()
+            try:
+                for r in rows:
+                    write_fn(ctx, tuple(r))
+            finally:
+                if close_fn is not None:
+                    close_fn(ctx)
+
+        self.df.foreachPartition(run)
+
+    def add_sink(self, invoke: Callable) -> None:
+        """DataStream.java:1232 — SinkFunction.invoke(value) per record,
+        executed on the executors (df.foreach), never driver-side."""
+        self.df.foreach(lambda row: invoke(tuple(row)))
+
     def sink_to(self, path: str, fmt: str = "parquet", mode: str = "error") -> None:
+        """DataStream.java:1285 — the unified Sink V2 entry; file sinks
+        map onto Spark's native writers."""
         from flink_spark import sinks
 
         sinks.write_file(self.df, path, fmt=fmt, mode=mode)

@@ -1049,16 +1049,116 @@ def _split_statements(body: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _streaming_statement_set(
+    spark: SparkSession, parsed: list[tuple[str, str, str]],
+    stream_srcs: list[str],
+) -> DataFrame:
+    """Streaming STATEMENT SET (r9; reference SqlBeginStatementSet +
+    StreamTableEnvironment.createStatementSet — the statement set's
+    PRIMARY use in Flink is streaming multi-sink, where the planner
+    merges the statements into one job graph sharing the source scan,
+    StreamCommonSubGraphBasedOptimizer.scala:107).
+
+    Spark mapping: ONE readStream over the shared source drives a
+    ``foreachBatch`` fan-out — per micro-batch the batch DataFrame is
+    persisted once, the source's temp view is shadowed with it, and
+    every INSERT's SELECT runs as batch SQL against that one
+    materialization before being appended to its sink (so the shared
+    scan executes once per micro-batch; the per-sink write plans read
+    the InMemoryRelation, which the ITCase pins). Runs with
+    ``trigger(availableNow=True)``: drain everything the source
+    currently has through real micro-batches, then stop — the bounded
+    execution mode; a production deployment would swap the trigger and
+    keep the query handle. Restrictions (documented narrowing): exactly
+    one streaming source per set (the fan-out shares one scan; Flink
+    allows several), and sinks must be registered filesystem tables.
+
+    At scale each micro-batch write is a normal distributed parquet
+    append; the persist is one micro-batch's data, not the stream.
+    """
+    global _LAST_STATEMENT_SET_PLANS
+    import tempfile
+
+    if len(stream_srcs) != 1:
+        raise ValueError(
+            "streaming STATEMENT SET supports exactly one shared "
+            f"streaming source; statements reference {stream_srcs}"
+        )
+    for mode, _sink, _q in parsed:
+        if mode.upper() == "OVERWRITE":
+            raise ValueError(
+                "INSERT OVERWRITE is not allowed in a streaming "
+                "STATEMENT SET (append-only), matching Flink's "
+                "streaming-sink validation"
+            )
+    src = stream_srcs[0]
+    spec = _REGISTERED[src]
+    sdf = register_table(spark, spec)  # the single streaming scan
+    counts: dict[str, int] = {s: 0 for _m, s, _q in parsed}
+    plans: list[str] = []
+
+    def fan_out(batch_df, batch_id: int) -> None:
+        # foreachBatch hands the batch to a CLONED session; temp views
+        # are session-scoped, so the shadow + SQL must run in the
+        # batch's own session or the statements would still resolve the
+        # source name to the streaming relation
+        sess = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            # shadow the streaming view with THIS micro-batch so every
+            # statement's SELECT text resolves to the one materialization
+            batch_df.createOrReplaceTempView(src)
+            for mode, sink, q in parsed:
+                out = _build_insert(sess, sink, q)
+                plans.append(out._jdf.queryExecution().optimizedPlan().toString())
+                sspec = _REGISTERED[sink]
+                fmt = sspec.options.get("format", "parquet")
+                fmt_opts = {
+                    k.split(".", 1)[1]: v
+                    for k, v in sspec.options.items()
+                    if k.startswith(f"{fmt}.")
+                }
+                out.cache()
+                try:
+                    counts[sink] += out.count()
+                    w = out.write.mode("append").format(fmt).options(**fmt_opts)
+                    if sspec.partitioned:
+                        w = w.partitionBy(*sspec.partitioned)
+                    w.save(sspec.options["path"])
+                finally:
+                    out.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    ckpt = spec.options.get(
+        "checkpoint", tempfile.mkdtemp(prefix="stmt_set_ckpt_")
+    )
+    q = (
+        sdf.writeStream.foreachBatch(fan_out)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    _LAST_STATEMENT_SET_PLANS = plans
+    # refresh sink views so subsequent reads see the new files, and
+    # restore the source's streaming view (fan_out shadowed it)
+    for _mode, sink, _q in parsed:
+        register_table(spark, _REGISTERED[sink])
+    register_table(spark, spec)
+    return spark.createDataFrame(
+        sorted(counts.items()), "sink string, rows_inserted bigint"
+    )
+
+
 def _statement_set(
     spark: SparkSession, body: str, share_scans: bool = True
 ) -> DataFrame:
     """Execute a STATEMENT SET: N INSERTs submitted as one logical job.
-    Returns one row per sink (sink, rows_inserted). Batch only — for
-    streaming multi-sink the Spark mapping is a foreachBatch fan-out
-    (each micro-batch persisted once, written to every sink), which
-    `flink_spark.sinks` covers; registered `scan.streaming` sources are
-    rejected here the way Flink's batch TableEnvironment rejects
-    unbounded sources."""
+    Returns one row per sink (sink, rows_inserted). Batch statements
+    run inline; when a statement references a registered
+    `scan.streaming` source the set runs as a streaming foreachBatch
+    fan-out (see _streaming_statement_set)."""
     global _LAST_STATEMENT_SET_PLANS
     stmts = _split_statements(body)
     if not stmts:
@@ -1081,17 +1181,21 @@ def _statement_set(
     # count how many sinks reference each registered table; tables the
     # statements share become cached scans for the duration of the job
     refs: dict[str, int] = {}
+    stream_srcs: list[str] = []
     for _mode, _sink, q in parsed:
         for name, spec in _REGISTERED.items():
-            if spec.options.get("scan.streaming", "false").lower() == "true":
-                if re.search(rf"\b{re.escape(name)}\b", q):
-                    raise ValueError(
-                        f"STATEMENT SET is batch-only in this front-end; "
-                        f"{name!r} is a streaming source (use the "
-                        "foreachBatch fan-out in flink_spark.sinks)"
-                    )
             if re.search(rf"\b{re.escape(name)}\b", q):
                 refs[name] = refs.get(name, 0) + 1
+                if (
+                    spec.options.get("scan.streaming", "false").lower()
+                    == "true"
+                    and name not in stream_srcs
+                ):
+                    stream_srcs.append(name)
+    if stream_srcs:
+        # streaming STATEMENT SET (r9): foreachBatch fan-out — the
+        # reference's primary statement-set use case
+        return _streaming_statement_set(spark, parsed, stream_srcs)
     shared = [n for n, c in refs.items() if c >= 2] if share_scans else []
     for n in shared:
         spark.catalog.cacheTable(n)  # lazy analyzed-plan cache: the
@@ -1298,7 +1402,7 @@ def _compact_table(
 
 
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+(TABLES|VIEWS|DATABASES|FUNCTIONS|CURRENT\s+DATABASE)\s*;?\s*$",
+    r"^\s*SHOW\s+(TABLES|VIEWS|DATABASES|FUNCTIONS|CATALOGS|CURRENT\s+DATABASE|CURRENT\s+CATALOG)\s*;?\s*$",
     re.I,
 )
 _SHOW_COLUMNS_RE = re.compile(
@@ -1349,6 +1453,12 @@ def _show_statement(spark: SparkSession, what: str) -> DataFrame:
     if what == "CURRENT DATABASE":
         return _one_col(
             spark, "current database name", [spark.catalog.currentDatabase()]
+        )
+    if what == "CATALOGS":
+        return _one_col(spark, "catalog name", sorted(_CATALOGS))
+    if what == "CURRENT CATALOG":
+        return _one_col(
+            spark, "current catalog name", [_CURRENT_CATALOG[0]]
         )
     raise AssertionError(what)
 
@@ -1422,10 +1532,405 @@ _SHOW_CREATE_RE = re.compile(
 _DESCRIBE_RE = re.compile(r"^\s*DESC(?:RIBE)?\s+(\w+)\s*;?\s*$", re.I)
 
 
+# --- CREATE / DROP / ALTER FUNCTION -----------------------------------
+# Reference: SqlCreateFunction.java / SqlDropFunction.java /
+# SqlAlterFunction.java (flink-table/flink-sql-parser/.../ddl/,
+# Parser.tdd:52,62,36). Flink stores the identifier string in the
+# catalog and instantiates at use; here LANGUAGE PYTHON resolves a
+# named Python callable (``module.attr``) via importlib and registers
+# it with spark.udf.register so SQL sees it (SHOW FUNCTIONS lists it
+# via spark.catalog.listFunctions). JAVA/SCALA bodies need user jars —
+# out of scope for a Python-first engine (documented narrowing, same
+# class as ADD JAR); SQL-language functions are not in the reference's
+# CREATE FUNCTION surface either.
+#
+# TEMPORARY vs persistent: Spark's Python UDF registration is always
+# session-scoped, so persistence is what Flink's catalog actually
+# stores — the (name -> identifier, language) record. Non-TEMPORARY
+# functions are kept in the module-level _FUNCTIONS catalog and
+# ``restore_functions(spark)`` re-resolves + re-registers them in a
+# new session (the metastore-attach analog); TEMPORARY ones die with
+# the session that created them, exactly like the reference's
+# temporary catalog functions (FunctionCatalog.java).
+
+_FUNCTIONS: dict[str, dict] = {}
+
+_CREATE_FN_RE = re.compile(
+    r"^\s*CREATE\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'"
+    r"(?:\s+LANGUAGE\s+(\w+))?\s*;?\s*$",
+    re.I,
+)
+_DROP_FN_RE = re.compile(
+    r"^\s*DROP\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION\s+"
+    r"(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+    re.I,
+)
+_ALTER_FN_RE = re.compile(
+    r"^\s*ALTER\s+(TEMPORARY\s+)?(SYSTEM\s+)?FUNCTION\s+"
+    r"(IF\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'"
+    r"(?:\s+LANGUAGE\s+(\w+))?\s*;?\s*$",
+    re.I,
+)
+
+
+def _resolve_callable(identifier: str):
+    """``module.attr`` → the named Python callable (Flink's
+    class-name-to-instance resolution, UserDefinedFunctionHelper)."""
+    import importlib
+
+    if "." not in identifier:
+        raise ValueError(
+            f"CREATE FUNCTION: identifier {identifier!r} must be a "
+            f"qualified 'module.attr' path for LANGUAGE PYTHON"
+        )
+    mod_name, attr = identifier.rsplit(".", 1)
+    try:
+        mod = importlib.import_module(mod_name)
+    except ImportError as e:
+        raise ValueError(
+            f"CREATE FUNCTION: cannot import module {mod_name!r}: {e}"
+        ) from e
+    try:
+        fn = getattr(mod, attr)
+    except AttributeError:
+        raise ValueError(
+            f"CREATE FUNCTION: module {mod_name!r} has no attribute {attr!r}"
+        ) from None
+    if not callable(fn):
+        raise ValueError(f"CREATE FUNCTION: {identifier!r} is not callable")
+    return fn
+
+
+def _register_function(spark: SparkSession, name: str, identifier: str,
+                       language: str | None) -> None:
+    lang = (language or "PYTHON").upper()
+    if lang != "PYTHON":
+        raise ValueError(
+            f"CREATE FUNCTION LANGUAGE {lang}: only PYTHON bodies are "
+            f"supported (JAVA/SCALA need user jars — see SURVEY §2.1 "
+            f"ADD JAR narrowing)"
+        )
+    fn = _resolve_callable(identifier)
+    if hasattr(fn, "asNondeterministic"):
+        # already a @udf/@pandas_udf-wrapped function (the same duck
+        # check spark.udf.register applies): register as-is, keeping
+        # its Arrow-vectorized eval type and declared return type
+        spark.udf.register(name, fn)
+    else:
+        rt = getattr(fn, "returnType", None) or "string"
+        spark.udf.register(name, fn, rt)
+
+
+def _function_ddl(spark: SparkSession, stripped: str) -> DataFrame | None:
+    m = _CREATE_FN_RE.match(stripped)
+    if m:
+        temp, system, ine, name, ident, lang = m.groups()
+        if system and not temp:
+            raise ValueError("SYSTEM functions must be TEMPORARY "
+                             "(reference parser: TEMPORARY SYSTEM)")
+        if name in _FUNCTIONS and not ine:
+            raise ValueError(f"function {name} already exists "
+                             f"(use IF NOT EXISTS or ALTER FUNCTION)")
+        if name in _FUNCTIONS and ine:
+            return spark.createDataFrame([("OK",)], "result string")
+        _register_function(spark, name, ident, lang)
+        _FUNCTIONS[name] = {
+            "identifier": ident,
+            "language": (lang or "PYTHON").upper(),
+            "temporary": bool(temp),
+            "system": bool(system),
+        }
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _DROP_FN_RE.match(stripped)
+    if m:
+        _temp, _system, ife, name = m.groups()
+        if name not in _FUNCTIONS:
+            if ife:
+                return spark.createDataFrame([("OK",)], "result string")
+            raise ValueError(f"DROP FUNCTION: function {name} not found")
+        _FUNCTIONS.pop(name)
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _ALTER_FN_RE.match(stripped)
+    if m:
+        _temp, _system, ife, name, ident, lang = m.groups()
+        if name not in _FUNCTIONS:
+            if ife:
+                return spark.createDataFrame([("OK",)], "result string")
+            raise ValueError(f"ALTER FUNCTION: function {name} not found")
+        _register_function(spark, name, ident, lang)
+        _FUNCTIONS[name].update(
+            identifier=ident,
+            language=(lang or _FUNCTIONS[name]["language"]).upper(),
+        )
+        return spark.createDataFrame([("OK",)], "result string")
+    return None
+
+
+# --- session SET / RESET and catalog statements -------------------------
+# Reference: SqlSet / SqlReset (Parser.tdd:66-67), CREATE/DROP/USE
+# CATALOG, SHOW CATALOGS / SHOW CURRENT CATALOG, DESCRIBE CATALOG /
+# DATABASE, SHOW CREATE VIEW (Parser.tdd:50,59,73-77,90-101).
+#
+# SET 'k' = 'v' maps onto spark.conf.set; the keys a session sets are
+# tracked so bare RESET restores all of them (Flink's
+# SqlSetOperation/ResetOperation semantics). Catalogs: Spark's session
+# has ONE catalog implementation, so Flink catalogs map to named
+# namespaces tracked by this front-end — CREATE CATALOG records the
+# name + properties, USE CATALOG switches the current one, and
+# databases within live in the one Spark catalog (a documented
+# narrowing: a multi-metastore deployment would back each name with a
+# Spark catalog plugin instead).
+
+_SESSION_CONF_KEYS: set[str] = set()
+_CATALOGS: dict[str, dict[str, str]] = {
+    "default_catalog": {"type": "generic_in_memory"},
+}
+_CURRENT_CATALOG = ["default_catalog"]
+_VIEW_SQL: dict[str, str] = {}
+
+_SET_RE = re.compile(
+    r"^\s*SET(?:\s+'([^']+)'\s*=\s*'([^']*)'|\s+([\w.\-]+)\s*=\s*(\S+))?"
+    r"\s*;?\s*$",
+    re.I,
+)
+_RESET_RE = re.compile(
+    r"^\s*RESET(?:\s+'([^']+)'|\s+([\w.\-]+))?\s*;?\s*$", re.I
+)
+_CREATE_CATALOG_RE = re.compile(
+    r"^\s*CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+    r"(?:\s+WITH\s*\((.*)\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_CATALOG_RE = re.compile(
+    r"^\s*DROP\s+CATALOG\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*$", re.I
+)
+_USE_CATALOG_RE = re.compile(r"^\s*USE\s+CATALOG\s+(\w+)\s*;?\s*$", re.I)
+_DESCRIBE_CATALOG_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+CATALOG\s+(?:EXTENDED\s+)?(\w+)\s*;?\s*$", re.I
+)
+_DESCRIBE_DB_RE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+DATABASE\s+(?:EXTENDED\s+)?(\w+)\s*;?\s*$", re.I
+)
+_SHOW_CREATE_VIEW_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+VIEW\s+(\w+)\s*;?\s*$", re.I
+)
+
+
+def _session_statement(spark: SparkSession, stripped: str) -> DataFrame | None:
+    m = _SET_RE.match(stripped)
+    if m:
+        key = m.group(1) or m.group(3)
+        if key is None:
+            # bare SET: list session config (Flink lists the set
+            # properties; Spark's native SET returns all — same shape)
+            return spark.sql("SET").toDF("key", "value")
+        val = m.group(2) if m.group(1) else m.group(4)
+        spark.conf.set(key, val)
+        _SESSION_CONF_KEYS.add(key)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _RESET_RE.match(stripped)
+    if m:
+        key = m.group(1) or m.group(2)
+        keys = [key] if key else sorted(_SESSION_CONF_KEYS)
+        for k in keys:
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass  # non-unsettable core key: leave as-is, like Flink
+            _SESSION_CONF_KEYS.discard(k)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _CREATE_CATALOG_RE.match(stripped)
+    if m:
+        name = m.group(1)
+        props = _parse_options(m.group(2)) if m.group(2) else {}
+        _CATALOGS.setdefault(name, props or {"type": "generic_in_memory"})
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _DROP_CATALOG_RE.match(stripped)
+    if m:
+        ife, name = m.group(1), m.group(2)
+        if name not in _CATALOGS:
+            if ife:
+                return spark.createDataFrame([("OK",)], "result string")
+            raise ValueError(f"DROP CATALOG: catalog {name} not found")
+        if name == _CURRENT_CATALOG[0]:
+            raise ValueError("cannot drop the current catalog (Flink "
+                             "CatalogManager.unregisterCatalog contract)")
+        _CATALOGS.pop(name)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _USE_CATALOG_RE.match(stripped)
+    if m:
+        name = m.group(1)
+        if name not in _CATALOGS:
+            raise ValueError(f"USE CATALOG: catalog {name} not found")
+        _CURRENT_CATALOG[0] = name
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _DESCRIBE_CATALOG_RE.match(stripped)
+    if m:
+        name = m.group(1)
+        if name not in _CATALOGS:
+            raise ValueError(f"DESCRIBE CATALOG: catalog {name} not found")
+        rows = [("name", name)] + sorted(_CATALOGS[name].items())
+        return spark.createDataFrame(rows, "info_name string, info_value string")
+    m = _DESCRIBE_DB_RE.match(stripped)
+    if m:
+        return spark.sql(f"DESCRIBE DATABASE {m.group(1)}")
+    m = _SHOW_CREATE_VIEW_RE.match(stripped)
+    if m:
+        name = m.group(1)
+        if name not in _VIEW_SQL:
+            raise ValueError(f"SHOW CREATE VIEW: view {name} was not "
+                             "created through this DDL front-end")
+        text = f"CREATE VIEW {name} AS {_VIEW_SQL[name].strip()}"
+        return spark.createDataFrame([(text,)], "result string")
+    return None
+
+
+# --- COMPILE PLAN / EXECUTE PLAN ---------------------------------------
+# Reference: SqlCompilePlan.java / SqlExecutePlan.java /
+# SqlCompileAndExecutePlan.java (Parser.tdd:49,84-85) and the
+# CompiledPlan surface (flink-table/flink-table-api-java/src/main/java/
+# org/apache/flink/table/api/CompiledPlan.java) — Flink persists a
+# query's compiled exec plan to a JSON file so a statement can be
+# re-submitted across restarts/upgrades with a STABLE topology, and
+# REFUSES to restore when the catalog no longer matches.
+#
+# Spark mapping: Catalyst plans are bound to a live session and Spark
+# re-optimizes at submit (AQE re-plans at runtime even within a job),
+# so what is durable here is the plan RECIPE — the statement text, the
+# engine plan-format version, and the canonical DDL (SHOW CREATE TABLE
+# round-trip form) of every referenced front-end table. EXECUTE PLAN
+# re-validates each table's canonical DDL against the live catalog and
+# refuses on ANY drift (renamed column, changed type, different path —
+# the same contract CompiledPlan.restore enforces), then resubmits the
+# statement through the normal INSERT / STATEMENT SET machinery.
+
+PLAN_FORMAT_VERSION = 1
+
+_COMPILE_PLAN_RE = re.compile(
+    r"^\s*COMPILE\s+(AND\s+EXECUTE\s+)?PLAN\s+'([^']+)'\s+"
+    r"(IF\s+NOT\s+EXISTS\s+)?FOR\s+(.+)$",
+    re.I | re.S,
+)
+_EXECUTE_PLAN_RE = re.compile(
+    r"^\s*EXECUTE\s+PLAN\s+'([^']+)'\s*;?\s*$", re.I
+)
+
+
+def _plan_referenced_tables(text: str) -> list[str]:
+    return sorted(
+        n for n in _REGISTERED if re.search(rf"\b{re.escape(n)}\b", text)
+    )
+
+
+def _compile_plan(spark: SparkSession, path: str, dml: str,
+                  if_not_exists: bool, and_execute: bool) -> DataFrame:
+    import json as _json
+    import os as _os
+
+    dml = dml.strip().rstrip(";")
+    if not (_INSERT_RE.match(dml) or _STMT_SET_RE.match(dml)):
+        raise ValueError(
+            "COMPILE PLAN supports INSERT or STATEMENT SET only "
+            "(reference SqlCompilePlan: RichSqlInsert | SqlStatementSet); "
+            f"got: {dml[:60]!r}"
+        )
+    refs = _plan_referenced_tables(dml)
+    if not refs:
+        raise ValueError(
+            "COMPILE PLAN: the statement references no table registered "
+            "through this DDL front-end — nothing to pin the plan against"
+        )
+    if _os.path.exists(path) and not if_not_exists:
+        raise ValueError(
+            f"COMPILE PLAN: plan file {path!r} already exists "
+            "(use IF NOT EXISTS to keep the existing plan)"
+        )
+    if not _os.path.exists(path):
+        recipe = {
+            "format_version": PLAN_FORMAT_VERSION,
+            "statement": dml,
+            "tables": {n: show_create_table(spark, n) for n in refs},
+        }
+        with open(path, "w") as f:
+            _json.dump(recipe, f, indent=1)
+    if and_execute:
+        return _execute_plan(spark, path)
+    return spark.createDataFrame([("OK",)], "result string")
+
+
+def _execute_plan(spark: SparkSession, path: str) -> DataFrame:
+    import json as _json
+
+    try:
+        with open(path) as f:
+            recipe = _json.load(f)
+    except OSError as e:
+        raise ValueError(f"EXECUTE PLAN: cannot read {path!r}: {e}") from e
+    ver = recipe.get("format_version")
+    if ver != PLAN_FORMAT_VERSION:
+        raise ValueError(
+            f"EXECUTE PLAN: plan format version {ver} does not match "
+            f"this engine's {PLAN_FORMAT_VERSION} — recompile the plan"
+        )
+    for name, ddl in recipe["tables"].items():
+        if name not in _REGISTERED:
+            raise ValueError(
+                f"EXECUTE PLAN: table {name!r} from the compiled plan is "
+                "no longer registered (CompiledPlan restore contract: "
+                "the catalog must match)"
+            )
+        live = show_create_table(spark, name)
+        if live != ddl:
+            raise ValueError(
+                f"EXECUTE PLAN: schema drift on table {name!r} — the live "
+                f"canonical DDL differs from the compiled plan's.\n"
+                f"compiled: {ddl}\nlive: {live}"
+            )
+    stmt = recipe["statement"]
+    ssm = _STMT_SET_RE.match(stmt)
+    if ssm:
+        return _statement_set(spark, ssm.group(1))
+    im = _INSERT_RE.match(stmt)
+    assert im, stmt
+    return _insert_into(spark, im.group(2), im.group(1), im.group(3))
+
+
+def restore_functions(spark: SparkSession) -> int:
+    """Re-register every PERSISTENT (non-TEMPORARY) function in a new
+    session — the engine's metastore-attach analog for Python UDFs
+    (Flink re-instantiates catalog functions from their stored class
+    names the same way). Returns the number restored."""
+    n = 0
+    for name, rec in _FUNCTIONS.items():
+        if not rec["temporary"]:
+            _register_function(spark, name, rec["identifier"],
+                               rec["language"])
+            n += 1
+    return n
+
+
 def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
     """Route a Flink DDL statement; None if ``sql`` isn't DDL (caller
     should fall through to spark.sql)."""
     stripped = sql.strip()
+    fm = _function_ddl(spark, stripped)
+    if fm is not None:
+        return fm
+    sm0 = _session_statement(spark, stripped)
+    if sm0 is not None:
+        return sm0
+    cpm = _COMPILE_PLAN_RE.match(stripped)
+    if cpm:
+        return _compile_plan(
+            spark, cpm.group(2), cpm.group(4),
+            if_not_exists=bool(cpm.group(3)),
+            and_execute=bool(cpm.group(1)),
+        )
+    epm = _EXECUTE_PLAN_RE.match(stripped)
+    if epm:
+        return _execute_plan(spark, epm.group(1))
     ssm = _STMT_SET_RE.match(stripped)
     if ssm:
         return _statement_set(spark, ssm.group(1))
@@ -1487,8 +1992,11 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
             if vname in _VIEWS:
                 _VIEWS.discard(vname)
                 _VIEWS.add(new_name)
+            if vname in _VIEW_SQL:
+                _VIEW_SQL[new_name] = _VIEW_SQL.pop(vname)
         else:
             spark.sql(avm.group(4)).createOrReplaceTempView(vname)
+            _VIEW_SQL[vname] = avm.group(4)
         return spark.createDataFrame([("OK",)], "result string")
     exm = _EXPLAIN_RE.match(stripped.rstrip(";"))
     if exm:
@@ -1521,12 +2029,14 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
     if vm:
         spark.sql(vm.group(2)).createOrReplaceTempView(vm.group(1))
         _VIEWS.add(vm.group(1))
+        _VIEW_SQL[vm.group(1)] = vm.group(2)  # for SHOW CREATE VIEW
         return spark.createDataFrame([("OK",)], "result string")
     dm = _DROP_RE.match(stripped)
     if dm:
         spark.catalog.dropTempView(dm.group(2))
         _REGISTERED.pop(dm.group(2), None)
         _VIEWS.discard(dm.group(2))
+        _VIEW_SQL.pop(dm.group(2), None)
         return spark.createDataFrame([("OK",)], "result string")
     im = _INSERT_RE.match(stripped.rstrip(";"))
     if im and im.group(2) in _REGISTERED:

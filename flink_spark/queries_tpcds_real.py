@@ -327,6 +327,27 @@ def _materialize_ctes(spark: SparkSession, qid: str, text: str) -> str:
     return main
 
 
+_table_columns_cache: dict[str, set[str] | None] = {}
+
+
+def _table_columns(table: str) -> set[str] | None:
+    """Column-name set of a TPC-DS corpus table from its parquet footer
+    (memoized per TPCDS_DIR) — the schema source for the pattern-level
+    rewrite rules' correlation gate."""
+    import pyarrow.parquet as pq
+
+    key = f"{TPCDS_DIR}/{table}"
+    if key not in _table_columns_cache:
+        path = f"{key}.parquet"
+        try:
+            _table_columns_cache[key] = {
+                f.lower() for f in pq.read_schema(path).names
+            }
+        except Exception:
+            _table_columns_cache[key] = None
+    return _table_columns_cache[key]
+
+
 def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
     """Execute the real query text; restore the shadowed fixture view.
 
@@ -364,6 +385,19 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
     for old, new in _SPARK_REWRITE.get(qid, ()):
         assert old in text, f"spark rewrite target missing in q{qid}"
         text = text.replace(old, new)
+    if qid not in _SPARK_FULL_REWRITE and qid not in _SPARK_REWRITE:
+        # r9: pattern-level optimizer rule (rewrite_rules.py) — the
+        # q9/q28 mechanism generalized to a shape recognizer. Applied
+        # only where no hand rewrite exists; currently fires on NONE of
+        # the unrewritten 103 texts (the eligible shapes are all hand-
+        # rewritten), so this is pure generality for user queries —
+        # every pytest run still oracle-checks all 103 either way.
+        from flink_spark.rewrite_rules import (
+            scalar_subqueries_to_conditional_agg,
+        )
+        auto = scalar_subqueries_to_conditional_agg(text, _table_columns)
+        if auto is not None:
+            text = auto
     try:
         text = _materialize_ctes(spark, qid, text)
         df = spark.sql(text)
@@ -721,32 +755,19 @@ _SPARK_REWRITE: dict[str, tuple[tuple[str, str], ...]] = {
             ("web_sales", "iws", "ws_item_sk", "ws_sold_date_sk", "d3"),
         )
     ),
-    # q24a/q24b (r8): ssales' ss ⋈ sr on the composite (ticket, item)
-    # with NO selective filter on either fact side — the q50/q93/q80
-    # probe-cliff shape, packed the same way. The materialized ssales
-    # CTE (both queries, _CTE_MATERIALIZE) builds through this join, so
-    # the pack benefits both references. sf10 min-of-2 through the real
-    # path (tools/probe_r8_family.py): q24b 3.29 -> 2.75 s (-17%);
-    # q24a neutral-to-better across an interleaved 3-trial A/B (mins
-    # 2.97 -> 2.66 s).
-    "24a": (
-        (
-            "where ss_ticket_number = sr_ticket_number",
-            "where xxhash64(ss_ticket_number, ss_item_sk)"
-            " = xxhash64(sr_ticket_number, sr_item_sk)\n"
-            "  and ss_ticket_number - sr_ticket_number = 0",
-        ),
-        ("and ss_item_sk = sr_item_sk", "and ss_item_sk - sr_item_sk = 0"),
-    ),
-    "24b": (
-        (
-            "where ss_ticket_number = sr_ticket_number",
-            "where xxhash64(ss_ticket_number, ss_item_sk)"
-            " = xxhash64(sr_ticket_number, sr_item_sk)\n"
-            "  and ss_ticket_number - sr_ticket_number = 0",
-        ),
-        ("and ss_item_sk = sr_item_sk", "and ss_item_sk - sr_item_sk = 0"),
-    ),
+    # q24a/q24b packing REVERTED in r9. The r8 probe (once-warm,
+    # mid-session, tools/probe_r8_family.py) recorded the xxhash64 pack
+    # at -17% for q24b, but the r8 sweep REGRESSED q24b 2.61 -> 3.61 s
+    # vs r7, and the r9 interleaved fresh-session A/B
+    # (tools/probe_r9_q24.py, 3 trials, cold = the sweep's
+    # first-query-after-recycle condition) measured UNPACKED faster in
+    # ALL THREE cold trials (3.90 vs 4.13, 2.99 vs 3.69, 4.14 vs 6.38).
+    # Mechanism: q24's ssales is built through _CTE_MATERIALIZE
+    # (persisted once per run); the pack's xxhash64 keys discard the
+    # column NDV stats CBO uses when planning the persisted build, the
+    # same stats-loss loss mode q78/q40 measured in r8. The cold/warm
+    # split also showed NO systematic fresh-session penalty, ruling out
+    # sweep position as the regression's cause.
     # q85: ws ⋈ wr on (item, order).
     "85": (
         (

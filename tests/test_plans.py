@@ -391,3 +391,68 @@ def test_q95_self_join_collapsed_to_minmax(spark):
 def test_activity_flag_family_single_pass(spark, name, gone):
     plan = plan_of(spark, name)
     assert gone not in plan, plan
+
+
+def test_cond_agg_rule_single_scan(spark):
+    """The pattern-level conditional-aggregate rule (r9,
+    rewrite_rules.py): the demo query's FOUR scalar subqueries over
+    lineitem must EXECUTE as one — the rewritten subqueries all read
+    the one-row CTE, Catalyst's MergeScalarSubqueries folds them into
+    a single merged-struct subquery, and physical ReuseSubquery makes
+    the other three ReusedSubqueryExec nodes. Asserted on the
+    POST-EXECUTION plan (AQE finalizes subquery reuse at runtime;
+    the pre-execution formatted explain prints each hosting
+    expression's copy)."""
+    df = Q.QUERIES["opt_rule_cond_agg"](spark, SF_DIR)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "mergedValue" in ep or ep.count("ReusedSubquery") >= 3, ep
+    assert ep.count("ReusedSubquery") == 3, ep  # 4 subqueries, 1 real
+
+
+def test_cond_agg_rule_recognition_gates():
+    """The rule's safety gates: fires only on >=2 uncorrelated
+    single-bare-table scalar-aggregate subqueries whose predicates
+    resolve entirely against that table's columns."""
+    from flink_spark.rewrite_rules import (
+        scalar_subqueries_to_conditional_agg as R,
+    )
+
+    cols = {"t": {"a", "b", "c"}, "u": {"x"}}
+    look = lambda name: cols.get(name)  # noqa: E731
+    # fires: two subqueries, same table, local predicates
+    sql = ("select (select sum(a) from t where b > 1) s1, "
+           "(select count(*) from t where c < 2) s2 from u")
+    out = R(sql, look)
+    assert out is not None
+    assert "sum(case when b > 1 then a end)" in out
+    assert "count(case when c < 2 then 1 end)" in out
+    assert "(b > 1) or (c < 2)" in out
+    # single occurrence: nothing to collapse
+    assert R("select (select sum(a) from t where b > 1) s from u",
+             look) is None
+    # correlated predicate (references a non-t column) excluded
+    assert R("select (select sum(a) from t where b = x) s1, "
+             "(select sum(a) from t where c = x) s2 from u", look) is None
+    # aliased / joined FROM excluded by the head pattern
+    assert R("select (select sum(a) from t j where j.b > 1) s1, "
+             "(select sum(a) from t j where j.c > 1) s2 from u",
+             look) is None
+    assert R("select (select sum(a) from t, u where b > x) s1, "
+             "(select sum(a) from t, u where c > x) s2 from u",
+             look) is None
+    # unknown table skipped
+    assert R("select (select sum(z) from w where z > 1) s1, "
+             "(select sum(z) from w where z < 9) s2 from u", look) is None
+    # nested-subquery predicates excluded
+    assert R("select (select sum(a) from t where b in "
+             "(select x from u)) s1, "
+             "(select sum(a) from t where c > 1) s2 from u", look) is None
+    # existing WITH clause: the CTE is prepended into the list
+    sql2 = ("with base as (select x from u) "
+            "select (select min(a) from t where b > 1) s1, "
+            "(select max(a) from t where b < 9) s2 from base")
+    out2 = R(sql2, look)
+    assert out2 is not None
+    assert out2.lower().startswith("with __cond_agg_t as")
+    assert "base as (select x from u)" in out2
