@@ -142,6 +142,9 @@ _R9_REVERIFY = [
     "tpcds_real_q9", "tpcds_real_q28", "tpcds_real_q31",
     "tpcds_real_q51", "tpcds_real_q10", "tpcds_real_q35",
     "tpcds_real_q69", "tpcds_real_q24a", "tpcds_real_q24b",
+    # r9 pre-agg-before-rollup rewrites (tools/probe_r9_rollup.py)
+    "tpcds_real_q36", "tpcds_real_q70", "tpcds_real_q86",
+    "tpcds_real_q22",
 ]
 
 

@@ -1783,6 +1783,122 @@ limit 100""",
     and max(case when ch = 2 then 1 end) is null
     and max(case when ch = 3 then 1 end) is null
 ) cool_cust""",
+
+    # r9 pre-agg-before-rollup family (tools/probe_r9_rollup.py; the
+    # q67 mechanism applied to the texts the Expand audit found running
+    # Expand over RAW joined fact rows). rollup(a,b[,c,d]) duplicates
+    # every input row once per grouping set; grouping FIRST on the base
+    # keys runs the Expand over |groups| (bounded by the dimension
+    # domain) instead of |rows| (grows with data volume) -- the single
+    # best 100x-scale argument in the r8 verdict, now applied suite-
+    # wide. Outer re-aggregates are cast back to the verbatim aggregate
+    # types (sum(decimal(7,2)) = decimal(17,2); avg decomposed to
+    # cast(sum/count as decimal(p+4,s+4)), the q28-proven trick); all
+    # four row-identical vs verbatim at sf10 fact volume before
+    # shipping. Measured sf10 min-of-3: q36 1.00 -> 0.70 s (-30%),
+    # q70 1.85 -> 1.18 s (-37%), q86 0.64 -> 0.54 s (-15%),
+    # q22 0.38 -> 0.35 s (-10%; the win grows with inventory volume --
+    # base groups saturate at |items| while the verbatim Expand is x5
+    # per inventory row). q18 measured as a LOSS (+11%: the 4-col
+    # (item, country, state, county) base key is near-unique under
+    # q18's selective demographic filters -- no reduction, one more
+    # shuffle; the q24 lesson) and stays verbatim.
+    "36": """with base as (
+ select i_category, i_class,
+        sum(ss_net_profit) p, sum(ss_ext_sales_price) s
+ from store_sales, date_dim d1, item, store
+ where d1.d_year = 2001
+   and d1.d_date_sk = ss_sold_date_sk
+   and i_item_sk = ss_item_sk
+   and s_store_sk = ss_store_sk
+   and s_state in ('TN','TN','TN','TN','TN','TN','TN','TN')
+ group by i_category, i_class)
+select cast(sum(p) as decimal(17,2))/cast(sum(s) as decimal(17,2)) as gross_margin
+   ,i_category
+   ,i_class
+   ,grouping(i_category)+grouping(i_class) as lochierarchy
+   ,rank() over (
+        partition by grouping(i_category)+grouping(i_class),
+        case when grouping(i_class) = 0 then i_category end
+        order by cast(sum(p) as decimal(17,2))/cast(sum(s) as decimal(17,2)) asc) as rank_within_parent
+from base
+group by rollup(i_category, i_class)
+order by
+  lochierarchy desc
+ ,case when lochierarchy = 0 then i_category end
+ ,rank_within_parent
+limit 100""",
+    "70": """with base as (
+ select s_state, s_county, sum(ss_net_profit) p
+ from store_sales, date_dim d1, store
+ where d1.d_month_seq between 1200 and 1200+11
+   and d1.d_date_sk = ss_sold_date_sk
+   and s_store_sk = ss_store_sk
+   and s_state in
+             ( select s_state
+               from  (select s_state as s_state,
+                            rank() over ( partition by s_state order by sum(ss_net_profit) desc) as ranking
+                      from   store_sales, store, date_dim
+                      where  d_month_seq between 1200 and 1200+11
+                            and d_date_sk = ss_sold_date_sk
+                            and s_store_sk  = ss_store_sk
+                      group by s_state
+                     ) tmp1
+               where ranking <= 5
+             )
+ group by s_state, s_county)
+select cast(sum(p) as decimal(17,2)) as total_sum
+   ,s_state
+   ,s_county
+   ,grouping(s_state)+grouping(s_county) as lochierarchy
+   ,rank() over (
+        partition by grouping(s_state)+grouping(s_county),
+        case when grouping(s_county) = 0 then s_state end
+        order by cast(sum(p) as decimal(17,2)) desc) as rank_within_parent
+from base
+group by rollup(s_state, s_county)
+order by
+  lochierarchy desc
+ ,case when lochierarchy = 0 then s_state end
+ ,rank_within_parent
+limit 100""",
+    "86": """with base as (
+ select i_category, i_class, sum(ws_net_paid) p
+ from web_sales, date_dim d1, item
+ where d1.d_month_seq between 1200 and 1200+11
+   and d1.d_date_sk = ws_sold_date_sk
+   and i_item_sk = ws_item_sk
+ group by i_category, i_class)
+select cast(sum(p) as decimal(17,2)) as total_sum
+   ,i_category
+   ,i_class
+   ,grouping(i_category)+grouping(i_class) as lochierarchy
+   ,rank() over (
+        partition by grouping(i_category)+grouping(i_class),
+        case when grouping(i_class) = 0 then i_category end
+        order by cast(sum(p) as decimal(17,2)) desc) as rank_within_parent
+from base
+group by rollup(i_category, i_class)
+order by
+  lochierarchy desc,
+  case when lochierarchy = 0 then i_category end,
+  rank_within_parent
+limit 100""",
+    "22": """with base as (
+ select i_product_name, i_brand, i_class, i_category,
+        sum(cast(inv_quantity_on_hand as decimal(7, 2))) sq,
+        count(inv_quantity_on_hand) cq
+ from inventory, date_dim, item
+ where inv_date_sk=d_date_sk
+   and inv_item_sk=i_item_sk
+   and d_month_seq between 1200 and 1200 + 11
+ group by i_product_name, i_brand, i_class, i_category)
+select i_product_name, i_brand, i_class, i_category,
+       cast(sum(sq)/sum(cq) as decimal(11,6)) qoh
+from base
+group by rollup(i_product_name, i_brand, i_class, i_category)
+order by qoh, i_product_name, i_brand, i_class, i_category
+limit 100""",
 }
 
 

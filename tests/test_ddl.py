@@ -146,8 +146,10 @@ def test_ddl_unknown_clauses_error(spark):
         env.execute_sql("""
             CREATE TABLE t (a INT) WITH ('connector' = 'hbase')
         """)
+    # CREATE CATALOG is implemented since r9 (was the unrecognized
+    # example here) — a genuinely unsupported CREATE still errors
     with pytest.raises(ValueError, match="unrecognized CREATE"):
-        env.execute_sql("CREATE CATALOG c WITH ('type' = 'x')")
+        env.execute_sql("CREATE MODEL m WITH ('type' = 'x')")
     with pytest.raises(ValueError, match="unsupported Flink type"):
         parse_create_table(
             "CREATE TABLE t (a GEOMETRY) WITH ('connector' = 'filesystem', 'path' = '/x')"

@@ -337,12 +337,22 @@ def test_r8_rewrites_scan_counts(spark, name, table, n):
     assert _scan_count(plan, table) == n, plan
 
 
-def test_q67_expand_runs_over_preaggregate(spark):
-    """q67 (r8): the ROLLUP Expand must consume the 8-column pre-agg,
-    not raw joined fact rows — i.e. the plan contains two aggregation
-    layers with the Expand between them (scan -> ... -> HashAggregate
-    [base] -> Expand -> HashAggregate [rollup])."""
-    plan = plan_of(spark, "tpcds_real_q67")
+@pytest.mark.parametrize("name", [
+    "tpcds_real_q67",
+    # r9 pre-agg-before-rollup family (tools/probe_r9_rollup.py): the
+    # Expand audit found these running Expand over raw joined fact
+    # rows; now pinned to the q67 two-layer shape. q18 measured as a
+    # loss (near-unique base key) and stays verbatim — not pinned.
+    "tpcds_real_q36", "tpcds_real_q70", "tpcds_real_q86",
+    "tpcds_real_q22",
+])
+def test_q67_expand_runs_over_preaggregate(spark, name):
+    """q67 (r8) + the r9 rollup family: the ROLLUP Expand must consume
+    the pre-aggregate, not raw joined fact rows — i.e. the plan
+    contains two aggregation layers with the Expand between them
+    (scan -> ... -> HashAggregate [base] -> Expand -> HashAggregate
+    [rollup])."""
+    plan = plan_of(spark, name)
     assert "Expand" in plan, plan
     # TWO aggregate layers: the base pre-agg pair below the Expand plus
     # the rollup pair above it = >=4 HashAggregate nodes, each named

@@ -75,12 +75,21 @@ def main() -> None:
             R._fresh_execution(spark, analyzed)
             ._jdf.queryExecution().optimizedPlan()
         )
-        # row-identity gate
-        a = R._fresh_execution(spark, analyzed).toPandas()
-        b = R._fresh_execution(spark, optimized).toPandas()
-        ra = sorted(map(tuple, a.itertuples(index=False)))
-        rb = sorted(map(tuple, b.itertuples(index=False)))
-        assert ra == rb, f"q{qid}: optimized-plan rows differ!"
+        # row-identity gate — normalized like the engine's own oracle
+        # compare (floats to 11 significant digits: double SUM
+        # accumulation order differs run-to-run, so exact-float compare
+        # fails on q2's ratio columns even between two ANALYZED runs)
+        def _norm(df):
+            def cell(v):
+                return f"{v:.11g}" if isinstance(v, float) else str(v)
+            return sorted(
+                tuple(cell(v) for v in row)
+                for row in df.itertuples(index=False)
+            )
+
+        a = _norm(R._fresh_execution(spark, analyzed).toPandas())
+        b = _norm(R._fresh_execution(spark, optimized).toPandas())
+        assert a == b, f"q{qid}: optimized-plan rows differ!"
         analyzed_s = _t(lambda: R._fresh_execution(spark, analyzed).toPandas())
         optimized_s = _t(lambda: R._fresh_execution(spark, optimized).toPandas())
         out[f"q{qid}"] = {

@@ -93,6 +93,9 @@ def main() -> None:
       and ss_sold_date_sk = d_date_sk
     group by i_item_id
     """
+    # _run_real leaves the session on the default db; the stats-mode
+    # catalog tables live in the stats db
+    spark.sql("USE tpcds_stats")
     out["q58_one_channel_s"] = tmin(
         lambda: spark.sql(one).toPandas(), runs=3
     )
