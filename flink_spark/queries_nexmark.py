@@ -304,3 +304,138 @@ def nexmark_n6_avg_seller_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("avg10", 6).alias("avg_price_last10"),
         )
     )
+
+
+# n9: winning bid per auction (extended Nexmark q9).
+@query(
+    "nexmark_n9_winning_bids",
+    """
+    WITH b AS (SELECT user_id, date_trunc('day', ts) AS d, ts,
+                      event_id, value
+               FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, d, ts, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, d
+                                    ORDER BY value DESC, ts, event_id)
+                   AS rn
+          FROM b)
+    SELECT user_id AS auction,
+           CAST(epoch_ms(d) AS BIGINT) AS day_ms,
+           CAST(event_id AS BIGINT) AS winning_bid_id,
+           round(value, 6) AS winning_price
+    FROM r WHERE rn = 1
+    """,
+)
+def nexmark_n9_winning_bids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q9 (winning bids — the out-of-tree suite's
+    auction⋈bid dedup, github.com/nexmark/nexmark q9): the highest bid
+    per auction lifetime. Re-grounded on the event stream: each
+    (user_id, day) is an auction; the winner is the max-value purchase
+    with a TOTAL deterministic tiebreak (value desc, ts, event_id) so
+    the hash is engine-independent. Plan: one shuffle on the
+    (auction, day) key; Catalyst plans WindowGroupLimit (rank-1
+    pushdown) before the sort, so each partition retains one row per
+    key pre-sort — the streaming analog is the keep-max dedup the
+    stateful tier serves with per-key state."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    b = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("day", "ts").alias("d"),
+        "ts", "event_id", "value",
+    )
+    w = Window.partitionBy("user_id", "d").orderBy(
+        F.col("value").desc(), "ts", "event_id"
+    )
+    return (
+        b.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("auction"),
+            F.unix_millis("d").alias("day_ms"),
+            F.col("event_id").cast("long").alias("winning_bid_id"),
+            F.round("value", 6).alias("winning_price"),
+        )
+    )
+
+
+# n12: bid count per bidder per tumbling window (extended Nexmark q12).
+@query(
+    "nexmark_n12_bidder_activity",
+    """
+    SELECT user_id AS bidder,
+           CAST(epoch_ms(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT)
+             AS win_start_ms,
+           CAST(count(*) AS BIGINT) AS n_bids
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, time_bucket(INTERVAL '10 minutes', ts)
+    """,
+)
+def nexmark_n12_bidder_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q12 (how many bids per bidder per 10-minute
+    window — the reference grounds it on processing time; the
+    deterministic batch spelling uses event time, the same narrowing
+    the suite's other windows use). Map-side-combinable count, one
+    shuffle on (bidder, window) — at 100 TB this is the canonical
+    partial-agg shape."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_bids"))
+        .select(
+            F.col("user_id").alias("bidder"),
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            F.col("n_bids").cast("long"),
+        )
+    )
+
+
+# n15: bidding statistics per day (extended Nexmark q15).
+@query(
+    "nexmark_n15_bid_stats",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS total_bids,
+           CAST(count(*) FILTER (WHERE value < 100) AS BIGINT) AS rank1_bids,
+           CAST(count(*) FILTER (WHERE value >= 100 AND value < 300)
+                AS BIGINT) AS rank2_bids,
+           CAST(count(*) FILTER (WHERE value >= 300) AS BIGINT) AS rank3_bids,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_bidders,
+           CAST(count(DISTINCT user_id) FILTER (WHERE value >= 300)
+                AS BIGINT) AS rank3_bidders
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def nexmark_n15_bid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q15 (bidding statistics report): per day,
+    total/price-banded bid counts plus DISTINCT bidder counts overall
+    and in the top band — the mixed count/count-distinct-with-filter
+    aggregate the extended suite uses to stress distinct-agg planning.
+    Spark plans the two distincts + plain counts with one Expand
+    (grouping-id split), partials before the shuffle; day emitted as a
+    formatted STRING (the DATE-column cross-engine footgun)."""
+    ev = Catalog(spark, sf_dir).events
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id", "value",
+    )
+    return p.groupBy("day").agg(
+        F.count("*").alias("total_bids"),
+        F.count(F.when(F.col("value") < 100, 1)).alias("rank1_bids"),
+        F.count(F.when((F.col("value") >= 100) & (F.col("value") < 300), 1))
+         .alias("rank2_bids"),
+        F.count(F.when(F.col("value") >= 300, 1)).alias("rank3_bids"),
+        F.count_distinct("user_id").alias("distinct_bidders"),
+        F.count_distinct(
+            F.when(F.col("value") >= 300, F.col("user_id"))
+        ).alias("rank3_bidders"),
+    ).select(
+        "day",
+        F.col("total_bids").cast("long"),
+        F.col("rank1_bids").cast("long"),
+        F.col("rank2_bids").cast("long"),
+        F.col("rank3_bids").cast("long"),
+        F.col("distinct_bidders").cast("long"),
+        F.col("rank3_bidders").cast("long"),
+    )

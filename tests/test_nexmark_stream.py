@@ -227,3 +227,33 @@ def test_n7_highest_bid_streaming_twin(spark, replayed, tmp_path):
     closed = {r for r in want if r[0] < max_ms - 2 * 3_600_000}
     assert closed <= got, sorted(closed - got)[:5]
     assert len(got) > len(want - closed), "most windows must have closed"
+
+
+def test_n12_bidder_activity_streaming_twin(spark, replayed, tmp_path):
+    """Extended Nexmark q12 (bids per bidder per 10-minute tumble):
+    the streaming spelling emits exactly the batch rows whose window
+    the final watermark closed — the per-key tumbling count is the
+    canonical map-side-combinable streaming aggregate."""
+    sdf = (
+        replayed.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", _DELAY)
+        .groupBy("user_id", F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_bids"))
+        .select(
+            F.col("user_id").alias("bidder"),
+            F.unix_millis(F.col("w.start")).alias("win_start_ms"),
+            F.col("n_bids").cast("long"),
+        )
+    )
+    got = _rows(_run(spark, sdf, "nx_n12", tmp_path))
+    batch_df = Q.QUERIES["nexmark_n12_bidder_activity"](spark, SF_DIR)
+    all_batch = _rows(batch_df)
+    assert set(got) <= set(all_batch), "streaming emitted a non-batch row"
+    withheld = set(all_batch) - set(got)
+    assert withheld, "availableNow should withhold the open tail"
+    # every withheld row is in the unclosed tail near the final
+    # watermark (10-min windows; delay < 1 window → tail <= 2 windows)
+    max_ms = max(r[1] for r in all_batch)
+    horizon = max_ms - 2 * 600_000
+    assert all(r[1] >= horizon for r in withheld), sorted(withheld)[:5]
+    assert len(got) > len(withheld)
