@@ -1051,7 +1051,7 @@ def _split_statements(body: str) -> list[str]:
 
 def _streaming_statement_set(
     spark: SparkSession, parsed: list[tuple[str, str, str]],
-    stream_srcs: list[str],
+    stream_srcs: list[str], capture_plans: bool = False,
 ) -> DataFrame:
     """Streaming STATEMENT SET (r9; reference SqlBeginStatementSet +
     StreamTableEnvironment.createStatementSet — the statement set's
@@ -1075,6 +1075,14 @@ def _streaming_statement_set(
 
     At scale each micro-batch write is a normal distributed parquet
     append; the persist is one micro-batch's data, not the stream.
+
+    ``capture_plans`` (r10, default False) gates the test-only
+    instrumentation: with it on, every statement's optimized plan is
+    accumulated on the driver per micro-batch (unbounded on a real
+    continuous stream) and a second count action runs per sink. The
+    production path is write-only — per-sink row counts come from an
+    ``Observation`` attached to the single write action, so no plan
+    strings accumulate and no extra job runs.
     """
     global _LAST_STATEMENT_SET_PLANS
     import tempfile
@@ -1110,7 +1118,6 @@ def _streaming_statement_set(
             batch_df.createOrReplaceTempView(src)
             for mode, sink, q in parsed:
                 out = _build_insert(sess, sink, q)
-                plans.append(out._jdf.queryExecution().optimizedPlan().toString())
                 sspec = _REGISTERED[sink]
                 fmt = sspec.options.get("format", "parquet")
                 fmt_opts = {
@@ -1118,21 +1125,47 @@ def _streaming_statement_set(
                     for k, v in sspec.options.items()
                     if k.startswith(f"{fmt}.")
                 }
-                out.cache()
-                try:
-                    counts[sink] += out.count()
-                    w = out.write.mode("append").format(fmt).options(**fmt_opts)
+                if capture_plans:
+                    plans.append(
+                        out._jdf.queryExecution().optimizedPlan().toString()
+                    )
+                    out.cache()
+                    try:
+                        counts[sink] += out.count()
+                        w = out.write.mode("append").format(fmt).options(
+                            **fmt_opts
+                        )
+                        if sspec.partitioned:
+                            w = w.partitionBy(*sspec.partitioned)
+                        w.save(sspec.options["path"])
+                    finally:
+                        out.unpersist()
+                else:
+                    # production path: the write is the ONLY action; the
+                    # Observation rides it, so counts cost nothing extra
+                    from pyspark.sql import Observation
+                    from pyspark.sql import functions as _F
+
+                    obs = Observation()
+                    out = out.observe(obs, _F.count(_F.lit(1)).alias("n"))
+                    w = out.write.mode("append").format(fmt).options(
+                        **fmt_opts
+                    )
                     if sspec.partitioned:
                         w = w.partitionBy(*sspec.partitioned)
                     w.save(sspec.options["path"])
-                finally:
-                    out.unpersist()
+                    counts[sink] += obs.get["n"]
         finally:
             batch_df.unpersist()
 
-    ckpt = spec.options.get(
-        "checkpoint", tempfile.mkdtemp(prefix="stmt_set_ckpt_")
-    )
+    ckpt = spec.options.get("checkpoint")
+    if ckpt is None:
+        # ephemeral default checkpoint: a fresh dir per invocation means
+        # re-running the same statement set re-ingests the whole source
+        # and APPENDS duplicate rows to every sink — set 'checkpoint' in
+        # the source's WITH options for resumable exactly-once progress.
+        # mkdtemp only runs on this path (no stray dir when configured).
+        ckpt = tempfile.mkdtemp(prefix="stmt_set_ckpt_")
     q = (
         sdf.writeStream.foreachBatch(fan_out)
         .trigger(availableNow=True)
@@ -1152,7 +1185,8 @@ def _streaming_statement_set(
 
 
 def _statement_set(
-    spark: SparkSession, body: str, share_scans: bool = True
+    spark: SparkSession, body: str, share_scans: bool = True,
+    capture_plans: bool = False,
 ) -> DataFrame:
     """Execute a STATEMENT SET: N INSERTs submitted as one logical job.
     Returns one row per sink (sink, rows_inserted). Batch statements
@@ -1195,7 +1229,9 @@ def _statement_set(
     if stream_srcs:
         # streaming STATEMENT SET (r9): foreachBatch fan-out — the
         # reference's primary statement-set use case
-        return _streaming_statement_set(spark, parsed, stream_srcs)
+        return _streaming_statement_set(
+            spark, parsed, stream_srcs, capture_plans=capture_plans
+        )
     shared = [n for n, c in refs.items() if c >= 2] if share_scans else []
     for n in shared:
         spark.catalog.cacheTable(n)  # lazy analyzed-plan cache: the
@@ -1691,7 +1727,7 @@ _CURRENT_CATALOG = ["default_catalog"]
 _VIEW_SQL: dict[str, str] = {}
 
 _SET_RE = re.compile(
-    r"^\s*SET(?:\s+'([^']+)'\s*=\s*'([^']*)'|\s+([\w.\-]+)\s*=\s*(\S+))?"
+    r"^\s*SET(?:\s+'([^']+)'\s*=\s*'([^']*)'|\s+([\w.\-]+)\s*=\s*([^;\s]+))?"
     r"\s*;?\s*$",
     re.I,
 )
@@ -1699,7 +1735,7 @@ _RESET_RE = re.compile(
     r"^\s*RESET(?:\s+'([^']+)'|\s+([\w.\-]+))?\s*;?\s*$", re.I
 )
 _CREATE_CATALOG_RE = re.compile(
-    r"^\s*CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+    r"^\s*CREATE\s+CATALOG\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)"
     r"(?:\s+WITH\s*\((.*)\))?\s*;?\s*$",
     re.I | re.S,
 )
@@ -1716,6 +1752,121 @@ _DESCRIBE_DB_RE = re.compile(
 _SHOW_CREATE_VIEW_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+VIEW\s+(\w+)\s*;?\s*$", re.I
 )
+
+# --- modules and JAR resources (r10; the last unhandled Parser.tdd
+# statements: SqlLoadModule/SqlUnloadModule/SqlUseModules/SqlShowModules
+# Parser.tdd:64-65,96-97, SqlAddJar/SqlRemoveJar/SqlShowJars
+# Parser.tdd:33,88-89). Flink's ModuleManager keeps an ordered registry
+# of loaded modules with a used-subset that drives function resolution;
+# module INSTANTIATION goes through JVM ModuleFactory discovery
+# (FactoryUtil), which a Python-first engine deliberately does not have
+# — the only discoverable module here is 'core' (the engine's built-in
+# function battery), and loading any other identifier raises the
+# reference's factory-not-found error shape. This is a documented
+# narrowing (SURVEY deviation register). JARs: ADD JAR delegates to
+# Spark's native resource machinery (real JVM classpath effect) and is
+# tracked client-side for SHOW JARS, like SqlClient's resource list;
+# REMOVE JAR drops the registry entry but cannot evict the jar from the
+# live JVM classpath (Spark has no REMOVE JAR — second half of the same
+# deviation row).
+
+_MODULES: dict[str, bool] = {"core": True}  # name -> used; dict order = load order
+_MODULE_FACTORIES = {"core"}  # identifiers a LOAD MODULE can instantiate
+_JARS: list[str] = []
+
+_LOAD_MODULE_RE = re.compile(
+    r"^\s*LOAD\s+MODULE\s+(\w+)(?:\s+WITH\s*\((.*)\))?\s*;?\s*$", re.I | re.S
+)
+_UNLOAD_MODULE_RE = re.compile(
+    r"^\s*UNLOAD\s+MODULE\s+(\w+)\s*;?\s*$", re.I
+)
+_USE_MODULES_RE = re.compile(
+    r"^\s*USE\s+MODULES\s+(\w+(?:\s*,\s*\w+)*)\s*;?\s*$", re.I
+)
+_SHOW_MODULES_RE = re.compile(
+    r"^\s*SHOW\s+(FULL\s+)?MODULES\s*;?\s*$", re.I
+)
+_ADD_JAR_RE = re.compile(r"^\s*ADD\s+JAR\s+'([^']+)'\s*;?\s*$", re.I)
+_REMOVE_JAR_RE = re.compile(r"^\s*REMOVE\s+JAR\s+'([^']+)'\s*;?\s*$", re.I)
+_SHOW_JARS_RE = re.compile(r"^\s*SHOW\s+JARS\s*;?\s*$", re.I)
+
+
+def _module_statement(spark: SparkSession, stripped: str) -> DataFrame | None:
+    m = _LOAD_MODULE_RE.match(stripped)
+    if m:
+        name = m.group(1).lower()
+        if name in _MODULES:
+            # ModuleManager.loadModule: duplicate names rejected
+            raise ValueError(f"A module with name '{name}' already exists")
+        if name not in _MODULE_FACTORIES:
+            # reference-shaped refusal (FactoryUtil.discoverFactory):
+            # there is no JVM factory discovery in this Python engine
+            raise ValueError(
+                f"Could not find any factory for identifier '{name}' "
+                "that implements ModuleFactory (this engine discovers "
+                "only the built-in 'core' module; JVM classpath module "
+                "factories are a documented narrowing)"
+            )
+        _MODULES[name] = True  # loaded modules start used, like Flink
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _UNLOAD_MODULE_RE.match(stripped)
+    if m:
+        name = m.group(1).lower()
+        if name not in _MODULES:
+            raise ValueError(f"No module with name '{name}' exists")
+        _MODULES.pop(name)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _USE_MODULES_RE.match(stripped)
+    if m:
+        names = [n.strip().lower() for n in m.group(1).split(",")]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"Module names must be unique, but found duplicates in "
+                f"{names}"
+            )
+        missing = [n for n in names if n not in _MODULES]
+        if missing:
+            raise ValueError(f"No module with name '{missing[0]}' exists")
+        # USE MODULES re-declares the used subset AND its order; loaded-
+        # but-unused modules stay loaded (ModuleManager.useModules)
+        unused = [n for n in _MODULES if n not in names]
+        _MODULES.clear()
+        for n in names:
+            _MODULES[n] = True
+        for n in unused:
+            _MODULES[n] = False
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _SHOW_MODULES_RE.match(stripped)
+    if m:
+        if m.group(1):  # SHOW FULL MODULES: every loaded module + flag
+            rows = [(n, u) for n, u in _MODULES.items()]
+            return spark.createDataFrame(
+                rows, "`module name` string, used boolean"
+            )
+        rows = [(n,) for n, u in _MODULES.items() if u]
+        return spark.createDataFrame(rows, "`module name` string")
+    m = _ADD_JAR_RE.match(stripped)
+    if m:
+        path = m.group(1)
+        if not path.lower().endswith(".jar"):
+            raise ValueError(f"ADD JAR only accepts .jar files: {path}")
+        spark.sql(f"ADD JAR '{path}'")  # real JVM-side resource add
+        if path not in _JARS:
+            _JARS.append(path)
+        return spark.createDataFrame([("OK",)], "result string")
+    m = _REMOVE_JAR_RE.match(stripped)
+    if m:
+        path = m.group(1)
+        if path not in _JARS:
+            raise ValueError(
+                f"The jar resource [{path}] hasn't been registered"
+            )
+        _JARS.remove(path)  # registry only; the live JVM classpath
+        # retains the jar for the session (documented narrowing)
+        return spark.createDataFrame([("OK",)], "result string")
+    if _SHOW_JARS_RE.match(stripped):
+        return spark.createDataFrame([(j,) for j in _JARS], "jars string")
+    return None
 
 
 def _session_statement(spark: SparkSession, stripped: str) -> DataFrame | None:
@@ -1743,9 +1894,14 @@ def _session_statement(spark: SparkSession, stripped: str) -> DataFrame | None:
         return spark.createDataFrame([("OK",)], "result string")
     m = _CREATE_CATALOG_RE.match(stripped)
     if m:
-        name = m.group(1)
-        props = _parse_options(m.group(2)) if m.group(2) else {}
-        _CATALOGS.setdefault(name, props or {"type": "generic_in_memory"})
+        ine, name = m.group(1), m.group(2)
+        props = _parse_options(m.group(3)) if m.group(3) else {}
+        if name in _CATALOGS:
+            if not ine:
+                # Flink's CatalogManager raises on duplicate registration
+                raise ValueError(f"CREATE CATALOG: catalog {name} already exists")
+            return spark.createDataFrame([("OK",)], "result string")
+        _CATALOGS[name] = props or {"type": "generic_in_memory"}
         return spark.createDataFrame([("OK",)], "result string")
     m = _DROP_CATALOG_RE.match(stripped)
     if m:
@@ -1911,13 +2067,19 @@ def restore_functions(spark: SparkSession) -> int:
     return n
 
 
-def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
+def execute_ddl(
+    spark: SparkSession, sql: str, capture_plans: bool = False
+) -> DataFrame | None:
     """Route a Flink DDL statement; None if ``sql`` isn't DDL (caller
-    should fall through to spark.sql)."""
+    should fall through to spark.sql). ``capture_plans`` turns on the
+    test-only statement-set plan capture (see _streaming_statement_set)."""
     stripped = sql.strip()
     fm = _function_ddl(spark, stripped)
     if fm is not None:
         return fm
+    mm0 = _module_statement(spark, stripped)
+    if mm0 is not None:
+        return mm0
     sm0 = _session_statement(spark, stripped)
     if sm0 is not None:
         return sm0
@@ -1933,7 +2095,8 @@ def execute_ddl(spark: SparkSession, sql: str) -> DataFrame | None:
         return _execute_plan(spark, epm.group(1))
     ssm = _STMT_SET_RE.match(stripped)
     if ssm:
-        return _statement_set(spark, ssm.group(1))
+        return _statement_set(spark, ssm.group(1),
+                              capture_plans=capture_plans)
     is_create_table = re.match(
         r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\b", stripped, re.I
     )

@@ -1,10 +1,15 @@
 """Pattern-level SQL rewrite rules — engine optimizations that fire on
 RECOGNIZED SHAPES in any user query, not on a per-query lookup table.
 
-First rule (r9, promoted from the hand rewrites of TPC-DS q9/q28/q88 —
+Rule #1 (r9, promoted from the hand rewrites of TPC-DS q9/q28/q88 —
 VERDICT r8 task #4): N scalar subqueries aggregating the SAME bare
 table under different predicates collapse into ONE conditional-
 aggregate pass.
+
+Rule #2 (r10, promoted from the q10/q35/q69 hand rewrites — VERDICT r9
+task #4): a boolean combination of per-channel existence predicates
+against one outer key collapses into ONE union-aggregate flag pass +
+ONE semi join (see channel_exists_to_union_flags below).
 
     (select avg(x) from t where p1) ... (select count(*) from t where p2)
         ==>
@@ -63,21 +68,64 @@ _SQL_WORDS = {
 }
 
 
+def _mask(text: str) -> tuple[str, list[tuple[int, int]]]:
+    """Same-length copy of ``text`` with single-quoted literal CONTENTS
+    and comment bodies (-- to end-of-line, /* */) blanked to spaces, plus
+    the comment spans. Matching and paren-scanning run on the mask so a
+    candidate head inside a literal or comment can never anchor a bogus
+    span (ADVICE r9) — indices into the mask are valid in the original."""
+    out = list(text)
+    comments: list[tuple[int, int]] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":  # '' escape
+                        out[i] = out[i + 1] = " "
+                        i += 2
+                        continue
+                    break
+                out[i] = " "
+                i += 1
+            i += 1
+        elif c == "-" and i + 1 < n and text[i + 1] == "-":
+            s = i
+            while i < n and text[i] != "\n":
+                out[i] = " "
+                i += 1
+            comments.append((s, i))
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            s = i
+            i += 2
+            while i + 1 < n and not (text[i] == "*" and text[i + 1] == "/"):
+                i += 1
+            i = min(i + 2, n)
+            for j in range(s, i):
+                out[j] = " "
+            comments.append((s, i))
+        else:
+            i += 1
+    return "".join(out), comments
+
+
 def _find_subqueries(text: str):
     """Yield (start, end, agg, col, table, pred) for each candidate
     scalar-aggregate subquery; end is the index AFTER the closing
-    paren. Paren scan skips single-quoted literals."""
-    for m in _AGG_HEAD.finditer(text):
+    paren. Matching and paren-scanning run on the literal/comment mask;
+    candidates whose span overlaps a comment are declined (the pred is
+    lifted verbatim from the original text, and a comment inside it
+    could swallow the rewrite's surrounding syntax)."""
+    masked, comments = _mask(text)
+    for m in _AGG_HEAD.finditer(masked):
         start = m.start()
         depth, i = 0, start
-        n = len(text)
+        n = len(masked)
         while i < n:
-            c = text[i]
-            if c == "'":
-                i += 1
-                while i < n and text[i] != "'":
-                    i += 1
-            elif c == "(":
+            c = masked[i]
+            if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1
@@ -87,6 +135,8 @@ def _find_subqueries(text: str):
         if depth != 0:
             continue
         end = i + 1
+        if any(cs < end and start < ce for cs, ce in comments):
+            continue
         pred = text[m.end():i].strip()
         yield start, end, m.group(1).lower(), m.group(2), m.group(3).lower(), pred
 
@@ -175,3 +225,451 @@ def scalar_subqueries_to_conditional_agg(
     else:
         out = f"with {cte_sql}\n{out}"
     return out
+
+
+# ======================================================================
+# Rule #2 (r10): per-channel existence predicates -> union-agg flag pass
+# ======================================================================
+#
+#   where exists (select * from t1 where x = k1 and p1)
+#     and (exists (select * from t2 where x = k2 and p2)
+#          or not exists (select * from t3 where x = k3 and p3))
+#       ==>
+#   with __chan_flags_0 as (
+#     select __key, max(case when __ch = 0 then 1 end) __f0, ...
+#     from (select k1 as __key, 0 as __ch from t1 where p1
+#           union all ...) u
+#     where __key is not null group by __key)
+#   ... where x in (select __key from __chan_flags_0
+#                   where __f0 = 1 and (__f1 = 1 or __f2 is null))
+#
+# Why it is sound (each gate below enforces one premise):
+#   * EXISTS is 2-valued; for a non-null outer key x, EXISTS_k(x) is
+#     exactly "x is in channel k's key set", which max(case)=1 encodes;
+#     NOT EXISTS_k(x) is "absent", which __fk IS NULL encodes (keys in
+#     the CTE carry 1-or-NULL flags, never 0).
+#   * Keys matching NO channel are absent from the CTE, so the IN is
+#     FALSE for them. That equals the original only when the region
+#     cannot be TRUE for such keys — guaranteed when every channel is
+#     positive (all-FALSE inputs through an AND/OR-only combination is
+#     FALSE), and, when a NOT EXISTS channel is present, by requiring a
+#     POSITIVE channel as a top-level AND conjunct of the region.
+#   * A NULL outer key: every EXISTS is FALSE (the correlation equality
+#     never holds), so the original region is FALSE or fails the
+#     mandatory positive conjunct; the rewrite's IN evaluates to
+#     NULL/FALSE. NULL-vs-FALSE is indistinguishable where the region
+#     sits, because the boundary gate only accepts the region as a
+#     top-level conjunct of a WHERE (preceded by WHERE/AND, followed by
+#     AND/clause-end) — selection semantics, never under NOT / IS / CASE.
+#   * `x IN (select k from t where p)` channels can differ from EXISTS
+#     on NULL semantics only by returning NULL instead of FALSE (null
+#     keys in the list); at a WHERE-conjunct position in an AND/OR-only
+#     combination those select identically.
+#
+# Why it matters at scale: the reference plans each existence predicate
+# as its own semi/anti join (SEMI_JOIN_RULES,
+# FlinkStreamRuleSets.scala:34) — N channels over 100 TB facts = N
+# shuffled joins against the outer key. The rewrite computes ALL
+# channel flags in one partial-aggregatable pass over the unioned
+# channels and joins ONCE.
+#
+# Recognition gates (strict — decline on any doubt):
+#   * channel = [NOT] EXISTS (SELECT */1/col FROM bare_tables WHERE
+#     conj) with exactly one correlation equality <outer> = <inner col>
+#     and every other conjunct local to the subquery's tables, or
+#     <outer> IN (SELECT col FROM bare_table [WHERE local_pred]);
+#     NOT IN is never touched (its NULL semantics don't survive).
+#   * >= 2 channels, all correlating the SAME outer expression, forming
+#     a contiguous region whose gaps contain only AND/OR/parens.
+#   * region is a top-level conjunct of a WHERE clause (boundary gate).
+#   * a NOT EXISTS channel requires a positive top-level-AND channel.
+#   * all channel key columns must have the SAME type (``types_of``) so
+#     UNION ALL cannot coerce keys and change equality semantics.
+
+_EXISTS_HEAD = re.compile(r"(\bnot\s+)?\bexists\s*\(", re.I)
+_IN_HEAD = re.compile(
+    r"([A-Za-z_][\w.]*)\s+in\s*\(\s*select\b", re.I
+)
+_EXISTS_INNER = re.compile(
+    r"^\s*select\s+(?:\*|1|[A-Za-z_][\w.]*)\s+from\s+"
+    r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+where\s+(.*)$",
+    re.I | re.S,
+)
+_IN_INNER = re.compile(
+    r"^\s*select\s+([A-Za-z_]\w*)\s+from\s+([A-Za-z_]\w*)"
+    r"(?:\s+where\s+(.*))?\s*$",
+    re.I | re.S,
+)
+_EQ = re.compile(
+    r"^\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*$"
+)
+
+
+def _split_conjuncts(s: str) -> list[tuple[int, int]] | None:
+    """Spans of the top-level AND conjuncts of ``s`` (already masked).
+    BETWEEN..AND aware; returns None when parens unbalance."""
+    spans: list[tuple[int, int]] = []
+    depth = 0
+    start = 0
+    between = 0
+    for m in re.finditer(r"[()]|\b(and|between)\b", s, re.I):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth == 0:
+            if tok.lower() == "between":
+                between += 1
+            elif between:
+                between -= 1  # this AND closes a BETWEEN
+            else:
+                spans.append((start, m.start()))
+                start = m.end()
+    if depth != 0:
+        return None
+    spans.append((start, len(s)))
+    return spans
+
+
+def _resolve(ident: str, tables: list[str],
+             columns_of) -> str | None:
+    """Resolve an identifier against the subquery's tables: returns the
+    qualifying table name, or None when it is not an inner column."""
+    if "." in ident:
+        prefix, col = ident.split(".", 1)
+        prefix, col = prefix.lower(), col.lower()
+        if prefix in tables and "." not in col:
+            cols = columns_of(prefix)
+            if cols and col in {c.lower() for c in cols}:
+                return prefix
+        return None
+    low = ident.lower()
+    for t in tables:
+        cols = columns_of(t)
+        if cols and low in {c.lower() for c in cols}:
+            return t
+    return None
+
+
+def _local_conjunct(masked_pred: str, tables: list[str],
+                    columns_of) -> bool:
+    """True when every identifier in the (masked) conjunct resolves to
+    the subquery's tables or is a SQL word — no outer references."""
+    if re.search(r"\bselect\b", masked_pred, re.I):
+        return False
+    for ident in re.finditer(r"\b[A-Za-z_][\w.]*\b", masked_pred):
+        w = ident.group(0)
+        low = w.lower()
+        if low in _SQL_WORDS or low.replace(".", "").isdigit():
+            continue
+        if _resolve(w, tables, columns_of) is None:
+            return False
+    return True
+
+
+def _parse_exists_channel(text, masked, start, open_paren, close,
+                          negative, columns_of, types_of):
+    """Validate one [NOT] EXISTS(...) candidate; returns the channel
+    dict or None."""
+    inner_m = masked[open_paren + 1:close]
+    inner_t = text[open_paren + 1:close]
+    m = _EXISTS_INNER.match(inner_m)
+    if m is None:
+        return None
+    tables = [t.strip().lower() for t in m.group(1).split(",")]
+    if len(set(tables)) != len(tables):
+        return None
+    for t in tables:
+        if columns_of(t) is None:
+            return None
+    conj_off = m.start(2)
+    conj_m = inner_m[conj_off:]
+    spans = _split_conjuncts(conj_m)
+    if spans is None:
+        return None
+    corr = None
+    locals_: list[str] = []
+    for s, e in spans:
+        seg_m = conj_m[s:e]
+        seg_t = inner_t[conj_off + s:conj_off + e]
+        eq = _EQ.match(seg_m)
+        if eq:
+            a, b = eq.group(1), eq.group(2)
+            ra = _resolve(a, tables, columns_of)
+            rb = _resolve(b, tables, columns_of)
+            if (ra is None) != (rb is None):
+                # one side inner, one side outer -> correlation
+                if corr is not None:
+                    return None  # two correlations: decline
+                inner_side, outer_side = (b, a) if ra is None else (a, b)
+                # the outer side must be a plain identifier (it is, by
+                # the _EQ shape) and must NOT be resolvable inner
+                corr = (outer_side, inner_side,
+                        ra if rb is None else rb)
+                continue
+        if "(" in seg_m or ")" in seg_m:
+            return None  # keep conjuncts flat, like rule #1
+        if not _local_conjunct(seg_m, tables, columns_of):
+            return None
+        locals_.append(seg_t.strip())
+    if corr is None:
+        return None
+    outer_expr, key_ident, key_table = corr
+    key_col = key_ident.split(".")[-1].lower()
+    typ = types_of(key_table, key_col) if types_of else None
+    if types_of and typ is None:
+        return None
+    return {
+        "start": start, "end": close + 1, "negative": negative,
+        "outer": re.sub(r"\s+", "", outer_expr.lower()),
+        "key": key_ident, "tables": ", ".join(tables),
+        "local": " and ".join(locals_), "type": typ,
+    }
+
+
+def _parse_in_channel(text, masked, start, open_paren, close,
+                      outer_expr, columns_of, types_of):
+    inner_m = masked[open_paren + 1:close]
+    inner_t = text[open_paren + 1:close]
+    m = _IN_INNER.match(inner_m)
+    if m is None:
+        return None
+    col, table = m.group(1).lower(), m.group(2).lower()
+    cols = columns_of(table)
+    if cols is None or col not in {c.lower() for c in cols}:
+        return None
+    local = ""
+    if m.group(3) is not None:
+        pred_m = m.group(3)
+        if "(" in pred_m or ")" in pred_m:
+            return None
+        if not _local_conjunct(pred_m, [table], columns_of):
+            return None
+        local = inner_t[m.start(3):m.end(3)].strip()
+    # the outer expr itself must not be a column of the channel table
+    # written bare (that would be a correlated IN, different semantics)
+    if "." not in outer_expr and _resolve(outer_expr, [table],
+                                          columns_of):
+        return None
+    typ = types_of(table, col) if types_of else None
+    if types_of and typ is None:
+        return None
+    return {
+        "start": start, "end": close + 1, "negative": False,
+        "outer": re.sub(r"\s+", "", outer_expr.lower()),
+        "key": col, "tables": table, "local": local, "type": typ,
+    }
+
+
+def _scan_close(masked: str, open_paren: int) -> int | None:
+    depth, i, n = 0, open_paren, len(masked)
+    while i < n:
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+def channel_exists_to_union_flags(
+    text: str,
+    columns_of: Callable[[str], set[str] | None],
+    types_of: Callable[[str, str], str | None] | None = None,
+    min_count: int = 2,
+) -> str | None:
+    """Apply rule #2; returns rewritten SQL or None when it does not
+    fire. ``types_of(table, col)`` returns the column's type string (or
+    None when unknown) — REQUIRED for multi-table channel groups so
+    UNION ALL cannot silently coerce key types; single-type groups
+    verified the same way."""
+    masked, comments = _mask(text)
+
+    candidates = []
+    for m in _EXISTS_HEAD.finditer(masked):
+        op = masked.index("(", m.end() - 1)
+        close = _scan_close(masked, op)
+        if close is None:
+            continue
+        ch = _parse_exists_channel(
+            text, masked, m.start(), op, close,
+            bool(m.group(1)), columns_of, types_of,
+        )
+        if ch:
+            candidates.append(ch)
+    for m in _IN_HEAD.finditer(masked):
+        # the outer ident must be a real reference, not a keyword — in
+        # `x NOT IN (select ...)` the regex would otherwise capture
+        # 'not' as the ident; NOT IN is untouchable either way (its
+        # NULL semantics don't survive the flag encoding)
+        if m.group(1).lower() in _SQL_WORDS:
+            continue
+        before = masked[:m.start()].rstrip()
+        if re.search(r"\bnot$", before, re.I):
+            continue
+        op = masked.index("(", m.end(1))
+        close = _scan_close(masked, op)
+        if close is None:
+            continue
+        ch = _parse_in_channel(
+            text, masked, m.start(), op, close, m.group(1),
+            columns_of, types_of,
+        )
+        if ch:
+            candidates.append(ch)
+    if len(candidates) < min_count:
+        return None
+    candidates.sort(key=lambda c: c["start"])
+    # overlapping candidates (an IN nested in an EXISTS pred can't pass
+    # the gates, but be safe): decline overlaps outright
+    for a, b in zip(candidates, candidates[1:]):
+        if b["start"] < a["end"]:
+            return None
+
+    # cluster into contiguous regions: same outer expr, gaps containing
+    # only AND/OR and parens
+    def gap_ok(g: str) -> bool:
+        toks = re.findall(r"[()]|\b\w+\b", g)
+        return all(t in "()" or t.lower() in ("and", "or") for t in toks)
+
+    clusters: list[list[dict]] = []
+    for ch in candidates:
+        if (clusters and clusters[-1][-1]["outer"] == ch["outer"]
+                and gap_ok(masked[clusters[-1][-1]["end"]:ch["start"]])):
+            clusters[-1].append(ch)
+        else:
+            clusters.append([ch])
+
+    regions = []
+    for cl in clusters:
+        if len(cl) < min_count:
+            continue
+        if types_of is None or len({c["type"] for c in cl}) != 1:
+            continue  # key types must be known and identical
+        rs, re_ = cl[0]["start"], cl[-1]["end"]
+        # paren balance across gaps: extend the region over the parens
+        # that open before the first span / close after the last one
+        gaps = "".join(
+            masked[a["end"]:b["start"]] for a, b in zip(cl, cl[1:])
+        )
+        bal = gaps.count("(") - gaps.count(")")
+        if bal > 0:  # trailing ')'s belong to the region
+            i = re_
+            while bal and i < len(masked):
+                if masked[i] == ")":
+                    bal -= 1
+                elif not masked[i].isspace():
+                    break
+                i += 1
+            if bal:
+                continue
+            re_ = i
+        elif bal < 0:  # leading '('s belong to the region
+            i = rs - 1
+            while bal and i >= 0:
+                if masked[i] == "(":
+                    bal += 1
+                elif not masked[i].isspace():
+                    break
+                i -= 1
+            if bal:
+                continue
+            rs = i + 1
+        if any(cs < re_ and rs < ce for cs, ce in comments):
+            continue
+        # boundary gate: region must be a top-level conjunct of a WHERE
+        before = masked[:rs].rstrip()
+        if not re.search(r"\b(where|and)$", before, re.I):
+            continue
+        after = masked[re_:].lstrip()
+        if after and not re.match(
+            r"(and\b|group\b|order\b|having\b|limit\b|window\b|union\b"
+            r"|intersect\b|except\b|\)|;)", after, re.I,
+        ):
+            continue
+        # NOT EXISTS present -> need a positive channel that is a
+        # top-level AND conjunct of the region
+        if any(c["negative"] for c in cl):
+            region_m = masked[rs:re_]
+            segs = _split_conjuncts(region_m)
+            if segs is None:
+                continue
+            seg_spans = [(rs + s, rs + e) for s, e in segs]
+            anchored = any(
+                not c["negative"] and any(
+                    region_m[s - rs:e - rs].strip()
+                    == masked[c["start"]:c["end"]].strip()
+                    for s, e in seg_spans
+                )
+                for c in cl
+            )
+            if not anchored:
+                continue
+        regions.append((rs, re_, cl))
+
+    if not regions:
+        return None
+    # build one CTE per region, substitute back to front
+    ctes: list[str] = []
+    out = text
+    for n, (rs, re_, cl) in enumerate(sorted(regions, reverse=True)):
+        idx = len(regions) - 1 - n
+        cte = f"__chan_flags_{idx}"
+        flag_cols = ", ".join(
+            f"max(case when __ch = {k} then 1 end) __f{k}"
+            for k in range(len(cl))
+        )
+        arms = []
+        for k, c in enumerate(cl):
+            w = f" where {c['local']}" if c["local"] else ""
+            arms.append(
+                f"select {c['key']} as __key, {k} as __ch"
+                f" from {c['tables']}{w}"
+            )
+        ctes.append(
+            f"{cte} as (select __key, {flag_cols}\n from ("
+            + "\n union all ".join(arms)
+            + ") u\n where __key is not null group by __key)"
+        )
+        # rebuild the region's boolean text with spans -> flag tests
+        combo = []
+        pos = rs
+        for k, c in enumerate(cl):
+            combo.append(text[pos:c["start"]])
+            combo.append(
+                f"__f{k} is null" if c["negative"] else f"__f{k} = 1"
+            )
+            pos = c["end"]
+        combo.append(text[pos:re_])
+        # the outer expression as written in the first channel
+        outer_txt = _outer_as_written(text, masked, cl[0])
+        if outer_txt is None:
+            return None
+        repl = (f"{outer_txt} in (select __key from {cte} "
+                f"where {''.join(combo)})")
+        out = out[:rs] + repl + out[re_:]
+    ctes.reverse()  # appended back-to-front; WITH reads forward
+    cte_sql = ", ".join(ctes)
+    m = re.match(r"^\s*with\b", out, re.I)
+    if m:
+        out = out[:m.end()] + " " + cte_sql + "," + out[m.end():]
+    else:
+        out = f"with {cte_sql}\n{out}"
+    return out
+
+
+def _outer_as_written(text, masked, ch) -> str | None:
+    """Recover the outer correlation expression exactly as written in
+    channel ``ch`` (qualified or bare), from the original text."""
+    span_m = masked[ch["start"]:ch["end"]]
+    span_t = text[ch["start"]:ch["end"]]
+    want = ch["outer"]
+    for m in re.finditer(r"\b[A-Za-z_][\w.]*\b", span_m):
+        if re.sub(r"\s+", "", m.group(0).lower()) == want:
+            return span_t[m.start():m.end()]
+    return None

@@ -1282,7 +1282,7 @@ def test_streaming_statement_set_fan_out(spark, tmp_path):
           INSERT INTO sss_even SELECT id, v FROM sss_src WHERE id % 2 = 0;
           INSERT INTO sss_all SELECT id, v * 2 AS doubled FROM sss_src;
         END
-    """)
+    """, capture_plans=True)
     got = {(r.sink, r.rows_inserted) for r in out.collect()}
     assert got == {("sss_even", 15), ("sss_all", 30)}
     # both sinks hold every micro-batch's rows
@@ -1298,6 +1298,25 @@ def test_streaming_statement_set_fan_out(spark, tmp_path):
     assert len(plans) == 6, len(plans)
     for p in plans:
         assert "InMemoryRelation" in p, p
+    # production mode (default, r10): write-only — counts still exact
+    # (Observation rides the write action), NO plan strings accumulate;
+    # the fresh ephemeral checkpoint re-ingests the whole source, so the
+    # sinks now hold exactly two copies (the documented duplicate-append
+    # behavior of the default checkpoint)
+    out2 = execute_ddl(spark, """
+        EXECUTE STATEMENT SET
+        BEGIN
+          INSERT INTO sss_even SELECT id, v FROM sss_src WHERE id % 2 = 0;
+          INSERT INTO sss_all SELECT id, v * 2 AS doubled FROM sss_src;
+        END
+    """)
+    got2 = {(r.sink, r.rows_inserted) for r in out2.collect()}
+    assert got2 == {("sss_even", 15), ("sss_all", 30)}
+    assert ddl_mod._LAST_STATEMENT_SET_PLANS == []
+    dup = spark.sql(
+        "SELECT id, count(*) AS c FROM sss_all GROUP BY id"
+    ).collect()
+    assert len(dup) == 30 and all(r.c == 2 for r in dup)
     # INSERT OVERWRITE rejected in streaming sets
     with pytest.raises(ValueError, match="OVERWRITE"):
         execute_ddl(spark, """
@@ -1434,6 +1453,103 @@ def test_catalog_statements(spark):
     execute_ddl(spark, "DROP CATALOG IF EXISTS cat_a")  # no-op
     with pytest.raises(ValueError, match="not found"):
         execute_ddl(spark, "USE CATALOG cat_a")
+
+
+def test_set_unquoted_trailing_semicolon(spark):
+    """ADVICE r9: `SET k = v;` (unquoted, semicolon-terminated script
+    form) must not capture the semicolon into the stored value."""
+    from flink_spark.ddl import execute_ddl
+
+    execute_ddl(spark, "SET spark.sql.shuffle.partitions = 7;")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    execute_ddl(spark, "RESET spark.sql.shuffle.partitions")
+
+
+def test_create_catalog_duplicate_raises(spark):
+    """ADVICE r9: CREATE CATALOG on an existing name must raise (Flink
+    CatalogManager rejects duplicate registration) — and must NOT
+    silently discard the new WITH properties; IF NOT EXISTS no-ops."""
+    import pytest
+
+    from flink_spark.ddl import execute_ddl
+
+    execute_ddl(spark, "CREATE CATALOG cat_dup WITH ('k' = 'v1')")
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "CREATE CATALOG cat_dup WITH ('k' = 'v2')")
+    execute_ddl(spark, "CREATE CATALOG IF NOT EXISTS cat_dup WITH ('k' = 'v2')")
+    info = {
+        (r.info_name, r.info_value)
+        for r in execute_ddl(spark, "DESCRIBE CATALOG cat_dup").collect()
+    }
+    assert ("k", "v1") in info  # original registration untouched
+    execute_ddl(spark, "DROP CATALOG cat_dup")
+
+
+def test_module_statements(spark):
+    """LOAD/UNLOAD MODULE, USE MODULES, SHOW [FULL] MODULES
+    (SqlLoadModule/SqlUnloadModule/SqlUseModules/SqlShowModules,
+    Parser.tdd:64-65,96-97): ordered module registry with a used
+    subset, matching ModuleManager semantics. Only 'core' is
+    discoverable — a Python-first engine has no JVM ModuleFactory
+    classpath discovery (documented narrowing, SURVEY deviation
+    register); any other identifier gets the reference-shaped
+    factory-not-found error."""
+    import pytest
+
+    from flink_spark.ddl import execute_ddl
+
+    rows = execute_ddl(spark, "SHOW MODULES").collect()
+    assert [r[0] for r in rows] == ["core"]
+    full = execute_ddl(spark, "SHOW FULL MODULES").collect()
+    assert [(r[0], r[1]) for r in full] == [("core", True)]
+    # duplicate load rejected, like ModuleManager.loadModule
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "LOAD MODULE core")
+    # non-discoverable identifier: reference-shaped factory refusal
+    with pytest.raises(ValueError, match="Could not find any factory"):
+        execute_ddl(spark, "LOAD MODULE hive WITH ('hive-version' = '2.3.9')")
+    # USE MODULES with an empty used set is expressible via unload/load
+    execute_ddl(spark, "UNLOAD MODULE core")
+    assert execute_ddl(spark, "SHOW MODULES").collect() == []
+    with pytest.raises(ValueError, match="No module with name 'core'"):
+        execute_ddl(spark, "UNLOAD MODULE core")
+    with pytest.raises(ValueError, match="No module with name 'core'"):
+        execute_ddl(spark, "USE MODULES core")
+    execute_ddl(spark, "LOAD MODULE core")
+    with pytest.raises(ValueError, match="unique"):
+        execute_ddl(spark, "USE MODULES core, core")
+    execute_ddl(spark, "USE MODULES core")
+    assert [r[0] for r in execute_ddl(spark, "SHOW MODULES").collect()] == [
+        "core"
+    ]
+
+
+def test_jar_statements(spark, tmp_path):
+    """ADD/REMOVE JAR + SHOW JARS (SqlAddJar/SqlRemoveJar/SqlShowJars,
+    Parser.tdd:33,88-89): ADD JAR delegates to Spark's real resource
+    machinery and is tracked client-side; REMOVE JAR drops the registry
+    entry (the live JVM classpath retains the jar — documented
+    narrowing, Spark has no REMOVE JAR)."""
+    import pytest
+
+    from flink_spark.ddl import execute_ddl
+
+    jar = tmp_path / "fake_udf.jar"
+    jar.write_bytes(b"PK\x05\x06" + b"\x00" * 18)  # minimal empty zip
+    execute_ddl(spark, f"ADD JAR '{jar}'")
+    jars = [r.jars for r in execute_ddl(spark, "SHOW JARS").collect()]
+    assert str(jar) in jars
+    # Spark's own resource list saw it too (real JVM-side effect)
+    native = [r[0] for r in spark.sql("LIST JARS").collect()]
+    assert any("fake_udf.jar" in p for p in native)
+    with pytest.raises(ValueError, match="only accepts .jar"):
+        execute_ddl(spark, "ADD JAR '/tmp/not_a_jar.txt'")
+    execute_ddl(spark, f"REMOVE JAR '{jar}'")
+    assert [
+        r.jars for r in execute_ddl(spark, "SHOW JARS").collect()
+    ] == []
+    with pytest.raises(ValueError, match="hasn't been registered"):
+        execute_ddl(spark, f"REMOVE JAR '{jar}'")
 
 
 def test_show_create_view_and_describe_database(spark):
