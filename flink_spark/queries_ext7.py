@@ -106,3 +106,74 @@ def opt_rule_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rewritten is not None, "conditional-agg rule failed to fire"
     return spark.sql(rewritten)
+
+@query(
+    "opt_rule_chan_flags",
+    r"""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cust_cnt
+    FROM customer
+    WHERE c_acctbal > 0
+      AND EXISTS (SELECT * FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+      AND (EXISTS (SELECT * FROM orders
+                   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+           OR NOT EXISTS (SELECT * FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 100000))
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def opt_rule_chan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-level optimizer rule #2 (r10, VERDICT r9 task #4): the
+    per-channel-existence → union-agg-flag rule
+    (rewrite_rules.channel_exists_to_union_flags — the TPC-DS
+    q10/q35/q69 hand-rewrite mechanism promoted to a shape recognizer)
+    firing on a query the rewrite tables never named. Three correlated
+    existence predicates against c_custkey (EXISTS, EXISTS-or-NOT-
+    EXISTS) collapse into ONE union-aggregate flag pass over orders +
+    ONE semi join; the entry asserts the rule FIRED, and the DuckDB
+    oracle runs the ORIGINAL (pre-rewrite) text, so the value hash
+    independently verifies the rewrite preserved semantics — including
+    the NOT EXISTS → flag-IS-NULL encoding and its mandatory-positive-
+    conjunct soundness gate. The reference plans each predicate as its
+    own semi/anti join (SEMI_JOIN_RULES, FlinkStreamRuleSets.scala:34)
+    — at 100 TB, three shuffled existence joins vs one aggregate + one
+    join. test_plans.py pins the single-join plan shape."""
+    from flink_spark.catalog import Catalog
+    from flink_spark.rewrite_rules import channel_exists_to_union_flags
+
+    cat = Catalog(spark, sf_dir)
+    cust, orders = cat.customer, cat.orders
+    cust.createOrReplaceTempView("cf_customer")
+    orders.createOrReplaceTempView("cf_orders")
+    sql = """
+    select c_mktsegment, count(*) as cust_cnt
+    from cf_customer
+    where c_acctbal > 0
+      and exists (select * from cf_orders
+                  where o_custkey = c_custkey
+                    and o_orderpriority = '1-URGENT')
+      and (exists (select * from cf_orders
+                   where o_custkey = c_custkey and o_orderstatus = 'F')
+           or not exists (select * from cf_orders
+                          where o_custkey = c_custkey
+                            and o_totalprice > 100000))
+    group by c_mktsegment
+    order by c_mktsegment
+    """
+    cols = {"cf_orders": {c.lower() for c in orders.columns},
+            "cf_customer": {c.lower() for c in cust.columns}}
+    types = {
+        "cf_orders": {f.name.lower(): f.dataType.simpleString()
+                      for f in orders.schema.fields},
+        "cf_customer": {f.name.lower(): f.dataType.simpleString()
+                        for f in cust.schema.fields},
+    }
+    rewritten = channel_exists_to_union_flags(
+        sql, lambda t: cols.get(t),
+        lambda t, c: types.get(t, {}).get(c),
+    )
+    assert rewritten is not None, "channel-flags rule failed to fire"
+    return spark.sql(rewritten)

@@ -439,3 +439,88 @@ def nexmark_n15_bid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("distinct_bidders").cast("long"),
         F.col("rank3_bidders").cast("long"),
     )
+
+# n11: bids per bidder per SESSION (extended Nexmark q11).
+@query(
+    "nexmark_n11_bid_sessions",
+    """
+    WITH p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    s AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s)
+    SELECT user_id AS bidder,
+           CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           CAST(epoch_ms(max(ts)) + 21600000 AS BIGINT) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_bids
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def nexmark_n11_bid_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q11 (how many bids did a user make in each
+    SESSION — the suite's session-window showcase): bids grouped per
+    bidder into 6-hour-gap sessions. Spark-first spelling is the native
+    ``session_window`` aggregate (window.start = first event,
+    window.end = last event + gap; events merge while the next bid
+    lands strictly inside the previous session's end — the oracle's
+    gaps-and-islands spelling uses >= gap for a new session, the same
+    boundary). One shuffle on the session key; the streaming twin
+    (test_nexmark_stream.py) runs the SAME session_window under a
+    watermark, Flink's EventTimeSessionWindows analog
+    (flink-streaming-java .../assigners/EventTimeSessionWindows.java).
+    At 100 TB sessionization stays a single keyed aggregate — no
+    self-join, no per-user collect."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_bids"))
+        .select(
+            F.col("user_id").alias("bidder"),
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            F.col("n_bids").cast("long"),
+        )
+    )
+
+
+# n13: bids enriched through a bounded side input (extended Nexmark q13).
+@query(
+    "nexmark_n13_side_input_join",
+    """
+    SELECT e.event_id, e.user_id AS bidder,
+           round(e.value, 6) AS price,
+           n.n_name AS side_value
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def nexmark_n13_side_input_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q13 (side input join): every bid enriched from
+    a BOUNDED side input keyed by a derived key — the suite's
+    broadcast-state showcase (Flink serves it with a broadcast stream +
+    BroadcastProcessFunction; DataStream.broadcast,
+    flink-streaming-java .../datastream/BroadcastStream.java). The
+    Spark-first spelling broadcasts the 25-row side table into the
+    stream scan — map-side hash join, zero shuffle of the fact side
+    (the plan pin the streaming twin relies on: stream-static joins run
+    stateless). At 100 TB the bid stream never moves; only the side
+    table ships."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.where(F.col("event_type") == "purchase")
+    n = cat.nation.select("n_nationkey", "n_name")
+    return (
+        ev.join(F.broadcast(n), ev.user_id % 25 == n.n_nationkey)
+        .select(
+            "event_id",
+            F.col("user_id").alias("bidder"),
+            F.round("value", 6).alias("price"),
+            F.col("n_name").alias("side_value"),
+        )
+    )

@@ -348,6 +348,28 @@ def _table_columns(table: str) -> set[str] | None:
     return _table_columns_cache[key]
 
 
+_table_types_cache: dict[str, dict[str, str] | None] = {}
+
+
+def _table_column_type(table: str, col: str) -> str | None:
+    """Arrow type string of a corpus column (memoized) — rule #2's
+    union-key type gate (rewrite_rules.channel_exists_to_union_flags
+    declines channel groups whose key types differ)."""
+    import pyarrow.parquet as pq
+
+    key = f"{TPCDS_DIR}/{table}"
+    if key not in _table_types_cache:
+        try:
+            _table_types_cache[key] = {
+                f.name.lower(): str(f.type)
+                for f in pq.read_schema(f"{key}.parquet")
+            }
+        except Exception:
+            _table_types_cache[key] = None
+    types = _table_types_cache[key]
+    return types.get(col.lower()) if types else None
+
+
 def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
     """Execute the real query text; restore the shadowed fixture view.
 
@@ -393,11 +415,21 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         # rewritten), so this is pure generality for user queries —
         # every pytest run still oracle-checks all 103 either way.
         from flink_spark.rewrite_rules import (
+            channel_exists_to_union_flags,
             scalar_subqueries_to_conditional_agg,
         )
         auto = scalar_subqueries_to_conditional_agg(text, _table_columns)
         if auto is not None:
             text = auto
+        # r10: rule #2 (per-channel existence -> union-agg flag pass).
+        # Fires on the q10/q35/q69 verbatim shapes — all hand-rewritten,
+        # so like rule #1 this is pure generality for user queries
+        # (audited: fires on NONE of the unrewritten 103 texts).
+        auto2 = channel_exists_to_union_flags(
+            text, _table_columns, _table_column_type
+        )
+        if auto2 is not None:
+            text = auto2
     try:
         text = _materialize_ctes(spark, qid, text)
         df = spark.sql(text)

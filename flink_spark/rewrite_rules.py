@@ -580,6 +580,18 @@ def channel_exists_to_union_flags(
             if bal:
                 continue
             rs = i + 1
+        # absorb matched wrapping parens: `and (e1 or e2)` — the pair
+        # belongs to the region expression, not to its surroundings
+        while True:
+            b = masked[:rs].rstrip()
+            a_idx = re_
+            while a_idx < len(masked) and masked[a_idx].isspace():
+                a_idx += 1
+            if (b.endswith("(") and a_idx < len(masked)
+                    and masked[a_idx] == ")"):
+                rs, re_ = len(b) - 1, a_idx + 1
+            else:
+                break
         if any(cs < re_ and rs < ce for cs, ce in comments):
             continue
         # boundary gate: region must be a top-level conjunct of a WHERE

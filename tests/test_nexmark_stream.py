@@ -257,3 +257,54 @@ def test_n12_bidder_activity_streaming_twin(spark, replayed, tmp_path):
     horizon = max_ms - 2 * 600_000
     assert all(r[1] >= horizon for r in withheld), sorted(withheld)[:5]
     assert len(got) > len(withheld)
+
+
+def test_n11_session_window_streaming_twin(spark, replayed, tmp_path):
+    """Extended Nexmark q11 (bids per session) streaming twin: the SAME
+    session_window aggregate under a watermark — Flink's
+    EventTimeSessionWindows path. Append mode emits a session once the
+    watermark passes its end (last event + gap); everything withheld
+    must sit inside gap+delay of the final watermark."""
+    sdf = (
+        replayed.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", _DELAY)
+        .groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_bids"))
+        .select(
+            F.col("user_id").alias("bidder"),
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            F.col("n_bids").cast("long"),
+        )
+    )
+    got = set(_rows(_run(spark, sdf, "nx_n11", tmp_path)))
+    want = set(_rows(Q.QUERIES["nexmark_n11_bid_sessions"](spark, SF_DIR)))
+    assert got <= want, sorted(got - want)[:5]
+    withheld = want - got
+    # a session stays open while the final watermark (max_ts - delay)
+    # has not passed its end = last_event + gap
+    max_end = max(r[2] for r in want)  # = max_ts + gap
+    horizon = max_end - 21_600_000 - 30 * 60_000  # gap + delay
+    assert all(r[2] >= horizon for r in withheld), sorted(withheld)[:5]
+    assert len(got) > len(withheld), "most sessions must have closed"
+
+
+def test_n13_side_input_join_streaming_twin(spark, replayed, tmp_path):
+    """Extended Nexmark q13 (side input join) streaming twin: the bid
+    stream joined to the bounded 25-row side table — a stream-static
+    broadcast join, which Structured Streaming runs STATELESS (the
+    BroadcastProcessFunction analog); streaming rows == batch rows
+    exactly, nothing withheld."""
+    from flink_spark.catalog import Catalog
+
+    n = Catalog(spark, SF_DIR).nation.select("n_nationkey", "n_name")
+    ev = replayed.where(F.col("event_type") == "purchase")
+    sdf = ev.join(F.broadcast(n), ev.user_id % 25 == n.n_nationkey).select(
+        "event_id",
+        F.col("user_id").alias("bidder"),
+        F.round("value", 6).alias("price"),
+        F.col("n_name").alias("side_value"),
+    )
+    got = _rows(_run(spark, sdf, "nx_n13", tmp_path))
+    want = _rows(Q.QUERIES["nexmark_n13_side_input_join"](spark, SF_DIR))
+    assert got == want

@@ -466,3 +466,131 @@ def test_cond_agg_rule_recognition_gates():
     assert out2 is not None
     assert out2.lower().startswith("with __cond_agg_t as")
     assert "base as (select x from u)" in out2
+
+
+def test_chan_flags_rule_plan_shape(spark):
+    """Rule #2 (r10, rewrite_rules.channel_exists_to_union_flags): the
+    demo query's THREE existence predicates against c_custkey must
+    execute as ONE union-aggregate flag pass + ONE semi join — the plan
+    has exactly one Union (the channel union) and at most two join
+    operators (flags semi join; no per-channel existence joins), where
+    the verbatim form plans three semi/anti joins against orders."""
+    import re
+
+    df = Q.QUERIES["opt_rule_chan_flags"](spark, SF_DIR)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", ep
+    )
+    assert len(joins) <= 2, ep
+    assert len(re.findall(r"\bUnion\b", ep)) >= 1, ep
+
+
+def test_chan_flags_rule_recognition_gates():
+    """Rule #2's safety gates: correlation shape, same outer key,
+    contiguity, boundary placement, NOT-EXISTS anchoring, key types."""
+    from flink_spark.rewrite_rules import (
+        channel_exists_to_union_flags as R,
+    )
+
+    cols = {
+        "t1": {"k1", "p1"}, "t2": {"k2", "p2"}, "t3": {"k3", "p3"},
+        "outer_t": {"x", "seg"}, "ts": {"ks", "ps"},
+    }
+    types = {("t1", "k1"): "int64", ("t2", "k2"): "int64",
+             ("t3", "k3"): "int64", ("ts", "ks"): "string"}
+    look = lambda name: cols.get(name)  # noqa: E731
+    tlook = lambda t, c: types.get((t, c))  # noqa: E731
+
+    # fires: two positive EXISTS channels over different tables
+    sql = ("select seg from outer_t where "
+           "exists (select * from t1 where k1 = x and p1 > 1) and "
+           "exists (select * from t2 where x = k2 and p2 < 5) "
+           "group by seg")
+    out = R(sql, look, tlook)
+    assert out is not None
+    assert "__chan_flags_0" in out
+    assert "union all" in out
+    assert "__f0 = 1" in out and "__f1 = 1" in out
+    assert "x in (select __key from __chan_flags_0" in out
+
+    # NOT EXISTS fires only with a positive top-level-AND anchor
+    anchored = ("select seg from outer_t where "
+                "exists (select * from t1 where k1 = x and p1 > 1) and "
+                "not exists (select * from t2 where x = k2 and p2 < 5)")
+    out2 = R(anchored, look, tlook)
+    assert out2 is not None and "__f1 is null" in out2
+    unanchored = ("select seg from outer_t where "
+                  "exists (select * from t1 where k1 = x and p1 > 1) or "
+                  "not exists (select * from t2 where x = k2 and p2 < 5)")
+    assert R(unanchored, look, tlook) is None
+
+    # different outer keys: no shared region
+    assert R("select seg from outer_t where "
+             "exists (select * from t1 where k1 = x and p1 > 1) and "
+             "exists (select * from t2 where k2 = seg and p2 < 5)",
+             look, tlook) is None
+
+    # region under NOT / not a top-level WHERE conjunct: decline
+    assert R("select seg from outer_t where not ("
+             "exists (select * from t1 where k1 = x and p1 > 1) and "
+             "exists (select * from t2 where x = k2 and p2 < 5))",
+             look, tlook) is None
+    assert R("select exists (select * from t1 where k1 = x and p1 > 1)"
+             " and exists (select * from t2 where x = k2 and p2 < 5)"
+             " from outer_t", look, tlook) is None
+
+    # a non-channel predicate between the channels breaks contiguity
+    assert R("select seg from outer_t where "
+             "exists (select * from t1 where k1 = x and p1 > 1) and "
+             "seg = 'a' and "
+             "exists (select * from t2 where x = k2 and p2 < 5)",
+             look, tlook) is None
+
+    # key types must be known and identical (int64 vs string)
+    assert R("select seg from outer_t where "
+             "exists (select * from t1 where k1 = x and p1 > 1) and "
+             "exists (select * from ts where x = ks and ps < 5)",
+             look, tlook) is None
+    # no types_of at all -> never fires
+    assert R(sql, look, None) is None
+
+    # two correlation equalities in one channel: decline
+    assert R("select seg from outer_t where "
+             "exists (select * from t1 where k1 = x and p1 = seg) and "
+             "exists (select * from t2 where x = k2 and p2 < 5)",
+             look, tlook) is None
+
+    # IN channels fire; NOT IN never touched
+    insql = ("select seg from outer_t where "
+             "x in (select k1 from t1 where p1 > 1) and "
+             "x in (select k2 from t2 where p2 < 5)")
+    out3 = R(insql, look, tlook)
+    assert out3 is not None and "__chan_flags_0" in out3
+    assert R("select seg from outer_t where "
+             "x not in (select k1 from t1 where p1 > 1) and "
+             "x not in (select k2 from t2 where p2 < 5)",
+             look, tlook) is None
+
+    # channel heads inside string literals are masked away
+    assert R("select seg from outer_t where seg = "
+             "'exists (select * from t1 where k1 = x) and "
+             "exists (select * from t2 where k2 = x)'",
+             look, tlook) is None
+
+    # BETWEEN's AND must not split the channel predicate
+    btw = ("select seg from outer_t where "
+           "exists (select * from t1 where k1 = x and p1 between 1 and 3)"
+           " and exists (select * from t2 where x = k2 and p2 < 5)")
+    out4 = R(btw, look, tlook)
+    assert out4 is not None and "between 1 and 3" in out4
+
+    # parenthesised OR-group region extends over its parens
+    grp = ("select seg from outer_t where seg = 'a' and ("
+           "exists (select * from t1 where k1 = x and p1 > 1) or "
+           "exists (select * from t2 where x = k2 and p2 < 5))")
+    out5 = R(grp, look, tlook)
+    assert out5 is not None
+    assert "(__f0 = 1 or" in out5.lower().replace("\n", " ") or \
+        "__f0 = 1 or" in out5

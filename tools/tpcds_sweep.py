@@ -61,11 +61,24 @@ RUNS = int(os.environ.get("TPCDS_SWEEP_RUNS", "2"))
 RECYCLE_EVERY = int(os.environ.get("TPCDS_SWEEP_RECYCLE", "25"))
 
 
+def _spark_floor(spark, runs: int = 5) -> float:
+    """Empty-compute job round trip (min of runs) — the Spark-side
+    quietness anchor: calm recordings read ~0.12 s, Spark-penalized
+    container windows 0.2+ s while DuckDB is unaffected (r9)."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     _ensure()
     spark = get_spark(app_name="flink_spark_tpcds_sweep")
     con = duckdb.connect()
     con.execute(f"SET threads = {os.cpu_count() or 8}")
+    floor_pre = _spark_floor(spark)
 
     spark_s: dict[str, float] = {}
     duck_s: dict[str, float] = {}
@@ -106,6 +119,7 @@ def main() -> None:
             file=sys.stderr, flush=True,
         )
 
+    floor_post = _spark_floor(spark)
     total_s, total_d = sum(spark_s.values()), sum(duck_s.values())
     worst = sorted(
         spark_s, key=lambda q: spark_s[q] / max(duck_s[q], 1e-9), reverse=True
@@ -136,10 +150,27 @@ def main() -> None:
             f"q{k}": round(spark_s[k] / max(duck_s[k], 1e-9), 2) for k in worst
         },
     }
+    # Quietness anchor (r10, VERDICT r9 task #2): pre/post Spark floor
+    # (detects Spark-penalized windows the oracle can't see) + live
+    # oracle total vs the pinned calm-machine baseline (detects
+    # both-slowed windows). The artifact carries its own window label.
+    window = "calm"
+    if max(floor_pre, floor_post) > 0.175:  # calm ~0.12-0.13 s
+        window = "spark_penalized"
+    out["anchor"] = {
+        "spark_floor_pre_s": floor_pre,
+        "spark_floor_post_s": floor_post,
+        "spark_floor_calm_reference_s": 0.125,
+        "oracle_live_total_s": round(total_d, 3),
+        "window": window,
+    }
     if pinned and all(f"q{k}" in pinned for k in spark_s):
         pinned_total = sum(pinned[f"q{k}"] for k in spark_s)
         out["headline_ratio_pinned"] = round(total_s / pinned_total, 3)
         out["oracle_pinned_total_s"] = round(pinned_total, 3)
+        out["anchor"]["oracle_pinned_total_s"] = round(pinned_total, 3)
+        if total_d > 1.2 * pinned_total:
+            out["anchor"]["window"] = "box_degraded"
         worst_p = sorted(
             spark_s, key=lambda q: spark_s[q] / max(pinned[f"q{q}"], 1e-9),
             reverse=True,
