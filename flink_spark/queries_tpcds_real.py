@@ -787,19 +787,31 @@ _SPARK_REWRITE: dict[str, tuple[tuple[str, str], ...]] = {
             ("web_sales", "iws", "ws_item_sk", "ws_sold_date_sk", "d3"),
         )
     ),
-    # q24a/q24b packing REVERTED in r9. The r8 probe (once-warm,
-    # mid-session, tools/probe_r8_family.py) recorded the xxhash64 pack
-    # at -17% for q24b, but the r8 sweep REGRESSED q24b 2.61 -> 3.61 s
-    # vs r7, and the r9 interleaved fresh-session A/B
-    # (tools/probe_r9_q24.py, 3 trials, cold = the sweep's
-    # first-query-after-recycle condition) measured UNPACKED faster in
-    # ALL THREE cold trials (3.90 vs 4.13, 2.99 vs 3.69, 4.14 vs 6.38).
-    # Mechanism: q24's ssales is built through _CTE_MATERIALIZE
-    # (persisted once per run); the pack's xxhash64 keys discard the
-    # column NDV stats CBO uses when planning the persisted build, the
-    # same stats-loss loss mode q78/q40 measured in r8. The cold/warm
-    # split also showed NO systematic fresh-session penalty, ruling out
-    # sweep position as the regression's cause.
+    # q24 packing history: r8 shipped the xxhash64 pack for BOTH
+    # q24a/q24b; r9's fresh-session A/B (tools/probe_r9_q24.py) measured
+    # UNPACKED faster for q24b in all three cold trials (3.90 vs 4.13,
+    # 2.99 vs 3.69, 4.14 vs 6.38 — mechanism: packed keys discard the
+    # column NDV stats CBO uses to plan the persisted _CTE_MATERIALIZE
+    # build) and reverted BOTH — but q24a was never A/B'd on its own,
+    # and the r9 sweeps regressed it 2.7 -> 3.83 s. r10's interleaved
+    # fresh-session A/B (tools/probe_r10_q24a.py, sweep-cold, calm
+    # post-floor 0.109 s) measured PACKED faster for q24a in ALL THREE
+    # trials (3.89 vs 4.52, 3.20 vs 3.56, 3.06 vs 4.24; min 3.06 vs
+    # 3.556, -14%) — so the pack is re-shipped for q24a ONLY. The
+    # a-vs-b asymmetry under one identical ssales CTE shape is
+    # documented in BASELINE.md round-10; the loss-catalog rule is
+    # narrowed from "never pack inside a _CTE_MATERIALIZE build" to
+    # "A/B each consumer separately — the same build can plan
+    # differently under each query's final join stack".
+    "24a": (
+        (
+            "where ss_ticket_number = sr_ticket_number",
+            "where xxhash64(ss_ticket_number, ss_item_sk)"
+            " = xxhash64(sr_ticket_number, sr_item_sk)\n"
+            "  and ss_ticket_number - sr_ticket_number = 0",
+        ),
+        ("and ss_item_sk = sr_item_sk", "and ss_item_sk - sr_item_sk = 0"),
+    ),
     # q85: ws ⋈ wr on (item, order).
     "85": (
         (
