@@ -177,3 +177,75 @@ def opt_rule_chan_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rewritten is not None, "channel-flags rule failed to fire"
     return spark.sql(rewritten)
+
+@query(
+    "opt_rule_setop_flags",
+    r"""
+    SELECT custkey, priority FROM (
+      (SELECT DISTINCT o.o_custkey AS custkey,
+                       o.o_orderpriority AS priority
+       FROM orders o, customer c
+       WHERE o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING')
+      INTERSECT
+      (SELECT o_custkey, o_orderpriority FROM orders
+       WHERE o_totalprice > 150000)
+      INTERSECT
+      (SELECT o_custkey, o_orderpriority FROM orders
+       WHERE o_orderstatus = 'F')
+    ) t
+    ORDER BY custkey, priority
+    """,
+)
+def opt_rule_setop_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-level optimizer rule #3 (r10): the set-op-chain →
+    union-agg-flag rule (rewrite_rules.setop_chain_to_union_flags — the
+    TPC-DS q38/q87 hand-rewrite mechanism promoted to a shape
+    recognizer; fires on the q38/q87/q14a/q14b verbatim texts,
+    row-identical vs DuckDB on the bench corpus) firing on a query the
+    rewrite tables never named. A three-arm INTERSECT over
+    (custkey, priority) tuples — one arm a two-table join with aliases —
+    collapses into ONE union-aggregate flag pass + a flags filter:
+    one shuffle of the unioned arms on the tuple key instead of three
+    distinct-aggregates chained through two set-op joins (the
+    reference plans INTERSECT via FlinkSemiAntiJoinRules the same way).
+    The entry asserts the rule FIRED; the DuckDB oracle runs the
+    ORIGINAL chain, so the value hash verifies semantics — including
+    INTERSECT's NULLs-compare-equal set discipline, which GROUP BY
+    shares. test_plans.py pins the single-Union single-aggregate
+    shape."""
+    from flink_spark.catalog import Catalog
+    from flink_spark.rewrite_rules import setop_chain_to_union_flags
+
+    cat = Catalog(spark, sf_dir)
+    orders, cust = cat.orders, cat.customer
+    orders.createOrReplaceTempView("so_orders")
+    cust.createOrReplaceTempView("so_customer")
+    sql = """
+    select custkey, priority from (
+      (select distinct o.o_custkey as custkey,
+                       o.o_orderpriority as priority
+       from so_orders o, so_customer c
+       where o.o_custkey = c.c_custkey and c.c_mktsegment = 'BUILDING')
+      intersect
+      (select o_custkey, o_orderpriority from so_orders
+       where o_totalprice > 150000)
+      intersect
+      (select o_custkey, o_orderpriority from so_orders
+       where o_orderstatus = 'F')
+    ) t
+    order by custkey, priority
+    """
+    cols = {"so_orders": {c.lower() for c in orders.columns},
+            "so_customer": {c.lower() for c in cust.columns}}
+    types = {
+        "so_orders": {f.name.lower(): f.dataType.simpleString()
+                      for f in orders.schema.fields},
+        "so_customer": {f.name.lower(): f.dataType.simpleString()
+                        for f in cust.schema.fields},
+    }
+    rewritten = setop_chain_to_union_flags(
+        sql, lambda t: cols.get(t),
+        lambda t, c: types.get(t, {}).get(c),
+    )
+    assert rewritten is not None, "set-op flag rule failed to fire"
+    return spark.sql(rewritten)

@@ -417,6 +417,7 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         from flink_spark.rewrite_rules import (
             channel_exists_to_union_flags,
             scalar_subqueries_to_conditional_agg,
+            setop_chain_to_union_flags,
         )
         auto = scalar_subqueries_to_conditional_agg(text, _table_columns)
         if auto is not None:
@@ -430,6 +431,16 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         )
         if auto2 is not None:
             text = auto2
+        # r10: rule #3 (set-op chain -> union-agg flag pass). Fires on
+        # the q38/q87/q14a/q14b verbatim shapes — all hand-rewritten
+        # (audited row-identical vs DuckDB on the bench corpus for all
+        # four); NONE of the unrewritten texts match, so again pure
+        # generality for user queries.
+        auto3 = setop_chain_to_union_flags(
+            text, _table_columns, _table_column_type
+        )
+        if auto3 is not None:
+            text = auto3
     try:
         text = _materialize_ctes(spark, qid, text)
         df = spark.sql(text)

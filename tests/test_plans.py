@@ -594,3 +594,89 @@ def test_chan_flags_rule_recognition_gates():
     assert out5 is not None
     assert "(__f0 = 1 or" in out5.lower().replace("\n", " ") or \
         "__f0 = 1 or" in out5
+
+
+def test_setop_flags_rule_plan_shape(spark):
+    """Rule #3 (r10, rewrite_rules.setop_chain_to_union_flags): the
+    demo's three-arm INTERSECT executes as ONE union + ONE grouped
+    flag aggregate + the arm-0 customer join — no per-arm distinct
+    aggregates chained through set-op semi joins (verbatim Catalyst
+    plans INTERSECT as LeftSemi joins)."""
+    import re
+
+    df = Q.QUERIES["opt_rule_setop_flags"](spark, SF_DIR)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(
+        r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", ep
+    )
+    assert len(joins) <= 2, ep
+    assert len(re.findall(r"\bUnion\b", ep)) >= 1, ep
+
+
+def test_setop_flags_rule_recognition_gates(ddb):
+    """Rule #3's safety gates + an EXCEPT-chain row-identity check vs
+    DuckDB on the fixture corpus (EXCEPT is left-associative; flags =
+    f0 = 1 AND the rest IS NULL)."""
+    from tests.conftest import SF_DIR as _SF
+    from flink_spark.rewrite_rules import setop_chain_to_union_flags as R
+
+    cols = {"t1": {"a", "b"}, "t2": {"a", "b", "p"}, "t3": {"a", "c"}}
+    types = {("t1", "a"): "int64", ("t1", "b"): "string",
+             ("t2", "a"): "int64", ("t2", "b"): "string",
+             ("t2", "p"): "double", ("t3", "a"): "int64",
+             ("t3", "c"): "double"}
+    look = lambda name: cols.get(name)  # noqa: E731
+    tlook = lambda t, c: types.get((t, c))  # noqa: E731
+
+    # fires: plain two-arm intersect, unparenthesized arms
+    out = R("select a, b from t1 intersect select a, b from t2 where p > 1",
+            look, tlook)
+    assert out is not None and "union all" in out and "__f1 = 1" in out
+    # except chain: rest of the flags IS NULL
+    out2 = R("(select a, b from t1) except (select a, b from t2)",
+             look, tlook)
+    assert out2 is not None and "__f1 is null" in out2
+    # MIXED ops: decline (INTERSECT binds tighter than EXCEPT)
+    assert R("select a, b from t1 except select a, b from t2 "
+             "intersect select a, b from t2", look, tlook) is None
+    # INTERSECT ALL (multiset): decline
+    assert R("select a, b from t1 intersect all select a, b from t2",
+             look, tlook) is None
+    # column-count mismatch / type mismatch at a position: decline
+    assert R("select a, b from t1 intersect select a from t2",
+             look, tlook) is None
+    assert R("select a, b from t1 intersect select a, p from t2",
+             look, tlook) is None
+    # non-plain select item (expression): decline
+    assert R("select a, substr(b,1,2) from t1 intersect "
+             "select a, b from t2", look, tlook) is None
+    # subquery in an arm's WHERE: decline
+    assert R("select a, b from t1 intersect select a, b from t2 "
+             "where a in (select a from t3)", look, tlook) is None
+    # GROUP BY inside an arm: decline
+    assert R("select a, b from t1 group by a, b intersect "
+             "select a, b from t2", look, tlook) is None
+    # unknown table: decline
+    assert R("select a, b from t1 intersect select a, b from zz",
+             look, tlook) is None
+    # no types_of: never fires
+    assert R("select a, b from t1 intersect select a, b from t2",
+             look, None) is None
+
+    # EXCEPT-chain row identity vs DuckDB on the real fixture corpus
+    sql = ("(select distinct o_custkey, o_orderpriority from orders "
+           "where o_totalprice > 100000) "
+           "except (select o_custkey, o_orderpriority from orders "
+           "where o_totalprice > 250000)")
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(f"{_SF}/orders.parquet")
+    ocols = {"orders": {f.lower() for f in sch.names}}
+    otypes = {f.name.lower(): str(f.type) for f in sch}
+    rw = R(sql, lambda t: ocols.get(t),
+           lambda t, c: otypes.get(c) if t == "orders" else None)
+    assert rw is not None
+    a = sorted(map(tuple, ddb.execute(sql).fetchall()))
+    b = sorted(map(tuple, ddb.execute(rw).fetchall()))
+    assert a == b and a, (len(a), len(b))
