@@ -58,6 +58,8 @@ def main() -> None:
         from flink_spark.session import get_spark
 
         spark = get_spark(app_name="quiet_anchor")
+        for _ in range(3):  # fresh-session first jobs overstate (JIT)
+            spark.range(1).count()
         best = float("inf")
         for _ in range(6):
             t0 = time.perf_counter()

@@ -62,9 +62,13 @@ RECYCLE_EVERY = int(os.environ.get("TPCDS_SWEEP_RECYCLE", "25"))
 
 
 def _spark_floor(spark, runs: int = 5) -> float:
-    """Empty-compute job round trip (min of runs) — the Spark-side
-    quietness anchor: calm recordings read ~0.12 s, Spark-penalized
-    container windows 0.2+ s while DuckDB is unaffected (r9)."""
+    """Empty-compute job round trip (min of runs, after untimed warms
+    — a fresh session's first jobs pay codegen/JIT and overstate the
+    floor by 0.05-0.1 s) — the Spark-side quietness anchor: calm
+    recordings read ~0.12 s, Spark-penalized container windows 0.2+ s
+    while DuckDB is unaffected (r9)."""
+    for _ in range(3):
+        spark.range(1).count()
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
