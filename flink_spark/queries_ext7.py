@@ -249,3 +249,57 @@ def opt_rule_setop_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rewritten is not None, "set-op flag rule failed to fire"
     return spark.sql(rewritten)
+
+@query(
+    "opt_rule_self_exists",
+    r"""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_multi_supp
+    FROM orders, lineitem l1
+    WHERE o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND EXISTS (SELECT * FROM lineitem l2
+                  WHERE l1.l_orderkey = l2.l_orderkey
+                    AND l1.l_suppkey <> l2.l_suppkey)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def opt_rule_self_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-level optimizer rule #4 (r10): the self-EXISTS
+    "another row with a different value" → group-wise min<>max rule
+    (rewrite_rules.self_exists_distinct_to_groupwise — the TPC-DS
+    q16/q94 hand-rewrite mechanism, itself the TPC-H q21 shape,
+    promoted to a recognizer; fires on the q16/q94 verbatim texts,
+    row-identical vs DuckDB) firing on a query the rewrite tables never
+    named: lineitems whose order used more than one supplier. The
+    correlated EXISTS would plan as a LEFT SEMI self-join of the full
+    fact with the <> as a residual; the rewrite is one map-side-
+    combinable group pass (min/max per orderkey) + a semi join against
+    the multi-supplier key set. Oracle runs the ORIGINAL text;
+    test_plans.py pins the aggregated shape (no join residual on the
+    inequality)."""
+    from flink_spark.catalog import Catalog
+    from flink_spark.rewrite_rules import self_exists_distinct_to_groupwise
+
+    cat = Catalog(spark, sf_dir)
+    li, orders = cat.lineitem, cat.orders
+    li.createOrReplaceTempView("se_lineitem")
+    orders.createOrReplaceTempView("se_orders")
+    sql = """
+    select o_orderpriority, count(*) as n_multi_supp
+    from se_orders, se_lineitem l1
+    where o_orderkey = l1.l_orderkey
+      and o_orderstatus = 'F'
+      and exists (select * from se_lineitem l2
+                  where l1.l_orderkey = l2.l_orderkey
+                    and l1.l_suppkey <> l2.l_suppkey)
+    group by o_orderpriority
+    order by o_orderpriority
+    """
+    cols = {"se_lineitem": {c.lower() for c in li.columns},
+            "se_orders": {c.lower() for c in orders.columns}}
+    rewritten = self_exists_distinct_to_groupwise(
+        sql, lambda t: cols.get(t)
+    )
+    assert rewritten is not None, "self-exists rule failed to fire"
+    return spark.sql(rewritten)

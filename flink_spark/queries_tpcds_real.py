@@ -417,6 +417,7 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         from flink_spark.rewrite_rules import (
             channel_exists_to_union_flags,
             scalar_subqueries_to_conditional_agg,
+            self_exists_distinct_to_groupwise,
             setop_chain_to_union_flags,
         )
         auto = scalar_subqueries_to_conditional_agg(text, _table_columns)
@@ -441,6 +442,13 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         )
         if auto3 is not None:
             text = auto3
+        # r10: rule #4 (self-EXISTS different-value -> group-wise
+        # min<>max). Fires on the q16/q94 verbatim shapes — both
+        # hand-rewritten (audited row-identical vs DuckDB); none of
+        # the unrewritten texts match.
+        auto4 = self_exists_distinct_to_groupwise(text, _table_columns)
+        if auto4 is not None:
+            text = auto4
     try:
         text = _materialize_ctes(spark, qid, text)
         df = spark.sql(text)

@@ -977,3 +977,191 @@ def setop_chain_to_union_flags(
     for s, e, r in sorted(repl, reverse=True):
         out = out[:s] + r + out[e:]
     return out
+
+
+# ======================================================================
+# Rule #4 (r10): self-EXISTS "another row with a different value"
+#                -> group-wise min<>max semi filter
+# ======================================================================
+#
+#   from T t1, ... where ...
+#     and exists (select * from T t2
+#                 where t1.k = t2.k and t1.w <> t2.w)
+#       ==>
+#   ... and (t1.w is not null and t1.k in
+#            (select k from T where k is not null
+#             group by k having min(w) <> max(w)))
+#
+# Promoted from the q16/q94 hand rewrites (r8: the TPC-H q21 shape —
+# "the order has another row in a different warehouse"). Why it is
+# sound (requires that the OUTER row is itself a row of T, which the
+# gate proves by finding `T [as] t1` as a bare ref in the enclosing
+# FROM):
+#   * E(x) = exists r in T with r.k = x.k and r.w <> x.w. For x.k or
+#     x.w NULL, both comparisons fail: E = FALSE. The replacement then
+#     reads FALSE/NULL — indistinguishable at the WHERE-conjunct
+#     position the boundary gate enforces (same argument as rule #2).
+#   * For non-null x.k, x.w: x's own w is one of group k's non-null
+#     values, so "exists a different non-null w" <=> the group has >= 2
+#     distinct non-null w <=> min(w) <> max(w) (min/max ignore NULLs).
+#   * `where k is not null` inside the subquery only drops groups no
+#     non-null outer key can match.
+#   Only POSITIVE exists is rewritten (NOT EXISTS would need 2-valued
+#   IN, which NULL keys in the group list break).
+#
+# Why it matters at scale: Catalyst plans the correlated EXISTS as a
+# LEFT SEMI join of the FULL fact against itself with the `<>` as a
+# post-match residual — a fact-by-fact sort/shuffle whose matches are
+# discarded. The rewrite is one partial-aggregatable group pass (map-
+# side combine on k) + a semi join against the (small) multi-value key
+# set. Reference analog: the SEMI_JOIN_RULES decorrelation
+# (FlinkStreamRuleSets.scala:34) keeps the self-join; ours removes it.
+#
+# Gates: subquery = SELECT */1 FROM T [AS] t2 WHERE exactly two
+# conjuncts — one equality, one inequality (<> or !=), each comparing
+# t2.<col> against <outer_alias>.<SAME col>; one shared outer alias;
+# T's schema known and both columns in it; `T [AS] <outer_alias>`
+# present as a bare comma-ref in the FROM clause that owns the WHERE
+# containing the EXISTS; positive, top-level-conjunct placement.
+
+_SELF_EXISTS = re.compile(r"(\bnot\s+)?\bexists\s*\(", re.I)
+_SELF_INNER = re.compile(
+    r"^\s*select\s+(?:\*|1)\s+from\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+where\s+(.*)$",
+    re.I | re.S,
+)
+_CMP = re.compile(
+    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(=|<>|!=)\s*"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
+)
+
+
+def self_exists_distinct_to_groupwise(
+    text: str,
+    columns_of: Callable[[str], set[str] | None],
+) -> str | None:
+    """Apply rule #4; returns rewritten SQL or None."""
+    masked, comments = _mask(text)
+    repl: list[tuple[int, int, str]] = []
+    for m in _SELF_EXISTS.finditer(masked):
+        if m.group(1):
+            continue  # NOT EXISTS: out of scope (see soundness note)
+        op = masked.index("(", m.end() - 1)
+        close = _scan_close(masked, op)
+        if close is None:
+            continue
+        start, end = m.start(), close + 1
+        if any(cs < end and start < ce for cs, ce in comments):
+            continue
+        im = _SELF_INNER.match(masked[op + 1:close])
+        if im is None:
+            continue
+        table = im.group(1).lower()
+        t2 = (im.group(2) or table).lower()
+        cols = columns_of(table)
+        if cols is None:
+            continue
+        cols = {c.lower() for c in cols}
+        spans = _split_conjuncts(im.group(3))
+        if spans is None or len(spans) != 2:
+            continue
+        conj_off = op + 1 + im.start(3)
+        eq = ineq = None
+        outer_alias = None
+        ok = True
+        for s, e in spans:
+            cm = _CMP.match(masked[conj_off + s:conj_off + e])
+            if cm is None:
+                ok = False
+                break
+            a_al, a_col, o, b_al, b_col = (
+                cm.group(1).lower(), cm.group(2).lower(), cm.group(3),
+                cm.group(4).lower(), cm.group(5).lower(),
+            )
+            if a_col != b_col or a_col not in cols:
+                ok = False
+                break
+            aliases = {a_al, b_al}
+            if t2 not in aliases or len(aliases) != 2:
+                ok = False
+                break
+            other = (aliases - {t2}).pop()
+            if outer_alias is None:
+                outer_alias = other
+            elif outer_alias != other:
+                ok = False
+                break
+            if o == "=":
+                if eq is not None:
+                    ok = False
+                    break
+                eq = a_col
+            else:
+                if ineq is not None:
+                    ok = False
+                    break
+                ineq = a_col
+        if not (ok and eq and ineq and outer_alias):
+            continue
+        # placement: positive top-level conjunct of a WHERE
+        before = masked[:start].rstrip()
+        if not re.search(r"\b(where|and)$", before, re.I):
+            continue
+        after = masked[end:].lstrip()
+        if after and not re.match(
+            r"(and\b|group\b|order\b|having\b|limit\b|window\b|union\b"
+            r"|intersect\b|except\b|\)|;)", after, re.I,
+        ):
+            continue
+        # the outer alias must be a bare ref of THE SAME TABLE in the
+        # FROM clause owning this WHERE: walk back to the depth-equal
+        # WHERE, then to its FROM, and look for `table [as] alias`
+        depth = 0
+        ws = None
+        for mm in reversed(list(re.finditer(r"[()]|\bwhere\b", masked[:start],
+                                            re.I))):
+            tok = mm.group(0)
+            if tok == ")":
+                depth += 1
+            elif tok == "(":
+                if depth == 0:
+                    break  # left the clause without finding WHERE
+                depth -= 1
+            elif depth == 0:
+                ws = mm.start()
+                break
+        if ws is None:
+            continue
+        depth = 0
+        fs = None
+        for mm in reversed(list(re.finditer(r"[()]|\bfrom\b", masked[:ws],
+                                            re.I))):
+            tok = mm.group(0)
+            if tok == ")":
+                depth += 1
+            elif tok == "(":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0:
+                fs = mm.end()
+                break
+        if fs is None:
+            continue
+        if not re.search(
+            rf"\b{re.escape(table)}\s+(?:as\s+)?{re.escape(outer_alias)}\b",
+            masked[fs:ws], re.I,
+        ):
+            continue
+        repl.append((
+            start, end,
+            f"({outer_alias}.{ineq} is not null and {outer_alias}.{eq} in "
+            f"(select {eq} from {table} where {eq} is not null "
+            f"group by {eq} having min({ineq}) <> max({ineq})))",
+        ))
+    if not repl:
+        return None
+    out = text
+    for s, e, r in sorted(repl, reverse=True):
+        out = out[:s] + r + out[e:]
+    return out

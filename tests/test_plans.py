@@ -680,3 +680,56 @@ def test_setop_flags_rule_recognition_gates(ddb):
     a = sorted(map(tuple, ddb.execute(sql).fetchall()))
     b = sorted(map(tuple, ddb.execute(rw).fetchall()))
     assert a == b and a, (len(a), len(b))
+
+
+def test_self_exists_rule_plan_and_gates(spark):
+    """Rule #4 (r10, rewrite_rules.self_exists_distinct_to_groupwise):
+    the demo plans the multi-supplier test as a min/max group pass +
+    semi join — no self-join with the inequality as a residual — and
+    the recognizer's gates decline every unsafe variant."""
+    import re
+
+    from flink_spark.rewrite_rules import (
+        self_exists_distinct_to_groupwise as R,
+    )
+
+    df = Q.QUERIES["opt_rule_self_exists"](spark, SF_DIR)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "min(" in ep and "max(" in ep, ep
+    assert not re.search(r"Join .*NOT \(", ep), ep
+
+    cols = {"t": {"k", "w", "z"}}
+    look = lambda name: cols.get(name)  # noqa: E731
+    base = ("select * from t t1 where t1.z > 0 and "
+            "exists (select * from t t2 "
+            "where t1.k = t2.k and t1.w <> t2.w)")
+    out = R(base, look)
+    assert out is not None
+    assert "having min(w) <> max(w)" in out
+    assert "t1.w is not null and t1.k in" in out
+    # NOT EXISTS: out of scope (NULL keys break the 2-valued IN)
+    assert R("select * from t t1 where t1.z > 0 and not "
+             "exists (select * from t t2 "
+             "where t1.k = t2.k and t1.w <> t2.w)", look) is None
+    # different tables: decline (x's row need not be in the subquery's)
+    assert R("select * from t t1 where "
+             "exists (select * from u t2 "
+             "where t1.k = t2.k and t1.w <> t2.w)", look) is None
+    # extra conjunct in the subquery: decline (x's own row might be
+    # filtered out, breaking the min<>max equivalence)
+    assert R("select * from t t1 where "
+             "exists (select * from t t2 where t1.k = t2.k "
+             "and t1.w <> t2.w and t2.z > 5)", look) is None
+    # column mismatch across the comparison: decline
+    assert R("select * from t t1 where "
+             "exists (select * from t t2 "
+             "where t1.k = t2.k and t1.w <> t2.z)", look) is None
+    # outer alias not bound to the table in the owning FROM: decline
+    assert R("select * from t x1 where "
+             "exists (select * from t t2 "
+             "where t1.k = t2.k and t1.w <> t2.w)", look) is None
+    # placement under OR: decline (boundary gate)
+    assert R("select * from t t1 where t1.z > 0 or "
+             "exists (select * from t t2 "
+             "where t1.k = t2.k and t1.w <> t2.w)", look) is None
