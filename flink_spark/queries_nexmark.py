@@ -524,3 +524,102 @@ def nexmark_n13_side_input_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("side_value"),
         )
     )
+
+# n10: log bids to a date/hour-PARTITIONED filesystem sink, read back
+# pruned (extended Nexmark q10).
+@query(
+    "nexmark_n10_log_partitioned",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS n_bids
+    FROM events
+    WHERE event_type = 'purchase'
+      AND date_trunc('day', ts) = (SELECT min(date_trunc('day', ts))
+                                   FROM events WHERE event_type = 'purchase')
+    GROUP BY 1, 2
+    """,
+)
+def nexmark_n10_log_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q10 (log to file system): the bid stream lands
+    in a (dt, hr)-partitioned parquet sink — Flink's
+    FileSystemTableSink with partition keys — and the report reads it
+    BACK through partition pruning (the first day only). The write is
+    mode=overwrite into a per-corpus path, so the entry is idempotent
+    across driver runs; the read-back filter prunes to the one dt
+    partition (directory-level pruning — at 100 TB the report touches
+    1/365th of the sink, which is the entire point of partitioned
+    logging). Oracle computes the same report from the source table."""
+    import hashlib
+    import tempfile
+
+    ev = Catalog(spark, sf_dir).events
+    bids = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", "ts",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"),
+        F.hour("ts").alias("hr"),
+    )
+    sink = (
+        f"{tempfile.gettempdir()}/nexmark_n10_sink_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    bids.write.mode("overwrite").partitionBy("dt", "hr").parquet(sink)
+    logged = spark.read.parquet(sink)
+    first_day = (
+        bids.agg(F.min("dt")).collect()[0][0]  # one tiny scalar collect
+    )
+    return (
+        logged.where(F.col("dt") == first_day)  # partition-pruned read
+        .groupBy("dt", "hr")
+        .agg(F.count("*").alias("n_bids"))
+        # partition-type inference reads the dt directory values back
+        # as DATE; emit the string form (the DATE cross-engine footgun)
+        .select(F.col("dt").cast("string").alias("dt"),
+                F.col("hr").cast("long"),
+                F.col("n_bids").cast("long"))
+    )
+
+
+# n14: calculated fields + time-of-day bucketing (extended Nexmark q14).
+@query(
+    "nexmark_n14_calc_fields",
+    """
+    SELECT event_id, user_id,
+           round(value * 0.908, 6) AS price_eur,
+           CASE WHEN extract(hour FROM ts) >= 8
+                     AND extract(hour FROM ts) <= 18 THEN 'dayTime'
+                WHEN extract(hour FROM ts) <= 6
+                     OR extract(hour FROM ts) >= 20 THEN 'nightTime'
+                ELSE 'otherTime' END AS bid_time_type,
+           CAST(length(props) - length(replace(props, 'c', ''))
+                AS BIGINT) AS c_counts
+    FROM events
+    WHERE event_type = 'purchase' AND value * 0.908 > 100
+    """,
+)
+def nexmark_n14_calc_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Nexmark q14 (calculation fields): converted price
+    filter, a time-of-day bucket CASE, and the suite's countChar
+    'UDF' — spelled with built-in length/replace so the hot path stays
+    inside whole-stage codegen (the reference ships countChar as a Java
+    scalar UDF; a Python engine that per-row-UDF'd this would pay the
+    interpreter on every bid — the built-in spelling is the Spark-first
+    translation, and the CREATE FUNCTION surface exists for genuinely
+    custom bodies). Map-only: filter + projections fuse into the
+    scan."""
+    ev = Catalog(spark, sf_dir).events
+    hr = F.hour("ts")
+    return (
+        ev.where((F.col("event_type") == "purchase")
+                 & (F.col("value") * 0.908 > 100))
+        .select(
+            "event_id", "user_id",
+            F.round(F.col("value") * 0.908, 6).alias("price_eur"),
+            F.when((hr >= 8) & (hr <= 18), "dayTime")
+             .when((hr <= 6) | (hr >= 20), "nightTime")
+             .otherwise("otherTime").alias("bid_time_type"),
+            (F.length("props")
+             - F.length(F.replace(F.col("props"), F.lit("c"), F.lit("")))
+             ).cast("long").alias("c_counts"),
+        )
+    )
