@@ -308,3 +308,51 @@ def test_n13_side_input_join_streaming_twin(spark, replayed, tmp_path):
     got = _rows(_run(spark, sdf, "nx_n13", tmp_path))
     want = _rows(Q.QUERIES["nexmark_n13_side_input_join"](spark, SF_DIR))
     assert got == want
+
+
+def test_n10_partitioned_file_sink_streaming_twin(spark, replayed,
+                                                  tmp_path):
+    """Extended Nexmark q10 (log to file system) streaming twin: the
+    bid stream written through a STREAMING (dt, hr)-partitioned parquet
+    sink (Flink FileSystemTableSink with partition keys; Spark's
+    writeStream.partitionBy) — the read-back report over the first day
+    must equal the batch entry's rows, and the sink directory layout
+    must be dt=…/hr=… (the pruning contract)."""
+    import os
+
+    sink = str(tmp_path / "n10_sink")
+    bids = replayed.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", "ts",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"),
+        F.hour("ts").alias("hr"),
+    )
+    q = (
+        bids.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "n10_ckpt"))
+        .partitionBy("dt", "hr")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        q.stop()
+    # directory layout: dt=YYYY-MM-DD/hr=N
+    days = [d for d in os.listdir(sink) if d.startswith("dt=")]
+    assert days, os.listdir(sink)
+    assert any(
+        h.startswith("hr=") for h in os.listdir(os.path.join(sink, days[0]))
+    )
+    logged = spark.read.parquet(sink)
+    first_day = min(d.split("=", 1)[1] for d in days)
+    got = _rows(
+        logged.where(F.col("dt") == first_day)
+        .groupBy("dt", "hr")
+        .agg(F.count("*").alias("n_bids"))
+        .select(F.col("dt").cast("string").alias("dt"),
+                F.col("hr").cast("long"),
+                F.col("n_bids").cast("long"))
+    )
+    want = _rows(Q.QUERIES["nexmark_n10_log_partitioned"](spark, SF_DIR))
+    assert got == want
