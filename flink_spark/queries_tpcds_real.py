@@ -775,37 +775,20 @@ _SPARK_REWRITE: dict[str, tuple[tuple[str, str], ...]] = {
             " and ws_order_number - wr_order_number = 0)",
         ),
     ),
-    # q14a/q14b (r8): each INTERSECT leg of cross_items joins the FULL
-    # fact to item only to emit the sold items' (brand, class,
-    # category) triples — a fact-sized hash join whose output is
-    # immediately set-deduped. The rewrite turns each leg into
-    # `item WHERE i_item_sk IN (fact-date subquery)`: the fact side
-    # reduces to a distinct int semi-join build before item is
-    # touched. Multiplicity is irrelevant under INTERSECT (set
-    # semantics), and the semi join admits exactly the items the
-    # verbatim inner join would; the leg's projected triples are
-    # identical. Applied inside the materialized cross_items build, so
-    # both references benefit. Measured sf10 through the real path
-    # (min-of-2, row-multiset-identical first): q14a 5.58 -> 4.27 s
-    # (-23%), q14b 4.23 -> 3.82 s (-10%).
-    "14a": tuple(
-        (
-            f" from {fact}\n     ,item {alias}\n     ,date_dim {dd}\n"
-            f" where {fk} = {alias}.i_item_sk\n"
-            f"   and {datefk} = {dd}.d_date_sk\n"
-            f"   and {dd}.d_year between 1999 AND 1999 + 2",
-            f" from item {alias}\n"
-            f" where {alias}.i_item_sk in (select {fk}\n"
-            f"   from {fact}, date_dim {dd}\n"
-            f"   where {datefk} = {dd}.d_date_sk\n"
-            f"   and {dd}.d_year between 1999 AND 1999 + 2)",
-        )
-        for fact, alias, fk, datefk, dd in (
-            ("store_sales", "iss", "ss_item_sk", "ss_sold_date_sk", "d1"),
-            ("catalog_sales", "ics", "cs_item_sk", "cs_sold_date_sk", "d2"),
-            ("web_sales", "iws", "ws_item_sk", "ws_sold_date_sk", "d3"),
-        )
-    ),
+    # q14a/q14b pair rewrite RETIRED in r10: the r8 form rewrote each
+    # INTERSECT leg of cross_items to `item WHERE i_item_sk IN
+    # (fact-date semi)` (r8 A/B: q14a 5.58 -> 4.27 s, q14b 4.23 ->
+    # 3.82 s vs verbatim). With no pair rewrite present, pattern rule
+    # #3 (rewrite_rules.setop_chain_to_union_flags) now fires on the
+    # verbatim text instead: the three-arm INTERSECT becomes ONE
+    # UNION ALL of the fact⋈item⋈date projections grouped to
+    # (brand, class, category) max-flags — the tuple domain is
+    # item-bounded, so the group-by is map-side combinable, and the
+    # two set-op semi joins disappear. Fresh-session interleaved A/B
+    # (tools/probe_r10_q14.py, sweep-cold, min-of-3, row-identity at
+    # fact volume first): rule-3 form faster in ALL SIX trial pairs —
+    # q14a 4.151 -> 3.125 (-25%), q14b 3.560 -> 2.613 (-27%). Still
+    # under the same _CTE_MATERIALIZE on cross_items/avg_sales.
     # q24 packing history: r8 shipped the xxhash64 pack for BOTH
     # q24a/q24b; r9's fresh-session A/B (tools/probe_r9_q24.py) measured
     # UNPACKED faster for q24b in all three cold trials (3.90 vs 4.13,
@@ -912,7 +895,8 @@ and ws1.ws_order_number in (select ws_order_number
     ),
 }
 # q14b shares q14a's cross_items CTE verbatim — same leg rewrites.
-_SPARK_REWRITE["14b"] = _SPARK_REWRITE["14a"]
+# (r10: q14a/q14b left un-paired so rule #3 fires — see the retired-
+# rewrite note above)
 
 
 # Third rule (r8, VERDICT r7 task #2): whole-text restructures, applied

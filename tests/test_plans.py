@@ -733,3 +733,16 @@ def test_self_exists_rule_plan_and_gates(spark):
     assert R("select * from t t1 where t1.z > 0 or "
              "exists (select * from t t2 "
              "where t1.k = t2.k and t1.w <> t2.w)", look) is None
+
+
+@pytest.mark.parametrize("name", ["tpcds_real_q14a", "tpcds_real_q14b"])
+def test_q14_cross_items_uses_rule3_flags(spark, name):
+    """r10: q14's cross_items INTERSECT chain is planned by rewrite
+    rule #3 (pair rewrite retired — probe_r10_q14.py measured the
+    flag form faster in all six trial pairs: q14a −25%, q14b −27%).
+    The plan must carry the three-arm flag aggregate (__f2 proves all
+    three channels fused into ONE union-agg pass) and a Union feeding
+    it — not per-leg set-op semi joins."""
+    plan = plan_of(spark, name)
+    assert "__f2" in plan, plan[:2000]
+    assert "Union" in plan, plan[:2000]
