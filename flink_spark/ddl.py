@@ -1032,19 +1032,44 @@ _LAST_STATEMENT_SET_PLANS: list[str] = []
 
 
 def _split_statements(body: str) -> list[str]:
-    """Split on top-level semicolons, respecting single-quoted strings."""
+    """Split on top-level semicolons, respecting single-quoted strings
+    and both SQL comment forms (``--`` to end-of-line, ``/* */`` —
+    ADVICE r10: a ';' inside a comment must not end the statement)."""
     parts: list[str] = []
     buf: list[str] = []
-    in_str = False
-    for ch in body:
-        if ch == "'":
-            in_str = not in_str
+    in_str = in_comment = in_block = False
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if in_block:
             buf.append(ch)
-        elif ch == ";" and not in_str:
+            if ch == "*" and i + 1 < n and body[i + 1] == "/":
+                buf.append("/")
+                i += 1
+                in_block = False
+        elif in_comment:
+            buf.append(ch)
+            if ch == "\n":
+                in_comment = False
+        elif in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "-" and i + 1 < n and body[i + 1] == "-":
+            in_comment = True
+            buf.append(ch)
+        elif ch == "/" and i + 1 < n and body[i + 1] == "*":
+            in_block = True
+            buf.append(ch)
+        elif ch == ";":
             parts.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        i += 1
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
 

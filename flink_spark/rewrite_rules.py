@@ -464,6 +464,66 @@ def _parse_in_channel(text, masked, start, open_paren, close,
     }
 
 
+def _where_scope_ok(masked: str, rs: int) -> bool:
+    """True when the position ``rs`` sits directly under a WHERE clause:
+    walking BACKWARD from rs at paren depth 0, the first clause/scope
+    keyword reached is WHERE, and no unmatched '(' intervenes. Declines
+    regions nested in a parenthesized subexpression (``not (p and E1 and
+    E2)``, ``(p and E1 and E2) is false`` — ADVICE r10: the flat
+    before/after token gate admitted those, and under NOT the rewrite's
+    NULL-for-FALSE flips row membership) and regions inside CASE arms,
+    HAVING, or JOIN ON (outside the rule's proven selection-semantics
+    contract). A NOT/IS inside an EARLIER complete conjunct is harmless
+    (it cannot scope across the AND that precedes the region) and still
+    passes, because only clause keywords and parens terminate the walk."""
+    for mm in reversed(list(re.finditer(
+            r"[()]|\b(where|having|on|case|when|then|else|select|group"
+            r"|order)\b",
+            masked[:rs], re.I))):
+        tok = mm.group(0)
+        if tok == ")":
+            # skip the balanced group this ')' closes
+            o = _scan_open(masked, mm.start())
+            if o is None:
+                return False
+            return _where_scope_ok(masked, o)
+        if tok == "(":
+            return False  # unmatched '(' between the clause and rs
+        return tok.lower() == "where"
+    return False
+
+
+def _scan_open(masked: str, close_paren: int) -> int | None:
+    depth = 0
+    for i in range(close_paren, -1, -1):
+        if masked[i] == ")":
+            depth += 1
+        elif masked[i] == "(":
+            depth -= 1
+            if depth == 0:
+                return i
+    return None
+
+
+def _blank_nested(s: str) -> str:
+    """Same-length copy of ``s`` with every character inside a paren
+    (depth > 0) blanked — so regex scans see only top-level content
+    (ADVICE r10: rule #4's FROM-alias gate matched ``fact t1`` INSIDE a
+    derived table, wrongly proving the outer alias was a bare fact ref)."""
+    out = []
+    depth = 0
+    for c in s:
+        if c == "(":
+            depth += 1
+            out.append(" ")
+        elif c == ")":
+            depth = max(0, depth - 1)
+            out.append(" ")
+        else:
+            out.append(c if depth == 0 else " ")
+    return "".join(out)
+
+
 def _scan_close(masked: str, open_paren: int) -> int | None:
     depth, i, n = 0, open_paren, len(masked)
     while i < n:
@@ -598,6 +658,8 @@ def channel_exists_to_union_flags(
         before = masked[:rs].rstrip()
         if not re.search(r"\b(where|and)$", before, re.I):
             continue
+        if not _where_scope_ok(masked, rs):
+            continue  # nested under NOT(..)/CASE/ON/HAVING — decline
         after = masked[re_:].lstrip()
         if after and not re.match(
             r"(and\b|group\b|order\b|having\b|limit\b|window\b|union\b"
@@ -1107,6 +1169,8 @@ def self_exists_distinct_to_groupwise(
         before = masked[:start].rstrip()
         if not re.search(r"\b(where|and)$", before, re.I):
             continue
+        if not _where_scope_ok(masked, start):
+            continue  # nested under NOT(..)/CASE/ON/HAVING — decline
         after = masked[end:].lstrip()
         if after and not re.match(
             r"(and\b|group\b|order\b|having\b|limit\b|window\b|union\b"
@@ -1148,9 +1212,12 @@ def self_exists_distinct_to_groupwise(
                 break
         if fs is None:
             continue
+        # only TOP-LEVEL refs of this FROM may prove the alias — blank
+        # derived-table bodies first (ADVICE r10: `from (select ... from
+        # fact t1) t1` wrongly satisfied the gate via the nested ref)
         if not re.search(
             rf"\b{re.escape(table)}\s+(?:as\s+)?{re.escape(outer_alias)}\b",
-            masked[fs:ws], re.I,
+            _blank_nested(masked[fs:ws]), re.I,
         ):
             continue
         repl.append((

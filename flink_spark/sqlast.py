@@ -1,0 +1,973 @@
+"""Span-preserving SQL tokenizer + parser — the shared substrate for
+the pattern-rewrite rule library (flink_spark/rewrite_rules.py).
+
+VERDICT r9/r10: the rule library's regex substrate re-implemented
+masking / paren-scanning / clause-walking per rule, and each new rule
+grew the risk superlinearly ("port to a proper SQL AST ... before rule
+#5"). This module is that port target: a recursive-descent parser over
+a real token stream, producing nodes that carry [start, end) SPANS
+into the ORIGINAL text — so rewrites stay what they always were
+(span splices into the verbatim SQL), but recognition walks structure
+instead of regexes.
+
+Design contract (mirrors the rules' decline-on-doubt stance):
+  * ``parse(text)`` returns the root Query node, or raises ParseError.
+    A caller that cannot parse DECLINES its rewrite — never guesses.
+  * The grammar covers the ANSI-SQL subset the engine's 103 TPC-DS
+    texts + the Nexmark/demo queries use (tests assert all 103 parse):
+    WITH, SELECT [DISTINCT] items, FROM (tables, derived tables,
+    [INNER|LEFT|RIGHT|FULL] JOIN .. ON, comma lists), WHERE, GROUP BY
+    [ROLLUP/CUBE/GROUPING SETS], HAVING, set-op chains, ORDER BY,
+    LIMIT; expressions with standard precedence (OR < AND < NOT <
+    comparison/IS/IN/BETWEEN/LIKE/EXISTS < additive < multiplicative <
+    unary < primary), CASE, CAST, INTERVAL literals, function calls
+    incl. DISTINCT args and OVER windows, subqueries in any expression
+    slot.
+  * Every node's ``text(src)`` is exactly ``src[node.start:node.end]``.
+
+The reference's analog is Calcite's SqlParser producing SqlNode trees
+that planner rules pattern-match (flink-table-planner inherits it);
+this is the same architecture one layer up: parse once, let every
+rewrite rule match on the tree.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class ParseError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+    | (?P<num>\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<qid>"[^"]*"|`[^`]*`)
+    | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+    | (?P<op><>|!=|<=|>=|\|\||[=<>+\-*/%])
+    | (?P<punct>[(),.;])
+    """,
+    re.S | re.X,
+)
+
+KEYWORDS = frozenset(
+    """select from where group by having order limit distinct as and or
+    not in is null like exists between case when then else end cast
+    union intersect except all inner left right full outer cross join
+    on with rollup cube grouping sets over partition rows range
+    unbounded preceding following current row asc desc interval true
+    false top first last fetch next only offset values""".split()
+)
+
+
+@dataclass(frozen=True)
+class Token:
+    kind: str   # num | str | qid | ident | kw | op | punct | eof
+    val: str    # lowercase for kw/ident, verbatim otherwise
+    start: int
+    end: int
+
+
+def tokenize(text: str) -> list[Token]:
+    toks: list[Token] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise ParseError(f"lex error at {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        val = m.group(0)
+        if kind == "ident":
+            low = val.lower()
+            if low in KEYWORDS:
+                toks.append(Token("kw", low, m.start(), m.end()))
+            else:
+                toks.append(Token("ident", low, m.start(), m.end()))
+        else:
+            toks.append(Token(kind, val, m.start(), m.end()))
+    toks.append(Token("eof", "", n, n))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# AST nodes — all carry [start, end) spans into the source text
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Node:
+    start: int
+    end: int
+
+    def text(self, src: str) -> str:
+        return src[self.start:self.end]
+
+    def walk(self):
+        """Yield this node and every descendant (pre-order)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            for f in vars(node).values():
+                if isinstance(f, Node):
+                    stack.append(f)
+                elif isinstance(f, list):
+                    stack.extend(x for x in f if isinstance(x, Node))
+
+
+# --- expressions ---
+
+
+@dataclass
+class Literal(Node):
+    val: str          # verbatim (number, string, TRUE/FALSE/NULL)
+    kind: str         # num | str | bool | null | interval
+
+
+@dataclass
+class Ident(Node):
+    parts: list[str]  # ["t", "col"] for t.col; lowercase
+
+
+@dataclass
+class Star(Node):
+    qualifier: str | None = None  # "t" for t.*
+
+
+@dataclass
+class FuncCall(Node):
+    name: str
+    args: list[Node]
+    distinct: bool = False
+    star: bool = False              # count(*)
+    over: Node | None = None        # Window or None
+
+
+@dataclass
+class Window(Node):
+    partition_by: list[Node]
+    order_by: list[Node]
+    frame_text: str | None = None   # verbatim frame clause, opaque
+
+
+@dataclass
+class UnaryOp(Node):
+    op: str         # "not" | "-" | "+"
+    operand: Node
+
+
+@dataclass
+class BinOp(Node):
+    op: str         # and or = <> < > <= >= + - * / % || like
+    left: Node
+    right: Node
+
+
+@dataclass
+class IsNull(Node):
+    operand: Node
+    negated: bool
+
+
+@dataclass
+class Between(Node):
+    operand: Node
+    low: Node
+    high: Node
+    negated: bool
+
+
+@dataclass
+class InList(Node):
+    operand: Node
+    items: list[Node]
+    negated: bool
+
+
+@dataclass
+class InSubquery(Node):
+    operand: Node
+    query: "Query"
+    negated: bool
+
+
+@dataclass
+class Exists(Node):
+    query: "Query"
+    negated: bool
+
+
+@dataclass
+class ScalarSubquery(Node):
+    query: "Query"
+
+
+@dataclass
+class Case(Node):
+    operand: Node | None
+    whens: list[tuple[Node, Node]]
+    else_: Node | None
+
+
+@dataclass
+class Cast(Node):
+    operand: Node
+    type_text: str
+
+
+@dataclass
+class Paren(Node):
+    inner: Node
+
+
+# --- query structure ---
+
+
+@dataclass
+class SelectItem(Node):
+    expr: Node
+    alias: str | None
+
+
+@dataclass
+class TableRef(Node):
+    name: str
+    alias: str | None
+
+
+@dataclass
+class DerivedTable(Node):
+    query: "Query"
+    alias: str | None
+    lateral_view: bool = False      # LATERAL VIEW explode(...) (opaque)
+
+
+@dataclass
+class Join(Node):
+    kind: str                        # inner left right full cross
+    left: Node
+    right: Node
+    on: Node | None
+
+
+@dataclass
+class GroupingElement(Node):
+    kind: str                        # plain | rollup | cube | sets
+    exprs: list[Node]
+
+
+@dataclass
+class OrderItem(Node):
+    expr: Node
+    dir: str | None                  # asc | desc | None
+    nulls: str | None                # first | last | None
+
+
+@dataclass
+class CTE(Node):
+    name: str
+    query: "Query"
+
+
+@dataclass
+class SelectCore(Node):
+    distinct: bool
+    items: list[SelectItem]
+    from_: list[Node]                # TableRef | DerivedTable | Join
+    where: Node | None
+    group_by: list[GroupingElement]
+    having: Node | None
+
+    def from_tables(self) -> dict[str, str]:
+        """alias (or name) -> base table name, for BARE refs only
+        (derived tables map to ''). Flattens joins."""
+        out: dict[str, str] = {}
+
+        def visit(ref: Node) -> None:
+            if isinstance(ref, TableRef):
+                out[ref.alias or ref.name] = ref.name
+            elif isinstance(ref, DerivedTable):
+                if ref.alias:
+                    out[ref.alias] = ""
+            elif isinstance(ref, Join):
+                visit(ref.left)
+                visit(ref.right)
+
+        for r in self.from_:
+            visit(r)
+        return out
+
+
+@dataclass
+class SetOp(Node):
+    kind: str                        # union | intersect | except
+    all: bool
+    left: Node                       # SelectCore | SetOp | Query (paren)
+    right: Node
+
+
+@dataclass
+class Query(Node):
+    """A full query expression: [WITH ...] body [ORDER BY] [LIMIT]."""
+    ctes: list[CTE]
+    body: Node                       # SelectCore | SetOp | Query (parens)
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: Node | None = None
+
+    def selects(self):
+        """Every SelectCore in this query (pre-order, incl. subqueries)."""
+        for node in self.walk():
+            if isinstance(node, SelectCore):
+                yield node
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.src = text
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # -- token helpers --
+    def peek(self, ahead: int = 0) -> Token:
+        j = min(self.i + ahead, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "kw" and t.val in kws
+
+    def eat_kw(self, *kws: str) -> Token | None:
+        if self.at_kw(*kws):
+            return self.next()
+        return None
+
+    def expect_kw(self, kw: str) -> Token:
+        t = self.eat_kw(kw)
+        if t is None:
+            raise ParseError(
+                f"expected {kw!r} at {self.peek().start}: got "
+                f"{self.peek().val!r}"
+            )
+        return t
+
+    def at_punct(self, p: str) -> bool:
+        t = self.peek()
+        return t.kind == "punct" and t.val == p
+
+    def eat_punct(self, p: str) -> Token | None:
+        if self.at_punct(p):
+            return self.next()
+        return None
+
+    def expect_punct(self, p: str) -> Token:
+        t = self.eat_punct(p)
+        if t is None:
+            raise ParseError(
+                f"expected {p!r} at {self.peek().start}: got "
+                f"{self.peek().val!r}"
+            )
+        return t
+
+    # -- entry --
+    def parse(self) -> Query:
+        q = self.parse_query()
+        self.eat_punct(";")
+        if self.peek().kind != "eof":
+            raise ParseError(
+                f"trailing input at {self.peek().start}: "
+                f"{self.peek().val!r}"
+            )
+        return q
+
+    # -- query structure --
+    def parse_query(self) -> Query:
+        start = self.peek().start
+        ctes: list[CTE] = []
+        if self.eat_kw("with"):
+            while True:
+                name_t = self.next()
+                if name_t.kind not in ("ident", "qid"):
+                    raise ParseError(f"bad CTE name at {name_t.start}")
+                self.expect_kw("as")
+                self.expect_punct("(")
+                sub = self.parse_query()
+                close = self.expect_punct(")")
+                ctes.append(CTE(name_t.start, close.end,
+                                name_t.val, sub))
+                if not self.eat_punct(","):
+                    break
+        body = self.parse_setop_chain()
+        order: list[OrderItem] = []
+        if self.at_kw("order"):
+            self.next()
+            self.expect_kw("by")
+            order = self.parse_order_items()
+        limit: Node | None = None
+        if self.eat_kw("limit"):
+            limit = self.parse_expr()
+        end = self.toks[self.i - 1].end if self.i else start
+        return Query(start, end, ctes, body, order, limit)
+
+    def parse_setop_chain(self) -> Node:
+        left = self.parse_select_core_or_paren()
+        while self.at_kw("union", "intersect", "except"):
+            op = self.next()
+            all_ = bool(self.eat_kw("all"))
+            self.eat_kw("distinct")
+            right = self.parse_select_core_or_paren()
+            left = SetOp(left.start, right.end, op.val, all_, left, right)
+        return left
+
+    def parse_select_core_or_paren(self) -> Node:
+        if self.at_punct("("):
+            op = self.next()
+            inner = self.parse_query()
+            close = self.expect_punct(")")
+            return Query(op.start, close.end, inner.ctes, inner.body,
+                         inner.order_by, inner.limit)
+        return self.parse_select_core()
+
+    def parse_select_core(self) -> SelectCore:
+        sel = self.expect_kw("select")
+        distinct = bool(self.eat_kw("distinct"))
+        self.eat_kw("all")
+        items = [self.parse_select_item()]
+        while self.eat_punct(","):
+            items.append(self.parse_select_item())
+        from_: list[Node] = []
+        where: Node | None = None
+        group: list[GroupingElement] = []
+        having: Node | None = None
+        if self.eat_kw("from"):
+            from_.append(self.parse_table_ref())
+            while self.eat_punct(","):
+                from_.append(self.parse_table_ref())
+        if self.eat_kw("where"):
+            where = self.parse_expr()
+        if self.at_kw("group"):
+            self.next()
+            self.expect_kw("by")
+            group.append(self.parse_grouping_element())
+            while self.eat_punct(","):
+                group.append(self.parse_grouping_element())
+        if self.eat_kw("having"):
+            having = self.parse_expr()
+        end = self.toks[self.i - 1].end
+        return SelectCore(sel.start, end, distinct, items, from_,
+                          where, group, having)
+
+    def parse_select_item(self) -> SelectItem:
+        start = self.peek().start
+        # bare * or t.*
+        if self.peek().kind == "op" and self.peek().val == "*":
+            t = self.next()
+            return SelectItem(t.start, t.end, Star(t.start, t.end), None)
+        if (self.peek().kind in ("ident", "qid")
+                and self.peek(1).kind == "punct" and self.peek(1).val == "."
+                and self.peek(2).kind == "op" and self.peek(2).val == "*"):
+            q = self.next()
+            self.next()
+            st = self.next()
+            return SelectItem(q.start, st.end,
+                              Star(q.start, st.end, q.val), None)
+        expr = self.parse_expr()
+        alias = None
+        end = expr.end
+        if self.eat_kw("as"):
+            a = self.next()
+            if a.kind not in ("ident", "qid", "str"):
+                raise ParseError(f"bad alias at {a.start}")
+            alias, end = a.val.strip('"`'), a.end
+        elif self.peek().kind in ("ident", "qid"):
+            a = self.next()
+            alias, end = a.val.strip('"`'), a.end
+        return SelectItem(start, end, expr, alias)
+
+    def parse_table_ref(self) -> Node:
+        left = self.parse_table_primary()
+        while True:
+            if self.at_kw("inner", "left", "right", "full", "cross",
+                          "join"):
+                kind = "inner"
+                if self.at_kw("inner"):
+                    self.next()
+                elif self.at_kw("left", "right", "full"):
+                    kind = self.next().val
+                    self.eat_kw("outer")
+                elif self.at_kw("cross"):
+                    self.next()
+                    kind = "cross"
+                self.expect_kw("join")
+                right = self.parse_table_primary()
+                on = None
+                if kind != "cross" and self.eat_kw("on"):
+                    on = self.parse_expr()
+                left = Join(left.start,
+                            on.end if on else right.end,
+                            kind, left, right, on)
+            else:
+                return left
+
+    def parse_table_primary(self) -> Node:
+        if self.at_punct("("):
+            op = self.next()
+            sub = self.parse_query()
+            close = self.expect_punct(")")
+            alias = None
+            end = close.end
+            if self.eat_kw("as"):
+                a = self.next()
+                alias, end = a.val, a.end
+            elif self.peek().kind in ("ident", "qid"):
+                a = self.next()
+                alias, end = a.val.strip('"`'), a.end
+            return DerivedTable(op.start, end, sub, alias)
+        t = self.next()
+        if t.kind not in ("ident", "qid"):
+            raise ParseError(f"bad table ref at {t.start}: {t.val!r}")
+        name = t.val.strip('"`')
+        alias = None
+        end = t.end
+        if self.eat_kw("as"):
+            a = self.next()
+            alias, end = a.val, a.end
+        elif self.peek().kind in ("ident", "qid") and not self._alias_stop():
+            a = self.next()
+            alias, end = a.val.strip('"`'), a.end
+        ref: Node = TableRef(t.start, end, name, alias)
+        # Spark's LATERAL VIEW (used by the engine's own q2 rewrite):
+        # attach as an opaque derived marker so parses don't fail
+        while (self.peek().kind == "ident" and self.peek().val == "lateral"):
+            self.next()
+            v = self.next()  # 'view'
+            if v.kind != "ident" or v.val != "view":
+                raise ParseError(f"bad LATERAL VIEW at {v.start}")
+            fn = self.parse_primary()       # explode(...)
+            tbl = self.next()               # view alias
+            self.expect_kw("as")
+            col = self.next()
+            while self.eat_punct(","):
+                self.next()
+            ref = DerivedTable(ref.start, col.end,
+                               Query(fn.start, fn.end, [], fn),  # type: ignore[arg-type]
+                               tbl.val if tbl.kind == "ident" else None,
+                               lateral_view=True)
+        return ref
+
+    def _alias_stop(self) -> bool:
+        """An identifier in alias position that is actually the next
+        clause (some keywords lex as ident only if non-reserved; all our
+        clause words are reserved, so nothing to stop on)."""
+        return False
+
+    def parse_grouping_element(self) -> GroupingElement:
+        t = self.peek()
+        if self.at_kw("rollup", "cube"):
+            kw = self.next()
+            self.expect_punct("(")
+            exprs = [self.parse_expr()]
+            while self.eat_punct(","):
+                exprs.append(self.parse_expr())
+            close = self.expect_punct(")")
+            return GroupingElement(kw.start, close.end, kw.val, exprs)
+        if self.at_kw("grouping"):
+            # GROUPING SETS ((..), (..))
+            kw = self.next()
+            self.expect_kw("sets")
+            self.expect_punct("(")
+            exprs: list[Node] = []
+            depth = 1
+            # opaque: consume the balanced group, keep exprs empty
+            while depth:
+                tok = self.next()
+                if tok.kind == "eof":
+                    raise ParseError("unterminated GROUPING SETS")
+                if tok.kind == "punct" and tok.val == "(":
+                    depth += 1
+                elif tok.kind == "punct" and tok.val == ")":
+                    depth -= 1
+            end = self.toks[self.i - 1].end
+            return GroupingElement(kw.start, end, "sets", exprs)
+        e = self.parse_expr()
+        return GroupingElement(e.start, e.end, "plain", [e])
+
+    def parse_order_items(self) -> list[OrderItem]:
+        items = [self.parse_order_item()]
+        while self.eat_punct(","):
+            items.append(self.parse_order_item())
+        return items
+
+    def parse_order_item(self) -> OrderItem:
+        e = self.parse_expr()
+        d = None
+        end = e.end
+        t = self.eat_kw("asc", "desc")
+        if t:
+            d, end = t.val, t.end
+        nulls = None
+        if self.peek().kind == "ident" and self.peek().val == "nulls":
+            self.next()
+            nt = self.eat_kw("first", "last")
+            if nt is None:
+                raise ParseError("expected FIRST/LAST after NULLS")
+            nulls, end = nt.val, nt.end
+        return OrderItem(e.start, end, e, d, nulls)
+
+    # -- expressions (precedence climbing) --
+    def parse_expr(self) -> Node:
+        return self.parse_or()
+
+    def parse_or(self) -> Node:
+        left = self.parse_and()
+        while self.at_kw("or"):
+            self.next()
+            right = self.parse_and()
+            left = BinOp(left.start, right.end, "or", left, right)
+        return left
+
+    def parse_and(self) -> Node:
+        left = self.parse_not()
+        while self.at_kw("and"):
+            self.next()
+            right = self.parse_not()
+            left = BinOp(left.start, right.end, "and", left, right)
+        return left
+
+    def parse_not(self) -> Node:
+        if self.at_kw("not") and not (
+            self.peek(1).kind == "kw" and self.peek(1).val == "exists"
+        ):
+            t = self.next()
+            operand = self.parse_not()
+            return UnaryOp(t.start, operand.end, "not", operand)
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> Node:
+        left = self.parse_additive()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.val in ("=", "<>", "!=", "<", ">",
+                                            "<=", ">="):
+                self.next()
+                right = self.parse_additive()
+                left = BinOp(left.start, right.end,
+                             "<>" if t.val == "!=" else t.val,
+                             left, right)
+                continue
+            if self.at_kw("is"):
+                self.next()
+                neg = bool(self.eat_kw("not"))
+                if self.eat_kw("null"):
+                    left = IsNull(left.start,
+                                  self.toks[self.i - 1].end, left, neg)
+                    continue
+                tf = self.eat_kw("true", "false")
+                if tf is None:
+                    raise ParseError(
+                        f"expected NULL/TRUE/FALSE after IS at "
+                        f"{self.peek().start}"
+                    )
+                # IS [NOT] TRUE/FALSE — keep as opaque unary
+                left = UnaryOp(left.start, tf.end,
+                               f"is {'not ' if neg else ''}{tf.val}",
+                               left)
+                continue
+            neg = False
+            save = self.i
+            if self.at_kw("not"):
+                self.next()
+                neg = True
+            if self.at_kw("between"):
+                self.next()
+                low = self.parse_additive()
+                self.expect_kw("and")
+                high = self.parse_additive()
+                left = Between(left.start, high.end, left, low, high, neg)
+                continue
+            if self.at_kw("in"):
+                self.next()
+                self.expect_punct("(")
+                if self.at_kw("select", "with"):
+                    sub = self.parse_query()
+                    close = self.expect_punct(")")
+                    left = InSubquery(left.start, close.end, left, sub,
+                                      neg)
+                else:
+                    items = [self.parse_expr()]
+                    while self.eat_punct(","):
+                        items.append(self.parse_expr())
+                    close = self.expect_punct(")")
+                    left = InList(left.start, close.end, left, items, neg)
+                continue
+            if self.at_kw("like"):
+                self.next()
+                right = self.parse_additive()
+                left = BinOp(left.start, right.end,
+                             "not like" if neg else "like", left, right)
+                continue
+            if neg:
+                self.i = save
+            break
+        return left
+
+    def parse_additive(self) -> Node:
+        left = self.parse_multiplicative()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.val in ("+", "-", "||"):
+                self.next()
+                right = self.parse_multiplicative()
+                left = BinOp(left.start, right.end, t.val, left, right)
+            else:
+                return left
+
+    def parse_multiplicative(self) -> Node:
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.val in ("*", "/", "%"):
+                self.next()
+                right = self.parse_unary()
+                left = BinOp(left.start, right.end, t.val, left, right)
+            else:
+                return left
+
+    def parse_unary(self) -> Node:
+        t = self.peek()
+        if t.kind == "op" and t.val in ("-", "+"):
+            self.next()
+            operand = self.parse_unary()
+            return UnaryOp(t.start, operand.end, t.val, operand)
+        return self.parse_primary()
+
+    def parse_primary(self) -> Node:
+        t = self.peek()
+        # EXISTS / NOT EXISTS
+        if self.at_kw("not") and self.peek(1).kind == "kw" \
+                and self.peek(1).val == "exists":
+            nt = self.next()
+            self.next()
+            self.expect_punct("(")
+            sub = self.parse_query()
+            close = self.expect_punct(")")
+            return Exists(nt.start, close.end, sub, True)
+        if self.at_kw("exists"):
+            et = self.next()
+            self.expect_punct("(")
+            sub = self.parse_query()
+            close = self.expect_punct(")")
+            return Exists(et.start, close.end, sub, False)
+        if self.at_kw("case"):
+            return self.parse_case()
+        if self.at_kw("cast"):
+            ct = self.next()
+            self.expect_punct("(")
+            operand = self.parse_expr()
+            self.expect_kw("as")
+            ts = self.peek().start
+            depth = 0
+            while True:
+                tok = self.peek()
+                if tok.kind == "eof":
+                    raise ParseError("unterminated CAST")
+                if tok.kind == "punct" and tok.val == "(":
+                    depth += 1
+                elif tok.kind == "punct" and tok.val == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                self.next()
+            type_text = self.src[ts:self.toks[self.i - 1].end]
+            close = self.expect_punct(")")
+            return Cast(ct.start, close.end, operand, type_text.strip())
+        if self.at_kw("interval"):
+            it = self.next()
+            # INTERVAL <expr-ish tokens> unit — consume number/string +
+            # trailing unit identifier(s)
+            v = self.next()
+            if v.kind not in ("num", "str", "op"):
+                raise ParseError(f"bad INTERVAL at {v.start}")
+            if v.kind == "op":  # INTERVAL -30 days
+                v = self.next()
+            end = v.end
+            while self.peek().kind == "ident" and self.peek().val in (
+                "day", "days", "month", "months", "year", "years",
+                "hour", "hours", "minute", "minutes", "second",
+                "seconds", "week", "weeks",
+            ):
+                end = self.next().end
+            return Literal(it.start, end, self.src[it.start:end],
+                           "interval")
+        if self.at_kw("null"):
+            tok = self.next()
+            return Literal(tok.start, tok.end, tok.val, "null")
+        if self.at_kw("true", "false"):
+            tok = self.next()
+            return Literal(tok.start, tok.end, tok.val, "bool")
+        if t.kind == "num":
+            self.next()
+            return Literal(t.start, t.end, t.val, "num")
+        if t.kind == "str":
+            self.next()
+            # date '2001-01-01' style typed literals arrive as
+            # ident+str; plain strings land here
+            return Literal(t.start, t.end, t.val, "str")
+        if t.kind == "punct" and t.val == "(":
+            self.next()
+            if self.at_kw("select", "with"):
+                sub = self.parse_query()
+                close = self.expect_punct(")")
+                return ScalarSubquery(t.start, close.end, sub)
+            inner = self.parse_expr()
+            # (a, b) row-value lists: decline for now (not in corpus)
+            close = self.expect_punct(")")
+            return Paren(t.start, close.end, inner)
+        if t.kind in ("ident", "qid") or (
+            t.kind == "kw" and t.val in ("left", "right", "grouping",
+                                         "first", "last", "values",
+                                         "current")
+        ):
+            return self.parse_name_or_call()
+        raise ParseError(f"unexpected token at {t.start}: {t.val!r}")
+
+    def parse_case(self) -> Case:
+        ct = self.expect_kw("case")
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.parse_expr()
+        whens: list[tuple[Node, Node]] = []
+        while self.eat_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            val = self.parse_expr()
+            whens.append((cond, val))
+        else_ = None
+        if self.eat_kw("else"):
+            else_ = self.parse_expr()
+        endt = self.expect_kw("end")
+        return Case(ct.start, endt.end, operand, whens, else_)
+
+    def parse_name_or_call(self) -> Node:
+        t = self.next()
+        name = t.val.strip('"`')
+        # typed literal: date '2000-01-01'
+        if name in ("date", "timestamp") and self.peek().kind == "str":
+            s = self.next()
+            return Literal(t.start, s.end, self.src[t.start:s.end],
+                           "str")
+        # qualified name t.col[.col]
+        parts = [name]
+        end = t.end
+        while (self.at_punct(".")
+               and self.peek(1).kind in ("ident", "qid", "kw")):
+            self.next()
+            p = self.next()
+            parts.append(p.val.strip('"`'))
+            end = p.end
+        if self.at_punct("(") and len(parts) == 1:
+            self.next()
+            distinct = False
+            star = False
+            args: list[Node] = []
+            if self.eat_kw("distinct"):
+                distinct = True
+            if self.peek().kind == "op" and self.peek().val == "*":
+                self.next()
+                star = True
+            elif not self.at_punct(")"):
+                args.append(self.parse_expr())
+                while self.eat_punct(","):
+                    args.append(self.parse_expr())
+            close = self.expect_punct(")")
+            over = None
+            end = close.end
+            if self.at_kw("over"):
+                over = self.parse_window()
+                end = over.end
+            return FuncCall(t.start, end, name, args, distinct, star,
+                            over)
+        return Ident(t.start, end, parts)
+
+    def parse_window(self) -> Window:
+        ot = self.expect_kw("over")
+        self.expect_punct("(")
+        partition: list[Node] = []
+        order: list[Node] = []
+        if self.at_kw("partition"):
+            self.next()
+            self.expect_kw("by")
+            partition.append(self.parse_expr())
+            while self.eat_punct(","):
+                partition.append(self.parse_expr())
+        if self.at_kw("order"):
+            self.next()
+            self.expect_kw("by")
+            order.append(self.parse_order_item())
+            while self.eat_punct(","):
+                order.append(self.parse_order_item())
+        frame = None
+        if self.at_kw("rows", "range"):
+            fs = self.peek().start
+            depth = 0
+            while True:
+                tok = self.peek()
+                if tok.kind == "eof":
+                    raise ParseError("unterminated window frame")
+                if tok.kind == "punct" and tok.val == "(":
+                    depth += 1
+                elif tok.kind == "punct" and tok.val == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                self.next()
+            frame = self.src[fs:self.toks[self.i - 1].end]
+        close = self.expect_punct(")")
+        return Window(ot.start, close.end, partition, order, frame)
+
+
+def parse(text: str) -> Query:
+    """Parse one SQL query; raises ParseError on unsupported syntax."""
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------------------
+# Shared analysis helpers the rewrite rules build on
+# ---------------------------------------------------------------------------
+
+
+def conjuncts(expr: Node | None) -> list[Node]:
+    """Flatten a boolean expression into its top-level AND conjuncts
+    (unwrapping redundant parens around AND chains only)."""
+    if expr is None:
+        return []
+    if isinstance(expr, BinOp) and expr.op == "and":
+        return conjuncts(expr.left) + conjuncts(expr.right)
+    return [expr]
+
+
+def strip_parens(expr: Node) -> Node:
+    while isinstance(expr, Paren):
+        expr = expr.inner
+    return expr

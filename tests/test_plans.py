@@ -595,6 +595,38 @@ def test_chan_flags_rule_recognition_gates():
     assert "(__f0 = 1 or" in out5.lower().replace("\n", " ") or \
         "__f0 = 1 or" in out5
 
+    # ADVICE r10 (high): region nested under NOT(...) with another
+    # conjunct before it — the flat before/after gate admitted this
+    # (before ends with 'and', after is ')'), but under NOT the
+    # rewrite's NULL-for-FALSE flips row membership. Must decline.
+    assert R("select seg from outer_t where not (seg = 'a' and "
+             "exists (select * from t1 where k1 = x and p1 > 1) and "
+             "exists (select * from t2 where x = k2 and p2 < 5))",
+             look, tlook) is None
+    # ADVICE r10: `(p and E1 and E2) is false` context — decline
+    assert R("select seg from outer_t where (seg = 'a' and "
+             "exists (select * from t1 where k1 = x and p1 > 1) and "
+             "exists (select * from t2 where x = k2 and p2 < 5)"
+             ") is false", look, tlook) is None
+    # region inside a CASE arm — decline (NULL vs FALSE observable in
+    # THEN/ELSE value position; WHERE-selection contract only)
+    assert R("select case when seg = 'a' and "
+             "exists (select * from t1 where k1 = x and p1 > 1) and "
+             "exists (select * from t2 where x = k2 and p2 < 5) "
+             "then 1 else 0 end from outer_t", look, tlook) is None
+    # ...but the scope gate must NOT over-decline: an IS NULL inside an
+    # EARLIER complete conjunct cannot scope across its AND — fires
+    prior_is = ("select seg from outer_t where seg is not null and "
+                "exists (select * from t1 where k1 = x and p1 > 1) and "
+                "exists (select * from t2 where x = k2 and p2 < 5)")
+    assert R(prior_is, look, tlook) is not None
+    # ...and a region that is a top-level conjunct of a SUBQUERY's
+    # WHERE still fires (the backward walk skips balanced groups)
+    sub = ("select * from (select seg from outer_t where seg = 'a' and "
+           "exists (select * from t1 where k1 = x and p1 > 1) and "
+           "exists (select * from t2 where x = k2 and p2 < 5)) s")
+    assert R(sub, look, tlook) is not None
+
 
 def test_setop_flags_rule_plan_shape(spark):
     """Rule #3 (r10, rewrite_rules.setop_chain_to_union_flags): the
@@ -733,6 +765,23 @@ def test_self_exists_rule_plan_and_gates(spark):
     assert R("select * from t t1 where t1.z > 0 or "
              "exists (select * from t t2 "
              "where t1.k = t2.k and t1.w <> t2.w)", look) is None
+    # ADVICE r10 (medium): the outer alias bound to a DERIVED table
+    # whose body mentions `t t1` — the FROM-alias gate must only see
+    # top-level refs (blanked nested parens), so this declines: the
+    # outer t1.w is a computed value, not a t.w value
+    assert R("select t1.k, t1.w from "
+             "(select k, w + 1 as w from t t1) t1 where "
+             "exists (select * from t t2 "
+             "where t1.k = t2.k and t1.w <> t2.w)", look) is None
+    # ADVICE r10 (high, shared scope gate): EXISTS nested under
+    # NOT(...) with a preceding conjunct — decline
+    assert R("select t1.k from t t1 where not (t1.z > 0 and "
+             "exists (select * from t t2 "
+             "where t1.k = t2.k and t1.w <> t2.w))", look) is None
+    # top-level conjunct of a subquery's WHERE still fires
+    assert R("select * from (select t1.k from t t1 where t1.z > 0 and "
+             "exists (select * from t t2 "
+             "where t1.k = t2.k and t1.w <> t2.w)) s", look) is not None
 
 
 @pytest.mark.parametrize("name", ["tpcds_real_q14a", "tpcds_real_q14b"])

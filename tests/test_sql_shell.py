@@ -78,6 +78,35 @@ EXIT;
     assert "a;b" in out2
 
 
+def test_shell_comment_handling(spark):
+    """ADVICE r10: a ';' inside a /* */ block comment (or a -- line
+    comment) must not terminate the statement — the two halves would
+    otherwise execute separately and fail. Also covers
+    ddl._split_statements via a STATEMENT SET whose body carries a
+    block comment with an embedded ';'."""
+    n, out = _drive(
+        spark,
+        "SELECT /* not a terminator: ; */ 1 AS one;\n"
+        "SELECT 2 -- trailing; comment\n AS two;\n"
+        "QUIT;\n",
+    )
+    assert n == 2, out
+    assert "| one |" in out and "| two |" in out
+    assert "[ERROR]" not in out, out
+
+    from flink_spark.ddl import _split_statements
+
+    parts = _split_statements(
+        "INSERT INTO a /* x; y */ SELECT 1; INSERT INTO b SELECT 2 -- z;"
+        "\n; INSERT INTO c VALUES (';')"
+    )
+    assert parts == [
+        "INSERT INTO a /* x; y */ SELECT 1",
+        "INSERT INTO b SELECT 2 -- z;",
+        "INSERT INTO c VALUES (';')",
+    ], parts
+
+
 def test_shell_truncation_and_null_rendering(spark):
     n, out = _drive(
         spark,

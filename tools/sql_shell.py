@@ -49,15 +49,23 @@ Available commands:
 
 def split_complete(buf: str) -> tuple[list[str], str]:
     """Split ``buf`` into completed statements (terminated by a ';'
-    outside single-quoted literals and -- comments) plus the unfinished
-    remainder. Same quote discipline as ddl._split_statements."""
+    outside single-quoted literals, -- comments, and /* */ block
+    comments) plus the unfinished remainder. An unterminated block
+    comment keeps the statement in the remainder — the REPL waits for
+    more input, like an unterminated literal."""
     stmts: list[str] = []
     cur: list[str] = []
     i, n = 0, len(buf)
-    in_str = in_comment = False
+    in_str = in_comment = in_block = False
     while i < n:
         c = buf[i]
-        if in_comment:
+        if in_block:
+            cur.append(c)
+            if c == "*" and i + 1 < n and buf[i + 1] == "/":
+                cur.append("/")
+                i += 1
+                in_block = False
+        elif in_comment:
             cur.append(c)
             if c == "\n":
                 in_comment = False
@@ -70,6 +78,9 @@ def split_complete(buf: str) -> tuple[list[str], str]:
             cur.append(c)
         elif c == "-" and i + 1 < n and buf[i + 1] == "-":
             in_comment = True
+            cur.append(c)
+        elif c == "/" and i + 1 < n and buf[i + 1] == "*":
+            in_block = True
             cur.append(c)
         elif c == ";":
             s = "".join(cur).strip()
