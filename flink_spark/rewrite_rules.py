@@ -1,15 +1,26 @@
 """Pattern-level SQL rewrite rules — engine optimizations that fire on
 RECOGNIZED SHAPES in any user query, not on a per-query lookup table.
 
+Substrate (r11, VERDICT r10 task #4): recognition walks a real AST
+(flink_spark/sqlast.py — span-preserving tokenizer + recursive-descent
+parser) instead of the r9/r10 regex+mask machinery. Rewrites are still
+SPAN SPLICES into the verbatim text (each AST node carries its
+[start, end) source span), so the emission code — and therefore the
+generated SQL — is unchanged from the regex substrate; only the
+matching moved. A text the parser cannot handle DECLINES every rule
+(parse-or-decline replaces the old decline-on-doubt regex gates).
+Structural wins over the regex version:
+  * clause scope is free — a WHERE conjunct IS a conjunct of that
+    SelectCore's where tree, so the ADVICE r10 `not (p and E1 and E2)`
+    / `(...) is false` / CASE-arm holes cannot exist by construction;
+  * literal/comment masking is the tokenizer's job, not each rule's;
+  * identifier resolution sees the real FROM list (derived-table
+    bodies can no longer satisfy a bare-table-ref gate).
+
 Rule #1 (r9, promoted from the hand rewrites of TPC-DS q9/q28/q88 —
 VERDICT r8 task #4): N scalar subqueries aggregating the SAME bare
 table under different predicates collapse into ONE conditional-
 aggregate pass.
-
-Rule #2 (r10, promoted from the q10/q35/q69 hand rewrites — VERDICT r9
-task #4): a boolean combination of per-channel existence predicates
-against one outer key collapses into ONE union-aggregate flag pass +
-ONE semi join (see channel_exists_to_union_flags below).
 
     (select avg(x) from t where p1) ... (select count(*) from t where p2)
         ==>
@@ -36,10 +47,10 @@ TableSourceScan), and Catalyst does the same — N predicates over a
 Recognition gates (strict — fire only when provably safe):
   * subquery form: (SELECT agg(col|*) FROM table WHERE pred), one
     aggregate, one bare table (no alias, no join, no GROUP BY/HAVING)
-  * agg in COUNT/SUM/AVG/MIN/MAX
-  * pred contains no nested subquery or parentheses-nesting beyond
-    plain grouping, and every identifier in it is a column of the
-    table (resolved through the caller-provided ``columns_of``) — this
+  * agg in COUNT/SUM/AVG/MIN/MAX (no DISTINCT)
+  * pred is a flat boolean over the table's own columns — no
+    subqueries, function calls, or IN lists, and every identifier
+    resolves through the caller-provided ``columns_of`` — this
     excludes correlated subqueries (their predicates reference outer
     aliases, e.g. TPC-DS q6's ``j.i_category = i.i_category``)
   * at least two such subqueries over the same table (one collapses
@@ -51,110 +62,77 @@ from __future__ import annotations
 import re
 from collections.abc import Callable
 
-_AGG_HEAD = re.compile(
-    r"\(\s*select\s+(count|sum|avg|min|max)\s*\(\s*(\*|[\w]+)\s*\)\s*"
-    r"from\s+([A-Za-z_]\w*)\s+where\s+",
-    re.I,
+from flink_spark.sqlast import (
+    Between,
+    BinOp,
+    Case,
+    DerivedTable,
+    Exists,
+    FuncCall,
+    Ident,
+    InList,
+    InSubquery,
+    IsNull,
+    Literal,
+    Node,
+    Paren,
+    ParseError,
+    Query,
+    ScalarSubquery,
+    SelectCore,
+    SetOp,
+    Star,
+    TableRef,
+    UnaryOp,
+    conjuncts,
+    has_comment,
+    parent_map,
+    parse,
 )
 
-# identifiers (excluding string literals and numbers)
-_IDENT = re.compile(r"\b[A-Za-z_]\w*\b")
+_AGGS = {"count", "sum", "avg", "min", "max"}
 
-_SQL_WORDS = {
-    "and", "or", "not", "between", "in", "like", "is", "null", "case",
-    "when", "then", "else", "end", "true", "false", "exists", "cast",
-    "as", "int", "bigint", "double", "decimal", "varchar", "date",
-    "interval", "coalesce", "abs",
-}
+# nodes allowed inside a "flat local" predicate — the conservative
+# lift-verbatim set (no parens-bearing constructs: no subqueries, no
+# function calls, no IN lists, no nested Paren)
+_FLAT_OK = (BinOp, UnaryOp, IsNull, Between, Ident, Literal, Case)
 
 
-def _mask(text: str) -> tuple[str, list[tuple[int, int]]]:
-    """Same-length copy of ``text`` with single-quoted literal CONTENTS
-    and comment bodies (-- to end-of-line, /* */) blanked to spaces, plus
-    the comment spans. Matching and paren-scanning run on the mask so a
-    candidate head inside a literal or comment can never anchor a bogus
-    span (ADVICE r9) — indices into the mask are valid in the original."""
-    out = list(text)
-    comments: list[tuple[int, int]] = []
-    i, n = 0, len(text)
-    while i < n:
-        c = text[i]
-        if c == "'":
-            i += 1
-            while i < n:
-                if text[i] == "'":
-                    if i + 1 < n and text[i + 1] == "'":  # '' escape
-                        out[i] = out[i + 1] = " "
-                        i += 2
-                        continue
-                    break
-                out[i] = " "
-                i += 1
-            i += 1
-        elif c == "-" and i + 1 < n and text[i + 1] == "-":
-            s = i
-            while i < n and text[i] != "\n":
-                out[i] = " "
-                i += 1
-            comments.append((s, i))
-        elif c == "/" and i + 1 < n and text[i + 1] == "*":
-            s = i
-            i += 2
-            while i + 1 < n and not (text[i] == "*" and text[i + 1] == "/"):
-                i += 1
-            i = min(i + 2, n)
-            for j in range(s, i):
-                out[j] = " "
-            comments.append((s, i))
-        else:
-            i += 1
-    return "".join(out), comments
+def _parse(text: str) -> Query | None:
+    try:
+        return parse(text)
+    except ParseError:
+        return None
 
 
-def _find_subqueries(text: str):
-    """Yield (start, end, agg, col, table, pred) for each candidate
-    scalar-aggregate subquery; end is the index AFTER the closing
-    paren. Matching and paren-scanning run on the literal/comment mask;
-    candidates whose span overlaps a comment are declined (the pred is
-    lifted verbatim from the original text, and a comment inside it
-    could swallow the rewrite's surrounding syntax)."""
-    masked, comments = _mask(text)
-    for m in _AGG_HEAD.finditer(masked):
-        start = m.start()
-        depth, i = 0, start
-        n = len(masked)
-        while i < n:
-            c = masked[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            i += 1
-        if depth != 0:
-            continue
-        end = i + 1
-        if any(cs < end and start < ce for cs, ce in comments):
-            continue
-        pred = text[m.end():i].strip()
-        yield start, end, m.group(1).lower(), m.group(2), m.group(3).lower(), pred
+def _resolve_col(parts: list[str], tables: list[str],
+                 columns_of) -> str | None:
+    """Resolve an identifier (as parts) against bare tables: returns
+    the qualifying table name, or None when it is not an inner column."""
+    if len(parts) == 2:
+        t, col = parts
+        if t in tables:
+            cols = columns_of(t)
+            if cols and col in {c.lower() for c in cols}:
+                return t
+        return None
+    if len(parts) == 1:
+        for t in tables:
+            cols = columns_of(t)
+            if cols and parts[0] in {c.lower() for c in cols}:
+                return t
+    return None
 
 
-def _pred_is_local(pred: str, cols: set[str]) -> bool:
-    """True when every identifier in pred is a column of the table (or
-    a recognized SQL keyword) — i.e. the subquery is uncorrelated and
-    self-contained."""
-    if "(" in pred or ")" in pred:
-        return False  # keep the first rule conservative: flat predicates
-    low = re.sub(r"'[^']*'", "''", pred)  # strip literal contents
-    if re.search(r"\bselect\b", low, re.I):
-        return False
-    for ident in _IDENT.findall(low):
-        w = ident.lower()
-        if w in _SQL_WORDS or w.isdigit():
-            continue
-        if w not in cols:
+def _flat_local(expr: Node, resolve) -> bool:
+    """True when ``expr`` uses only the flat-predicate node set and
+    every identifier resolves through ``resolve`` (parts -> table or
+    None) — i.e. the predicate is self-contained and safe to lift
+    verbatim into generated SQL."""
+    for node in expr.walk():
+        if not isinstance(node, _FLAT_OK):
+            return False
+        if isinstance(node, Ident) and resolve(node.parts) is None:
             return False
     return True
 
@@ -164,20 +142,62 @@ def scalar_subqueries_to_conditional_agg(
     columns_of: Callable[[str], set[str] | None],
     min_count: int = 2,
 ) -> str | None:
-    """Apply the rule; returns the rewritten SQL, or None when it does
+    """Apply rule #1; returns the rewritten SQL, or None when it does
     not fire. ``columns_of(table)`` returns the table's column-name set
     (lowercase) or None when the table is unknown (→ skip)."""
+    root = _parse(text)
+    if root is None:
+        return None
     groups: dict[str, list[tuple[int, int, str, str, str]]] = {}
-    for start, end, agg, col, table, pred in _find_subqueries(text):
+    for node in root.walk():
+        if not isinstance(node, ScalarSubquery):
+            continue
+        q = node.query
+        if q.ctes or q.order_by or q.limit is not None:
+            continue
+        sel = q.body
+        if not isinstance(sel, SelectCore) or sel.distinct:
+            continue
+        if sel.group_by or sel.having or sel.where is None:
+            continue
+        if len(sel.from_) != 1 or len(sel.items) != 1:
+            continue
+        ref = sel.from_[0]
+        if not isinstance(ref, TableRef) or ref.alias is not None:
+            continue
+        item = sel.items[0]
+        if item.alias is not None:
+            continue
+        fc = item.expr
+        if not isinstance(fc, FuncCall) or fc.name not in _AGGS:
+            continue
+        if fc.distinct or fc.over is not None:
+            continue
+        if fc.star:
+            col = "*"
+        elif (len(fc.args) == 1 and isinstance(fc.args[0], Ident)
+                and len(fc.args[0].parts) == 1):
+            col = fc.args[0].parts[0]
+        else:
+            continue
+        table = ref.name
         cols = columns_of(table)
         if cols is None:
             continue
         cols = {c.lower() for c in cols}
-        if col != "*" and col.lower() not in cols:
+        if col != "*" and col not in cols:
             continue  # aggregated column must belong to the table too
-        if not _pred_is_local(pred, cols):
+        resolve = lambda p, _c=cols: (  # noqa: E731
+            "t" if len(p) == 1 and p[0] in _c else None
+        )
+        if not _flat_local(sel.where, resolve):
             continue
-        groups.setdefault(table, []).append((start, end, agg, col, pred))
+        if has_comment(text, node.start, node.end):
+            continue
+        pred = sel.where.text(text).strip()
+        groups.setdefault(table, []).append(
+            (node.start, node.end, fc.name, col, pred)
+        )
     # pick tables with >= min_count candidate subqueries; reject any
     # whose spans overlap (nested candidates — bail out, stay safe)
     chosen: list[tuple[str, list[tuple[int, int, str, str, str]]]] = []
@@ -204,7 +224,7 @@ def scalar_subqueries_to_conditional_agg(
         cte = f"__cond_agg_{table}"
         cols_sql: list[str] = []
         preds: list[str] = []
-        for k, (s, e, agg, col, pred) in enumerate(subs):
+        for k, (s, e, agg, col, pred) in enumerate(sorted(subs)):
             inner = "1" if col == "*" else col
             cols_sql.append(
                 f"{agg}(case when {pred} then {inner} end) a{k}"
@@ -258,9 +278,11 @@ def scalar_subqueries_to_conditional_agg(
 #     never holds), so the original region is FALSE or fails the
 #     mandatory positive conjunct; the rewrite's IN evaluates to
 #     NULL/FALSE. NULL-vs-FALSE is indistinguishable where the region
-#     sits, because the boundary gate only accepts the region as a
-#     top-level conjunct of a WHERE (preceded by WHERE/AND, followed by
-#     AND/clause-end) — selection semantics, never under NOT / IS / CASE.
+#     sits, because the region is (a run of) TOP-LEVEL CONJUNCTS of a
+#     WHERE clause — selection semantics, never under NOT / IS / CASE
+#     (structural on the AST: a conjunct of SelectCore.where IS at
+#     selection position; the ADVICE r10 boundary holes are
+#     unrepresentable).
 #   * `x IN (select k from t where p)` channels can differ from EXISTS
 #     on NULL semantics only by returning NULL instead of FALSE (null
 #     keys in the list); at a WHERE-conjunct position in an AND/OR-only
@@ -276,265 +298,162 @@ def scalar_subqueries_to_conditional_agg(
 # Recognition gates (strict — decline on any doubt):
 #   * channel = [NOT] EXISTS (SELECT */1/col FROM bare_tables WHERE
 #     conj) with exactly one correlation equality <outer> = <inner col>
-#     and every other conjunct local to the subquery's tables, or
+#     and every other conjunct flat-local to the subquery's tables, or
 #     <outer> IN (SELECT col FROM bare_table [WHERE local_pred]);
 #     NOT IN is never touched (its NULL semantics don't survive).
-#   * >= 2 channels, all correlating the SAME outer expression, forming
-#     a contiguous region whose gaps contain only AND/OR/parens.
-#   * region is a top-level conjunct of a WHERE clause (boundary gate).
-#   * a NOT EXISTS channel requires a positive top-level-AND channel.
+#   * >= 2 channels, all correlating the SAME outer expression, in a
+#     run of CONSECUTIVE top-level WHERE conjuncts each of which is an
+#     AND/OR/paren combination of channels only.
+#   * a NOT EXISTS channel requires a positive channel that is itself
+#     one whole top-level conjunct of the region.
 #   * all channel key columns must have the SAME type (``types_of``) so
 #     UNION ALL cannot coerce keys and change equality semantics.
 
-_EXISTS_HEAD = re.compile(r"(\bnot\s+)?\bexists\s*\(", re.I)
-_IN_HEAD = re.compile(
-    r"([A-Za-z_][\w.]*)\s+in\s*\(\s*select\b", re.I
-)
-_EXISTS_INNER = re.compile(
-    r"^\s*select\s+(?:\*|1|[A-Za-z_][\w.]*)\s+from\s+"
-    r"([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+where\s+(.*)$",
-    re.I | re.S,
-)
-_IN_INNER = re.compile(
-    r"^\s*select\s+([A-Za-z_]\w*)\s+from\s+([A-Za-z_]\w*)"
-    r"(?:\s+where\s+(.*))?\s*$",
-    re.I | re.S,
-)
-_EQ = re.compile(
-    r"^\s*([A-Za-z_][\w.]*)\s*=\s*([A-Za-z_][\w.]*)\s*$"
-)
 
-
-def _split_conjuncts(s: str) -> list[tuple[int, int]] | None:
-    """Spans of the top-level AND conjuncts of ``s`` (already masked).
-    BETWEEN..AND aware; returns None when parens unbalance."""
-    spans: list[tuple[int, int]] = []
-    depth = 0
-    start = 0
-    between = 0
-    for m in re.finditer(r"[()]|\b(and|between)\b", s, re.I):
-        tok = m.group(0)
-        if tok == "(":
-            depth += 1
-        elif tok == ")":
-            depth -= 1
-            if depth < 0:
-                return None
-        elif depth == 0:
-            if tok.lower() == "between":
-                between += 1
-            elif between:
-                between -= 1  # this AND closes a BETWEEN
-            else:
-                spans.append((start, m.start()))
-                start = m.end()
-    if depth != 0:
+def _channel_from_exists(node: Exists, text: str, columns_of,
+                         types_of) -> dict | None:
+    q = node.query
+    if q.ctes or q.order_by or q.limit is not None:
         return None
-    spans.append((start, len(s)))
-    return spans
-
-
-def _resolve(ident: str, tables: list[str],
-             columns_of) -> str | None:
-    """Resolve an identifier against the subquery's tables: returns the
-    qualifying table name, or None when it is not an inner column."""
-    if "." in ident:
-        prefix, col = ident.split(".", 1)
-        prefix, col = prefix.lower(), col.lower()
-        if prefix in tables and "." not in col:
-            cols = columns_of(prefix)
-            if cols and col in {c.lower() for c in cols}:
-                return prefix
+    sel = q.body
+    if not isinstance(sel, SelectCore) or sel.distinct:
         return None
-    low = ident.lower()
-    for t in tables:
-        cols = columns_of(t)
-        if cols and low in {c.lower() for c in cols}:
-            return t
-    return None
-
-
-def _local_conjunct(masked_pred: str, tables: list[str],
-                    columns_of) -> bool:
-    """True when every identifier in the (masked) conjunct resolves to
-    the subquery's tables or is a SQL word — no outer references."""
-    if re.search(r"\bselect\b", masked_pred, re.I):
-        return False
-    for ident in re.finditer(r"\b[A-Za-z_][\w.]*\b", masked_pred):
-        w = ident.group(0)
-        low = w.lower()
-        if low in _SQL_WORDS or low.replace(".", "").isdigit():
-            continue
-        if _resolve(w, tables, columns_of) is None:
-            return False
-    return True
-
-
-def _parse_exists_channel(text, masked, start, open_paren, close,
-                          negative, columns_of, types_of):
-    """Validate one [NOT] EXISTS(...) candidate; returns the channel
-    dict or None."""
-    inner_m = masked[open_paren + 1:close]
-    inner_t = text[open_paren + 1:close]
-    m = _EXISTS_INNER.match(inner_m)
-    if m is None:
+    if sel.group_by or sel.having or sel.where is None:
         return None
-    tables = [t.strip().lower() for t in m.group(1).split(",")]
+    if len(sel.items) != 1 or sel.items[0].alias is not None:
+        return None
+    it = sel.items[0].expr
+    if not (isinstance(it, Star)
+            or (isinstance(it, Literal) and it.val == "1")
+            or (isinstance(it, Ident) and len(it.parts) <= 2)):
+        return None
+    tables: list[str] = []
+    for ref in sel.from_:
+        if not isinstance(ref, TableRef) or ref.alias is not None:
+            return None
+        tables.append(ref.name)
     if len(set(tables)) != len(tables):
         return None
     for t in tables:
         if columns_of(t) is None:
             return None
-    conj_off = m.start(2)
-    conj_m = inner_m[conj_off:]
-    spans = _split_conjuncts(conj_m)
-    if spans is None:
-        return None
     corr = None
     locals_: list[str] = []
-    for s, e in spans:
-        seg_m = conj_m[s:e]
-        seg_t = inner_t[conj_off + s:conj_off + e]
-        eq = _EQ.match(seg_m)
-        if eq:
-            a, b = eq.group(1), eq.group(2)
-            ra = _resolve(a, tables, columns_of)
-            rb = _resolve(b, tables, columns_of)
+    resolve = lambda p: _resolve_col(p, tables, columns_of)  # noqa: E731
+    for cj in conjuncts(sel.where):
+        if (isinstance(cj, BinOp) and cj.op == "="
+                and isinstance(cj.left, Ident)
+                and isinstance(cj.right, Ident)):
+            ra = resolve(cj.left.parts)
+            rb = resolve(cj.right.parts)
             if (ra is None) != (rb is None):
                 # one side inner, one side outer -> correlation
                 if corr is not None:
                     return None  # two correlations: decline
-                inner_side, outer_side = (b, a) if ra is None else (a, b)
-                # the outer side must be a plain identifier (it is, by
-                # the _EQ shape) and must NOT be resolvable inner
-                corr = (outer_side, inner_side,
+                inner_node, outer_node = (
+                    (cj.right, cj.left) if ra is None
+                    else (cj.left, cj.right)
+                )
+                if len(outer_node.parts) > 2:
+                    return None
+                corr = (outer_node, inner_node,
                         ra if rb is None else rb)
                 continue
-        if "(" in seg_m or ")" in seg_m:
-            return None  # keep conjuncts flat, like rule #1
-        if not _local_conjunct(seg_m, tables, columns_of):
+        if not _flat_local(cj, resolve):
             return None
-        locals_.append(seg_t.strip())
+        locals_.append(cj.text(text).strip())
     if corr is None:
         return None
-    outer_expr, key_ident, key_table = corr
-    key_col = key_ident.split(".")[-1].lower()
+    outer_node, key_node, key_table = corr
+    key_col = key_node.parts[-1]
     typ = types_of(key_table, key_col) if types_of else None
     if types_of and typ is None:
         return None
     return {
-        "start": start, "end": close + 1, "negative": negative,
-        "outer": re.sub(r"\s+", "", outer_expr.lower()),
-        "key": key_ident, "tables": ", ".join(tables),
+        "start": node.start, "end": node.end, "negative": node.negated,
+        "outer": ".".join(outer_node.parts),
+        "outer_txt": outer_node.text(text),
+        "key": key_node.text(text), "tables": ", ".join(tables),
         "local": " and ".join(locals_), "type": typ,
     }
 
 
-def _parse_in_channel(text, masked, start, open_paren, close,
-                      outer_expr, columns_of, types_of):
-    inner_m = masked[open_paren + 1:close]
-    inner_t = text[open_paren + 1:close]
-    m = _IN_INNER.match(inner_m)
-    if m is None:
+def _channel_from_in(node: InSubquery, text: str, columns_of,
+                     types_of) -> dict | None:
+    if node.negated:
+        return None  # NOT IN: NULL semantics don't survive the flags
+    if not isinstance(node.operand, Ident) or len(node.operand.parts) > 2:
         return None
-    col, table = m.group(1).lower(), m.group(2).lower()
+    q = node.query
+    if q.ctes or q.order_by or q.limit is not None:
+        return None
+    sel = q.body
+    if not isinstance(sel, SelectCore) or sel.distinct:
+        return None
+    if sel.group_by or sel.having:
+        return None
+    if len(sel.items) != 1 or sel.items[0].alias is not None:
+        return None
+    it = sel.items[0].expr
+    if not (isinstance(it, Ident) and len(it.parts) == 1):
+        return None
+    if len(sel.from_) != 1:
+        return None
+    ref = sel.from_[0]
+    if not isinstance(ref, TableRef) or ref.alias is not None:
+        return None
+    table, col = ref.name, it.parts[0]
     cols = columns_of(table)
     if cols is None or col not in {c.lower() for c in cols}:
         return None
+    resolve = lambda p: _resolve_col(p, [table], columns_of)  # noqa: E731
     local = ""
-    if m.group(3) is not None:
-        pred_m = m.group(3)
-        if "(" in pred_m or ")" in pred_m:
+    if sel.where is not None:
+        if not _flat_local(sel.where, resolve):
             return None
-        if not _local_conjunct(pred_m, [table], columns_of):
-            return None
-        local = inner_t[m.start(3):m.end(3)].strip()
+        local = sel.where.text(text).strip()
     # the outer expr itself must not be a column of the channel table
     # written bare (that would be a correlated IN, different semantics)
-    if "." not in outer_expr and _resolve(outer_expr, [table],
-                                          columns_of):
+    if (len(node.operand.parts) == 1
+            and resolve(node.operand.parts) is not None):
         return None
     typ = types_of(table, col) if types_of else None
     if types_of and typ is None:
         return None
     return {
-        "start": start, "end": close + 1, "negative": False,
-        "outer": re.sub(r"\s+", "", outer_expr.lower()),
+        "start": node.start, "end": node.end, "negative": False,
+        "outer": ".".join(node.operand.parts),
+        "outer_txt": node.operand.text(text),
         "key": col, "tables": table, "local": local, "type": typ,
     }
 
 
-def _where_scope_ok(masked: str, rs: int) -> bool:
-    """True when the position ``rs`` sits directly under a WHERE clause:
-    walking BACKWARD from rs at paren depth 0, the first clause/scope
-    keyword reached is WHERE, and no unmatched '(' intervenes. Declines
-    regions nested in a parenthesized subexpression (``not (p and E1 and
-    E2)``, ``(p and E1 and E2) is false`` — ADVICE r10: the flat
-    before/after token gate admitted those, and under NOT the rewrite's
-    NULL-for-FALSE flips row membership) and regions inside CASE arms,
-    HAVING, or JOIN ON (outside the rule's proven selection-semantics
-    contract). A NOT/IS inside an EARLIER complete conjunct is harmless
-    (it cannot scope across the AND that precedes the region) and still
-    passes, because only clause keywords and parens terminate the walk."""
-    for mm in reversed(list(re.finditer(
-            r"[()]|\b(where|having|on|case|when|then|else|select|group"
-            r"|order)\b",
-            masked[:rs], re.I))):
-        tok = mm.group(0)
-        if tok == ")":
-            # skip the balanced group this ')' closes
-            o = _scan_open(masked, mm.start())
-            if o is None:
-                return False
-            return _where_scope_ok(masked, o)
-        if tok == "(":
-            return False  # unmatched '(' between the clause and rs
-        return tok.lower() == "where"
-    return False
+def _channel_tree(conj: Node, text: str, columns_of,
+                  types_of) -> list[dict] | None:
+    """If ``conj`` is composed ONLY of AND/OR/parens over channel
+    leaves, return the channels in text order; else None."""
+    chans: list[dict] = []
 
-
-def _scan_open(masked: str, close_paren: int) -> int | None:
-    depth = 0
-    for i in range(close_paren, -1, -1):
-        if masked[i] == ")":
-            depth += 1
-        elif masked[i] == "(":
-            depth -= 1
-            if depth == 0:
-                return i
-    return None
-
-
-def _blank_nested(s: str) -> str:
-    """Same-length copy of ``s`` with every character inside a paren
-    (depth > 0) blanked — so regex scans see only top-level content
-    (ADVICE r10: rule #4's FROM-alias gate matched ``fact t1`` INSIDE a
-    derived table, wrongly proving the outer alias was a bare fact ref)."""
-    out = []
-    depth = 0
-    for c in s:
-        if c == "(":
-            depth += 1
-            out.append(" ")
-        elif c == ")":
-            depth = max(0, depth - 1)
-            out.append(" ")
+    def rec(n: Node) -> bool:
+        if isinstance(n, Paren):
+            return rec(n.inner)
+        if isinstance(n, BinOp) and n.op in ("and", "or"):
+            return rec(n.left) and rec(n.right)
+        if isinstance(n, Exists):
+            ch = _channel_from_exists(n, text, columns_of, types_of)
+        elif isinstance(n, InSubquery):
+            ch = _channel_from_in(n, text, columns_of, types_of)
         else:
-            out.append(c if depth == 0 else " ")
-    return "".join(out)
+            return False
+        if ch is None:
+            return False
+        chans.append(ch)
+        return True
 
-
-def _scan_close(masked: str, open_paren: int) -> int | None:
-    depth, i, n = 0, open_paren, len(masked)
-    while i < n:
-        if masked[i] == "(":
-            depth += 1
-        elif masked[i] == ")":
-            depth -= 1
-            if depth == 0:
-                return i
-        i += 1
-    return None
+    if not rec(conj):
+        return None
+    chans.sort(key=lambda c: c["start"])
+    return chans
 
 
 def channel_exists_to_union_flags(
@@ -545,146 +464,60 @@ def channel_exists_to_union_flags(
 ) -> str | None:
     """Apply rule #2; returns rewritten SQL or None when it does not
     fire. ``types_of(table, col)`` returns the column's type string (or
-    None when unknown) — REQUIRED for multi-table channel groups so
-    UNION ALL cannot silently coerce key types; single-type groups
-    verified the same way."""
-    masked, comments = _mask(text)
-
-    candidates = []
-    for m in _EXISTS_HEAD.finditer(masked):
-        op = masked.index("(", m.end() - 1)
-        close = _scan_close(masked, op)
-        if close is None:
-            continue
-        ch = _parse_exists_channel(
-            text, masked, m.start(), op, close,
-            bool(m.group(1)), columns_of, types_of,
-        )
-        if ch:
-            candidates.append(ch)
-    for m in _IN_HEAD.finditer(masked):
-        # the outer ident must be a real reference, not a keyword — in
-        # `x NOT IN (select ...)` the regex would otherwise capture
-        # 'not' as the ident; NOT IN is untouchable either way (its
-        # NULL semantics don't survive the flag encoding)
-        if m.group(1).lower() in _SQL_WORDS:
-            continue
-        before = masked[:m.start()].rstrip()
-        if re.search(r"\bnot$", before, re.I):
-            continue
-        op = masked.index("(", m.end(1))
-        close = _scan_close(masked, op)
-        if close is None:
-            continue
-        ch = _parse_in_channel(
-            text, masked, m.start(), op, close, m.group(1),
-            columns_of, types_of,
-        )
-        if ch:
-            candidates.append(ch)
-    if len(candidates) < min_count:
+    None when unknown) — REQUIRED so UNION ALL cannot silently coerce
+    key types."""
+    root = _parse(text)
+    if root is None:
         return None
-    candidates.sort(key=lambda c: c["start"])
-    # overlapping candidates (an IN nested in an EXISTS pred can't pass
-    # the gates, but be safe): decline overlaps outright
-    for a, b in zip(candidates, candidates[1:]):
-        if b["start"] < a["end"]:
-            return None
 
-    # cluster into contiguous regions: same outer expr, gaps containing
-    # only AND/OR and parens
-    def gap_ok(g: str) -> bool:
-        toks = re.findall(r"[()]|\b\w+\b", g)
-        return all(t in "()" or t.lower() in ("and", "or") for t in toks)
-
-    clusters: list[list[dict]] = []
-    for ch in candidates:
-        if (clusters and clusters[-1][-1]["outer"] == ch["outer"]
-                and gap_ok(masked[clusters[-1][-1]["end"]:ch["start"]])):
-            clusters[-1].append(ch)
-        else:
-            clusters.append([ch])
-
-    regions = []
-    for cl in clusters:
-        if len(cl) < min_count:
+    regions: list[tuple[int, int, list[dict]]] = []
+    for sel in root.selects():
+        if sel.where is None:
             continue
-        if types_of is None or len({c["type"] for c in cl}) != 1:
-            continue  # key types must be known and identical
-        rs, re_ = cl[0]["start"], cl[-1]["end"]
-        # paren balance across gaps: extend the region over the parens
-        # that open before the first span / close after the last one
-        gaps = "".join(
-            masked[a["end"]:b["start"]] for a, b in zip(cl, cl[1:])
-        )
-        bal = gaps.count("(") - gaps.count(")")
-        if bal > 0:  # trailing ')'s belong to the region
-            i = re_
-            while bal and i < len(masked):
-                if masked[i] == ")":
-                    bal -= 1
-                elif not masked[i].isspace():
-                    break
-                i += 1
-            if bal:
-                continue
-            re_ = i
-        elif bal < 0:  # leading '('s belong to the region
-            i = rs - 1
-            while bal and i >= 0:
-                if masked[i] == "(":
-                    bal += 1
-                elif not masked[i].isspace():
-                    break
-                i -= 1
-            if bal:
-                continue
-            rs = i + 1
-        # absorb matched wrapping parens: `and (e1 or e2)` — the pair
-        # belongs to the region expression, not to its surroundings
-        while True:
-            b = masked[:rs].rstrip()
-            a_idx = re_
-            while a_idx < len(masked) and masked[a_idx].isspace():
-                a_idx += 1
-            if (b.endswith("(") and a_idx < len(masked)
-                    and masked[a_idx] == ")"):
-                rs, re_ = len(b) - 1, a_idx + 1
+        cj = conjuncts(sel.where)
+        # annotate each conjunct: channel list or None
+        runs: list[list[tuple[Node, list[dict]]]] = []
+        cur: list[tuple[Node, list[dict]]] = []
+        for c in cj:
+            chans = _channel_tree(c, text, columns_of, types_of)
+            if chans and (not cur
+                          or cur[-1][1][0]["outer"] == chans[0]["outer"]):
+                # all channels inside one conjunct must share the outer
+                if len({x["outer"] for x in chans}) != 1:
+                    if cur:
+                        runs.append(cur)
+                    cur = []
+                    continue
+                cur.append((c, chans))
             else:
-                break
-        if any(cs < re_ and rs < ce for cs, ce in comments):
-            continue
-        # boundary gate: region must be a top-level conjunct of a WHERE
-        before = masked[:rs].rstrip()
-        if not re.search(r"\b(where|and)$", before, re.I):
-            continue
-        if not _where_scope_ok(masked, rs):
-            continue  # nested under NOT(..)/CASE/ON/HAVING — decline
-        after = masked[re_:].lstrip()
-        if after and not re.match(
-            r"(and\b|group\b|order\b|having\b|limit\b|window\b|union\b"
-            r"|intersect\b|except\b|\)|;)", after, re.I,
-        ):
-            continue
-        # NOT EXISTS present -> need a positive channel that is a
-        # top-level AND conjunct of the region
-        if any(c["negative"] for c in cl):
-            region_m = masked[rs:re_]
-            segs = _split_conjuncts(region_m)
-            if segs is None:
+                if cur:
+                    runs.append(cur)
+                cur = []
+                if chans and len({x["outer"] for x in chans}) == 1:
+                    cur = [(c, chans)]
+        if cur:
+            runs.append(cur)
+        for run in runs:
+            cl = [ch for _, chans in run for ch in chans]
+            if len(cl) < min_count:
                 continue
-            seg_spans = [(rs + s, rs + e) for s, e in segs]
-            anchored = any(
-                not c["negative"] and any(
-                    region_m[s - rs:e - rs].strip()
-                    == masked[c["start"]:c["end"]].strip()
-                    for s, e in seg_spans
+            if types_of is None or len({c["type"] for c in cl}) != 1:
+                continue  # key types must be known and identical
+            rs = run[0][0].start
+            re_ = run[-1][0].end
+            if has_comment(text, rs, re_):
+                continue
+            # NOT EXISTS present -> need a positive channel that is a
+            # whole top-level conjunct of the region
+            if any(c["negative"] for c in cl):
+                anchored = any(
+                    isinstance(c, (Exists, InSubquery))
+                    and not getattr(c, "negated", False)
+                    for c, _ in run
                 )
-                for c in cl
-            )
-            if not anchored:
-                continue
-        regions.append((rs, re_, cl))
+                if not anchored:
+                    continue
+            regions.append((rs, re_, cl))
 
     if not regions:
         return None
@@ -720,10 +553,7 @@ def channel_exists_to_union_flags(
             )
             pos = c["end"]
         combo.append(text[pos:re_])
-        # the outer expression as written in the first channel
-        outer_txt = _outer_as_written(text, masked, cl[0])
-        if outer_txt is None:
-            return None
+        outer_txt = cl[0]["outer_txt"]
         repl = (f"{outer_txt} in (select __key from {cte} "
                 f"where {''.join(combo)})")
         out = out[:rs] + repl + out[re_:]
@@ -735,18 +565,6 @@ def channel_exists_to_union_flags(
     else:
         out = f"with {cte_sql}\n{out}"
     return out
-
-
-def _outer_as_written(text, masked, ch) -> str | None:
-    """Recover the outer correlation expression exactly as written in
-    channel ``ch`` (qualified or bare), from the original text."""
-    span_m = masked[ch["start"]:ch["end"]]
-    span_t = text[ch["start"]:ch["end"]]
-    want = ch["outer"]
-    for m in re.finditer(r"\b[A-Za-z_][\w.]*\b", span_m):
-        if re.sub(r"\s+", "", m.group(0).lower()) == want:
-            return span_t[m.start():m.end()]
-    return None
 
 
 # ======================================================================
@@ -782,165 +600,78 @@ def _outer_as_written(text, masked, ch) -> str | None:
 # shuffles of the tuple; the rewrite is ONE shuffle of the unioned
 # arms on the tuple key.
 #
-# Recognition gates: every op of a chain at one paren level, same op
-# kind, no ALL; the enclosing paren group must contain EXACTLY the
-# chain; each arm is SELECT [DISTINCT] <plain cols with optional
-# aliases> FROM <bare tables with optional aliases, schemas known>
+# Recognition gates: a maximal same-kind, non-ALL set-op tree whose
+# parent is a plain query slot (no CTEs/ORDER BY/LIMIT attached);
+# each arm is SELECT [DISTINCT] <plain cols with optional aliases>
+# FROM <bare tables with optional aliases, schemas known>
 # [WHERE <flat local conjuncts>]; equal column counts; per-position
 # key types equal across arms (``types_of``).
 
-_SETOP = re.compile(r"\b(intersect|except)\b(\s+all\b)?", re.I)
-_TABLE_REF = re.compile(r"^([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?$",
-                        re.I)
-_COL_REF = re.compile(
-    r"^([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?$",
-    re.I,
-)
 
-
-def _depth_split(s: str) -> list[tuple[int, int]]:
-    """Spans between depth-0 commas."""
-    spans, depth, start = [], 0, 0
-    for m in re.finditer(r"[(),]", s):
-        c = m.group(0)
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif depth == 0:
-            spans.append((start, m.start()))
-            start = m.end()
-    spans.append((start, len(s)))
-    return spans
-
-
-def _enclosing_group(masked: str, pos: int) -> tuple[int, int]:
-    """Bounds (exclusive of the parens) of the innermost paren group
-    containing pos, or the whole string."""
-    depth = 0
-    gs = 0
-    for i in range(pos - 1, -1, -1):
-        c = masked[i]
-        if c == ")":
-            depth += 1
-        elif c == "(":
-            if depth == 0:
-                gs = i + 1
-                break
-            depth -= 1
-    else:
-        gs = 0
-    depth = 0
-    ge = len(masked)
-    for i in range(pos, len(masked)):
-        c = masked[i]
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            if depth == 0:
-                ge = i
-                break
-            depth -= 1
-    return gs, ge
-
-
-def _parse_setop_arm(text, masked, s, e, columns_of, types_of):
-    """Parse one arm [s, e): returns dict or None. Unwraps a fully
-    parenthesized arm first."""
-    seg_m = masked[s:e]
-    # unwrap (arm)
-    st = seg_m.strip()
-    while st.startswith("(") and st.endswith(")"):
-        inner_s = s + seg_m.index("(") + 1
-        inner_e = s + seg_m.rindex(")")
-        # the wrapping parens must match each other
-        if _scan_close(masked, s + seg_m.index("(")) != inner_e:
-            break
-        s, e = inner_s, inner_e
-        seg_m = masked[s:e]
-        st = seg_m.strip()
-    m = re.match(r"^\s*select\s+(distinct\s+)?", seg_m, re.I)
-    if m is None:
+def _parse_setop_arm(arm: Node, text: str, columns_of,
+                     types_of) -> dict | None:
+    """Validate one arm; returns dict or None. Unwraps a paren-wrapped
+    Query arm first."""
+    if isinstance(arm, Query):
+        if arm.ctes or arm.order_by or arm.limit is not None:
+            return None
+        arm = arm.body
+        if isinstance(arm, Query):  # doubly wrapped parens
+            return _parse_setop_arm(arm, text, columns_of, types_of)
+    if not isinstance(arm, SelectCore):
         return None
-    if re.search(r"\b(group|having|order|limit|union|join)\b", seg_m, re.I):
+    if arm.group_by or arm.having:
         return None
-    fm = re.search(r"\bfrom\b", seg_m, re.I)
-    # the FROM must sit at depth 0 (gate: no parens before it anyway)
-    if fm is None or "(" in seg_m[:fm.start()]:
-        return None
-    collist_m = seg_m[m.end():fm.start()]
-    wm = re.search(r"\bwhere\b", seg_m, re.I)
-    tbl_end = wm.start() if wm else len(seg_m)
-    tables_m = seg_m[fm.end():tbl_end]
-    if "(" in tables_m or ")" in tables_m:
-        return None  # derived tables / subqueries: decline
     amap: dict[str, str] = {}
-    tnames: list[str] = []
-    for ts, te in _depth_split(tables_m):
-        tm = _TABLE_REF.match(tables_m[ts:te].strip())
-        if tm is None:
+    for ref in arm.from_:
+        if not isinstance(ref, TableRef):
             return None
-        name = tm.group(1).lower()
-        if columns_of(name) is None:
+        if columns_of(ref.name) is None:
             return None
-        amap[(tm.group(2) or name).lower()] = name
-        tnames.append(name)
+        amap[ref.alias or ref.name] = ref.name
+    if not amap:
+        return None
 
-    def resolve(ident: str) -> tuple[str, str] | None:
-        if "." in ident:
-            pre, col = ident.lower().split(".", 1)
-            t = amap.get(pre)
-            if t and "." not in col:
+    def resolve(parts: list[str]) -> tuple[str, str] | None:
+        if len(parts) == 2:
+            t = amap.get(parts[0])
+            if t:
                 cols = columns_of(t)
-                if cols and col in {c.lower() for c in cols}:
-                    return t, col
+                if cols and parts[1] in {c.lower() for c in cols}:
+                    return t, parts[1]
             return None
-        low = ident.lower()
-        for t in amap.values():
-            cols = columns_of(t)
-            if cols and low in {c.lower() for c in cols}:
-                return t, low
+        if len(parts) == 1:
+            for t in amap.values():
+                cols = columns_of(t)
+                if cols and parts[0] in {c.lower() for c in cols}:
+                    return t, parts[0]
         return None
 
     cols: list[dict] = []
-    for cs, ce in _depth_split(collist_m):
-        raw_m = collist_m[cs:ce].strip()
-        cm = _COL_REF.match(raw_m)
-        if cm is None or cm.group(1).lower() in _SQL_WORDS:
+    for item in arm.items:
+        e = item.expr
+        if not isinstance(e, Ident) or len(e.parts) > 2:
             return None
-        r = resolve(cm.group(1))
+        r = resolve(e.parts)
         if r is None:
             return None
         typ = types_of(r[0], r[1]) if types_of else None
         if types_of and typ is None:
             return None
         cols.append({
-            "expr": cm.group(1),
-            "name": (cm.group(2) or cm.group(1).split(".")[-1]).lower(),
+            "expr": e.text(text),
+            "name": item.alias or e.parts[-1],
             "type": typ,
         })
     local = ""
-    if wm:
-        conj_m = seg_m[wm.end():]
-        spans = _split_conjuncts(conj_m)
-        if spans is None:
+    if arm.where is not None:
+        if not _flat_local(arm.where,
+                           lambda p: resolve(p) and resolve(p)[0]):
             return None
-        for ps, pe in spans:
-            seg = conj_m[ps:pe]
-            if "(" in seg or ")" in seg or re.search(r"\bselect\b", seg,
-                                                     re.I):
-                return None
-            for ident in re.finditer(r"\b[A-Za-z_][\w.]*\b", seg):
-                w = ident.group(0)
-                if (w.lower() in _SQL_WORDS
-                        or w.replace(".", "").isdigit()):
-                    continue
-                if resolve(w) is None:
-                    return None
-        local = text[s + wm.end():e].strip()
+        local = arm.where.text(text).strip()
     return {
-        "start": s, "end": e, "cols": cols,
-        "tables": text[s + fm.end():s + tbl_end].strip(),
+        "start": arm.start, "end": arm.end, "cols": cols,
+        "tables": text[arm.from_[0].start:arm.from_[-1].end],
         "local": local,
     }
 
@@ -955,39 +686,52 @@ def setop_chain_to_union_flags(
     UNION cannot coerce)."""
     if types_of is None:
         return None
-    masked, comments = _mask(text)
-    # group set-op tokens by their enclosing paren group
-    groups: dict[tuple[int, int], list] = {}
-    for m in _SETOP.finditer(masked):
-        g = _enclosing_group(masked, m.start())
-        groups.setdefault(g, []).append(m)
+    root = _parse(text)
+    if root is None:
+        return None
+    pm = parent_map(root)
     repl: list[tuple[int, int, str]] = []
-    for (gs, ge), ops in sorted(groups.items()):
-        kinds = {m.group(1).lower() for m in ops}
-        if len(kinds) != 1 or any(m.group(2) for m in ops):
-            continue  # mixed-op chains / ALL variants: decline
-        kind = kinds.pop()
-        # ops must be at depth 0 within the group
-        ok = True
-        for m in ops:
-            seg = masked[gs:m.start()]
-            if seg.count("(") != seg.count(")"):
-                ok = False
-                break
-        if not ok:
+    for node in root.walk():
+        if not isinstance(node, SetOp):
             continue
-        if any(cs < ge and gs < ce for cs, ce in comments):
+        parent = pm.get(id(node))
+        if isinstance(parent, SetOp):
+            continue  # not the root of its chain
+        # the chain must own its query slot outright — no ORDER BY /
+        # LIMIT / CTEs attached to the enclosing Query (the replacement
+        # is a plain SELECT; stay conservative, like the regex version)
+        if not isinstance(parent, Query):
             continue
-        bounds = [gs] + [x for m in ops for x in (m.start(), m.end())] + [ge]
+        if parent.ctes or parent.order_by or parent.limit is not None:
+            continue
+        kind = node.kind
+
+        def flat(n: Node) -> list[Node] | None:
+            if isinstance(n, SetOp):
+                if n.kind != kind or n.all:
+                    return None
+                lt = flat(n.left)
+                rt = flat(n.right)
+                if lt is None or rt is None:
+                    return None
+                return lt + rt
+            return [n]
+
+        if kind not in ("intersect", "except"):
+            continue
+        arm_nodes = flat(node)
+        if arm_nodes is None or len(arm_nodes) < 2:
+            continue
+        if has_comment(text, node.start, node.end):
+            continue
         arms = []
-        for i in range(0, len(bounds), 2):
-            a = _parse_setop_arm(text, masked, bounds[i], bounds[i + 1],
-                                 columns_of, types_of)
-            if a is None:
+        for a in arm_nodes:
+            p = _parse_setop_arm(a, text, columns_of, types_of)
+            if p is None:
                 arms = None
                 break
-            arms.append(a)
-        if not arms or len(arms) < 2:
+            arms.append(p)
+        if not arms:
             continue
         ncol = len(arms[0]["cols"])
         if any(len(a["cols"]) != ncol for a in arms):
@@ -996,12 +740,6 @@ def setop_chain_to_union_flags(
             len({a["cols"][i]["type"] for a in arms}) != 1
             for i in range(ncol)
         ):
-            continue
-        # arm 0 must start at the group start and the last arm end at
-        # the group end (the group contains EXACTLY the chain)
-        if masked[gs:arms[0]["start"]].strip() not in ("", "("):
-            continue
-        if masked[arms[-1]["end"]:ge].strip() not in ("", ")"):
             continue
         keys = ", ".join(f"__c{i}" for i in range(ncol))
         tagged = []
@@ -1026,7 +764,7 @@ def setop_chain_to_union_flags(
             f"__c{i} as {c['name']}" for i, c in enumerate(arms[0]["cols"])
         )
         repl.append((
-            gs, ge,
+            node.start, node.end,
             f"select {names} from (\n"
             f" select {keys}, {flags}\n from ("
             + "\n union all ".join(tagged)
@@ -1058,11 +796,12 @@ def setop_chain_to_union_flags(
 # "the order has another row in a different warehouse"). Why it is
 # sound (requires that the OUTER row is itself a row of T, which the
 # gate proves by finding `T [as] t1` as a bare ref in the enclosing
-# FROM):
+# SelectCore's FROM — structural on the AST, so a `fact t1` inside a
+# derived-table body can no longer satisfy it, ADVICE r10):
 #   * E(x) = exists r in T with r.k = x.k and r.w <> x.w. For x.k or
 #     x.w NULL, both comparisons fail: E = FALSE. The replacement then
 #     reads FALSE/NULL — indistinguishable at the WHERE-conjunct
-#     position the boundary gate enforces (same argument as rule #2).
+#     position the placement gate enforces (same argument as rule #2).
 #   * For non-null x.k, x.w: x's own w is one of group k's non-null
 #     values, so "exists a different non-null w" <=> the group has >= 2
 #     distinct non-null w <=> min(w) <> max(w) (min/max ignore NULLs).
@@ -1083,19 +822,8 @@ def setop_chain_to_union_flags(
 # conjuncts — one equality, one inequality (<> or !=), each comparing
 # t2.<col> against <outer_alias>.<SAME col>; one shared outer alias;
 # T's schema known and both columns in it; `T [AS] <outer_alias>`
-# present as a bare comma-ref in the FROM clause that owns the WHERE
-# containing the EXISTS; positive, top-level-conjunct placement.
-
-_SELF_EXISTS = re.compile(r"(\bnot\s+)?\bexists\s*\(", re.I)
-_SELF_INNER = re.compile(
-    r"^\s*select\s+(?:\*|1)\s+from\s+([A-Za-z_]\w*)"
-    r"(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s+where\s+(.*)$",
-    re.I | re.S,
-)
-_CMP = re.compile(
-    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(=|<>|!=)\s*"
-    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
-)
+# present as a bare ref in the FROM of the SelectCore whose WHERE
+# holds the EXISTS as a top-level conjunct; positive placement only.
 
 
 def self_exists_distinct_to_groupwise(
@@ -1103,132 +831,421 @@ def self_exists_distinct_to_groupwise(
     columns_of: Callable[[str], set[str] | None],
 ) -> str | None:
     """Apply rule #4; returns rewritten SQL or None."""
-    masked, comments = _mask(text)
+    root = _parse(text)
+    if root is None:
+        return None
     repl: list[tuple[int, int, str]] = []
-    for m in _SELF_EXISTS.finditer(masked):
-        if m.group(1):
-            continue  # NOT EXISTS: out of scope (see soundness note)
-        op = masked.index("(", m.end() - 1)
-        close = _scan_close(masked, op)
-        if close is None:
+    for sel in root.selects():
+        if sel.where is None:
             continue
-        start, end = m.start(), close + 1
-        if any(cs < end and start < ce for cs, ce in comments):
-            continue
-        im = _SELF_INNER.match(masked[op + 1:close])
-        if im is None:
-            continue
-        table = im.group(1).lower()
-        t2 = (im.group(2) or table).lower()
-        cols = columns_of(table)
-        if cols is None:
-            continue
-        cols = {c.lower() for c in cols}
-        spans = _split_conjuncts(im.group(3))
-        if spans is None or len(spans) != 2:
-            continue
-        conj_off = op + 1 + im.start(3)
-        eq = ineq = None
-        outer_alias = None
-        ok = True
-        for s, e in spans:
-            cm = _CMP.match(masked[conj_off + s:conj_off + e])
-            if cm is None:
-                ok = False
-                break
-            a_al, a_col, o, b_al, b_col = (
-                cm.group(1).lower(), cm.group(2).lower(), cm.group(3),
-                cm.group(4).lower(), cm.group(5).lower(),
-            )
-            if a_col != b_col or a_col not in cols:
-                ok = False
-                break
-            aliases = {a_al, b_al}
-            if t2 not in aliases or len(aliases) != 2:
-                ok = False
-                break
-            other = (aliases - {t2}).pop()
-            if outer_alias is None:
-                outer_alias = other
-            elif outer_alias != other:
-                ok = False
-                break
-            if o == "=":
-                if eq is not None:
+        from_tables = sel.from_tables()
+        for conj in conjuncts(sel.where):
+            if not isinstance(conj, Exists) or conj.negated:
+                continue
+            q = conj.query
+            if q.ctes or q.order_by or q.limit is not None:
+                continue
+            inner = q.body
+            if not isinstance(inner, SelectCore) or inner.distinct:
+                continue
+            if inner.group_by or inner.having or inner.where is None:
+                continue
+            if len(inner.items) != 1 or inner.items[0].alias is not None:
+                continue
+            it = inner.items[0].expr
+            if not (isinstance(it, Star)
+                    or (isinstance(it, Literal) and it.val == "1")):
+                continue
+            if len(inner.from_) != 1:
+                continue
+            ref = inner.from_[0]
+            if not isinstance(ref, TableRef):
+                continue
+            table = ref.name
+            t2 = ref.alias or table
+            cols = columns_of(table)
+            if cols is None:
+                continue
+            cols = {c.lower() for c in cols}
+            cjs = conjuncts(inner.where)
+            if len(cjs) != 2:
+                continue
+            eq = ineq = None
+            outer_alias = None
+            ok = True
+            for cmp_ in cjs:
+                if not (isinstance(cmp_, BinOp)
+                        and cmp_.op in ("=", "<>")
+                        and isinstance(cmp_.left, Ident)
+                        and isinstance(cmp_.right, Ident)
+                        and len(cmp_.left.parts) == 2
+                        and len(cmp_.right.parts) == 2):
                     ok = False
                     break
-                eq = a_col
-            else:
-                if ineq is not None:
+                (a_al, a_col) = cmp_.left.parts
+                (b_al, b_col) = cmp_.right.parts
+                if a_col != b_col or a_col not in cols:
                     ok = False
                     break
-                ineq = a_col
-        if not (ok and eq and ineq and outer_alias):
-            continue
-        # placement: positive top-level conjunct of a WHERE
-        before = masked[:start].rstrip()
-        if not re.search(r"\b(where|and)$", before, re.I):
-            continue
-        if not _where_scope_ok(masked, start):
-            continue  # nested under NOT(..)/CASE/ON/HAVING — decline
-        after = masked[end:].lstrip()
-        if after and not re.match(
-            r"(and\b|group\b|order\b|having\b|limit\b|window\b|union\b"
-            r"|intersect\b|except\b|\)|;)", after, re.I,
-        ):
-            continue
-        # the outer alias must be a bare ref of THE SAME TABLE in the
-        # FROM clause owning this WHERE: walk back to the depth-equal
-        # WHERE, then to its FROM, and look for `table [as] alias`
-        depth = 0
-        ws = None
-        for mm in reversed(list(re.finditer(r"[()]|\bwhere\b", masked[:start],
-                                            re.I))):
-            tok = mm.group(0)
-            if tok == ")":
-                depth += 1
-            elif tok == "(":
-                if depth == 0:
-                    break  # left the clause without finding WHERE
-                depth -= 1
-            elif depth == 0:
-                ws = mm.start()
-                break
-        if ws is None:
-            continue
-        depth = 0
-        fs = None
-        for mm in reversed(list(re.finditer(r"[()]|\bfrom\b", masked[:ws],
-                                            re.I))):
-            tok = mm.group(0)
-            if tok == ")":
-                depth += 1
-            elif tok == "(":
-                if depth == 0:
+                aliases = {a_al, b_al}
+                if t2 not in aliases or len(aliases) != 2:
+                    ok = False
                     break
-                depth -= 1
-            elif depth == 0:
-                fs = mm.end()
-                break
-        if fs is None:
-            continue
-        # only TOP-LEVEL refs of this FROM may prove the alias — blank
-        # derived-table bodies first (ADVICE r10: `from (select ... from
-        # fact t1) t1` wrongly satisfied the gate via the nested ref)
-        if not re.search(
-            rf"\b{re.escape(table)}\s+(?:as\s+)?{re.escape(outer_alias)}\b",
-            _blank_nested(masked[fs:ws]), re.I,
-        ):
-            continue
-        repl.append((
-            start, end,
-            f"({outer_alias}.{ineq} is not null and {outer_alias}.{eq} in "
-            f"(select {eq} from {table} where {eq} is not null "
-            f"group by {eq} having min({ineq}) <> max({ineq})))",
-        ))
+                other = (aliases - {t2}).pop()
+                if outer_alias is None:
+                    outer_alias = other
+                elif outer_alias != other:
+                    ok = False
+                    break
+                if cmp_.op == "=":
+                    if eq is not None:
+                        ok = False
+                        break
+                    eq = a_col
+                else:
+                    if ineq is not None:
+                        ok = False
+                        break
+                    ineq = a_col
+            if not (ok and eq and ineq and outer_alias):
+                continue
+            # the outer alias must be a bare ref of THE SAME TABLE in
+            # the FROM of the SelectCore that owns this WHERE
+            if from_tables.get(outer_alias) != table:
+                continue
+            if has_comment(text, conj.start, conj.end):
+                continue
+            repl.append((
+                conj.start, conj.end,
+                f"({outer_alias}.{ineq} is not null and"
+                f" {outer_alias}.{eq} in "
+                f"(select {eq} from {table} where {eq} is not null "
+                f"group by {eq} having min({ineq}) <> max({ineq})))",
+            ))
     if not repl:
         return None
     out = text
     for s, e, r in sorted(repl, reverse=True):
         out = out[:s] + r + out[e:]
+    return out
+
+
+# ======================================================================
+# Rule #5 (r11): pre-aggregate before a ROLLUP Expand
+# ======================================================================
+#
+#   select k1, k2, sum(x), avg(y), count(*) from f, d where p
+#   group by rollup(k1, k2)
+#       ==>
+#   with __rollup_base_0 as (
+#     select k1, k2, sum(x) __p0, sum(y) __p1s, count(y) __p1c,
+#            count(*) __p2
+#     from f, d where p group by k1, k2)
+#   select k1, k2, cast(sum(__p0) as T_sum), cast(sum(__p1s)/sum(__p1c)
+#          as T_avg), cast(sum(__p2) as bigint)
+#   from __rollup_base_0 group by rollup(k1, k2)
+#
+# Promoted from the q67 (r8) / q36/q70/q86/q22 (r9) hand rewrites —
+# VERDICT r10 task #5. ROLLUP/CUBE plan through an Expand that
+# duplicates EVERY input row once per grouping set; grouping FIRST on
+# the base keys runs the Expand over |groups| (bounded by the dimension
+# domain) instead of |rows| (grows with data volume) — at 100 TB the
+# difference between re-shuffling the fact k times and re-shuffling a
+# dimension-bounded aggregate. The reference's planner does this as
+# DecomposeGroupingSetsRule + partial aggregate pushdown
+# (FlinkStreamRuleSets.scala:280); Catalyst does not, so the engine
+# rewrites the SQL. Measured on the hand family at sf10: q36 -30%,
+# q70 -37%, q86 -15%, q22 -10%, q67 -51%.
+#
+# Why it is sound (the r9-proven decompositions):
+#   * GROUP BY and ROLLUP share null-safe key equality, so the base
+#     groups partition exactly the rows each rollup cell aggregates;
+#     re-aggregating partials per cell is the standard partial/final
+#     split: sum = sum of sums, count = sum of counts, min/max =
+#     min/max of min/maxs, avg = sum of sums / sum of counts.
+#   * Empty-input cells cannot arise (every base row exists); per-group
+#     all-NULL inputs yield NULL partials which the outer sum/min/max
+#     ignore — matching the verbatim aggregate over the same rows.
+#   * Result TYPES are restored by casting each outer re-aggregate to
+#     the verbatim aggregate's Spark type (sum over decimal(p,s) =
+#     decimal(p+10,s); avg = decimal(p+4,s+4); sum over integral =
+#     bigint; count = bigint) — the q28-proven trick, so the rewritten
+#     schema is indistinguishable.
+#   * grouping(key) and rank() OVER read the OUTER rollup's grouping
+#     state, which is untouched; aggregate calls inside window specs
+#     are span-replaced like any other call site.
+#
+# Recognition gates (decline on any doubt):
+#   * exactly one grouping element, kind ROLLUP, all keys bare
+#     single-part identifiers resolving to the FROM tables;
+#   * FROM is bare tables (aliases fine, schemas known), no HAVING,
+#     no DISTINCT, WHERE (if any) flat-local so it lifts verbatim
+#     into the base CTE (a subquery/function there → decline — this
+#     keeps the rule off TPC-DS q18, the family's measured LOSS, and
+#     off q5/q77/q80 whose rollups sit over derived tables);
+#   * every aggregate is SUM/COUNT/MIN/MAX/AVG, non-DISTINCT, with a
+#     liftable argument; SUM/AVG args must have a resolvable numeric
+#     type (bare column via ``types_of``, or CAST(.. AS numeric));
+#   * outside aggregate arguments, expressions may reference only
+#     rollup keys, item aliases (ORDER BY), GROUPING(key), literals,
+#     and window specs built from the same.
+
+_ROLLUP_AGGS = {"sum", "count", "min", "max", "avg"}
+
+
+def _num_type(type_str: str | None):
+    """Normalize a type string (Arrow ``decimal128(7, 2)`` / Spark
+    ``decimal(7,2)`` / ``int64`` / ``bigint`` ...) to ("decimal", p, s)
+    | ("int",) | ("double",) | None."""
+    if not type_str:
+        return None
+    t = type_str.strip().lower()
+    m = re.match(r"decimal(?:128|256)?\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return ("decimal", int(m.group(1)), int(m.group(2)))
+    if t in ("int8", "int16", "int32", "int64", "uint8", "uint16",
+             "uint32", "uint64", "tinyint", "smallint", "int",
+             "integer", "bigint", "long", "short", "byte"):
+        return ("int",)
+    if t in ("float", "double", "float32", "float64", "real", "halffloat"):
+        return ("double",)
+    return None
+
+
+def _sum_result_type(nt) -> str | None:
+    if nt is None:
+        return None
+    if nt[0] == "decimal":
+        return f"decimal({min(38, nt[1] + 10)},{nt[2]})"
+    if nt[0] == "int":
+        return "bigint"
+    return "double"
+
+
+def _avg_result_type(nt) -> str | None:
+    if nt is None:
+        return None
+    if nt[0] == "decimal":
+        return f"decimal({min(38, nt[1] + 4)},{min(38, nt[2] + 4)})"
+    return "double"
+
+
+def _agg_arg_type(arg, resolve_type) -> str | None:
+    """Type of a SUM/AVG argument: a bare column (via the caller's
+    types_of) or a CAST target; None when underivable."""
+    from flink_spark.sqlast import Cast as _Cast
+
+    if isinstance(arg, Ident):
+        return resolve_type(arg.parts)
+    if isinstance(arg, _Cast):
+        return arg.type_text
+    return None
+
+
+def preagg_before_rollup(
+    text: str,
+    columns_of: Callable[[str], set[str] | None],
+    types_of: Callable[[str, str], str | None] | None = None,
+) -> str | None:
+    """Apply rule #5; returns rewritten SQL or None. ``types_of`` is
+    required (SUM/AVG result types cannot be restored without the
+    argument's type)."""
+    from flink_spark.sqlast import Cast as _Cast
+    from flink_spark.sqlast import OrderItem as _OrderItem
+    from flink_spark.sqlast import _children
+
+    if types_of is None:
+        return None
+    root = _parse(text)
+    if root is None:
+        return None
+    pm = parent_map(root)
+
+    edits: list[tuple[int, int, str]] = []
+    ctes: list[str] = []
+    for sel in root.selects():
+        if sel.distinct or sel.having is not None:
+            continue
+        if len(sel.group_by) != 1 or sel.group_by[0].kind != "rollup":
+            continue
+        keys_nodes = sel.group_by[0].exprs
+        if not keys_nodes or not all(
+            isinstance(k, Ident) and len(k.parts) == 1
+            for k in keys_nodes
+        ):
+            continue
+        keys = [k.parts[0] for k in keys_nodes]
+        amap: dict[str, str] = {}
+        ok = bool(sel.from_)
+        for ref in sel.from_:
+            if not isinstance(ref, TableRef) or columns_of(ref.name) is None:
+                ok = False
+                break
+            amap[ref.alias or ref.name] = ref.name
+        if not ok:
+            continue
+
+        def resolve(parts: list[str]) -> str | None:
+            if len(parts) == 2:
+                t = amap.get(parts[0])
+                if t:
+                    cols = columns_of(t)
+                    if cols and parts[1] in {c.lower() for c in cols}:
+                        return t
+                return None
+            if len(parts) == 1:
+                for t in amap.values():
+                    cols = columns_of(t)
+                    if cols and parts[0] in {c.lower() for c in cols}:
+                        return t
+            return None
+
+        def resolve_type(parts: list[str]) -> str | None:
+            t = resolve(parts)
+            return types_of(t, parts[-1]) if t else None
+
+        if not all(resolve([k]) for k in keys):
+            continue
+        if sel.where is not None and not _flat_local(sel.where, resolve):
+            continue
+
+        # --- collect aggregate call sites; validate everything else ---
+        aggs: list[dict] = []
+        item_aliases = {i.alias for i in sel.items if i.alias}
+
+        def lift_ok(node) -> bool:
+            """Argument safe to lift verbatim into the base CTE."""
+            for n in node.walk():
+                if isinstance(n, _Cast):
+                    continue
+                if isinstance(n, Star):
+                    continue
+                if not isinstance(n, _FLAT_OK):
+                    return False
+                if isinstance(n, Ident) and resolve(n.parts) is None:
+                    return False
+            return True
+
+        def visit(node, allow_alias: bool) -> bool:
+            if isinstance(node, FuncCall):
+                if (node.name in _ROLLUP_AGGS and node.over is None
+                        and not node.distinct):
+                    if node.star:
+                        if node.name != "count":
+                            return False
+                        arg_txt = "*"
+                        arg = None
+                    elif len(node.args) == 1 and lift_ok(node.args[0]):
+                        arg = node.args[0]
+                        arg_txt = arg.text(text)
+                    else:
+                        return False
+                    if node.name in ("sum", "avg"):
+                        nt = _num_type(_agg_arg_type(arg, resolve_type))
+                        if nt is None:
+                            return False
+                        rt = (_sum_result_type(nt) if node.name == "sum"
+                              else _avg_result_type(nt))
+                    else:
+                        rt = None
+                    aggs.append({
+                        "start": node.start, "end": node.end,
+                        "name": node.name, "arg": arg_txt, "type": rt,
+                    })
+                    return True
+                if node.name == "grouping":
+                    return all(
+                        isinstance(a, Ident) and len(a.parts) == 1
+                        and a.parts[0] in keys for a in node.args
+                    )
+                if node.distinct or node.star:
+                    return False
+                kids_ok = all(visit(a, allow_alias) for a in node.args)
+                if node.over is not None:
+                    kids_ok = kids_ok and all(
+                        visit(p, allow_alias)
+                        for p in node.over.partition_by
+                    ) and all(
+                        visit(o, allow_alias) for o in node.over.order_by
+                    )
+                return kids_ok
+            if isinstance(node, _OrderItem):
+                return visit(node.expr, allow_alias)
+            if isinstance(node, Ident):
+                if len(node.parts) != 1:
+                    return False
+                return (node.parts[0] in keys
+                        or (allow_alias and node.parts[0] in item_aliases))
+            if isinstance(node, Literal):
+                return True
+            if isinstance(node, (BinOp, UnaryOp, Paren, IsNull, Between,
+                                 Case, _Cast, InList)):
+                return all(visit(c, allow_alias) for c in _children(node))
+            return False
+
+        if not all(visit(i.expr, False) for i in sel.items):
+            continue
+        parent = pm.get(id(sel))
+        order_items = (parent.order_by
+                       if isinstance(parent, Query) else [])
+        if not all(visit(o, True) for o in order_items):
+            continue
+        if not aggs:
+            continue
+        if has_comment(text, sel.start,
+                       order_items[-1].end if order_items else sel.end):
+            continue
+
+        # --- emission ---
+        idx = len(ctes)
+        cte = f"__rollup_base_{idx}"
+        partials: dict[tuple[str, str], dict] = {}
+        local_edits: list[tuple[int, int, str]] = []
+        for a in aggs:
+            pk = (a["name"], re.sub(r"\s+", " ", a["arg"]))
+            if pk not in partials:
+                k = len(partials)
+                if a["name"] == "avg":
+                    base = (f"sum({a['arg']}) __p{k}s, "
+                            f"count({a['arg']}) __p{k}c")
+                    outer = (f"cast(sum(__p{k}s)/sum(__p{k}c)"
+                             f" as {a['type']})")
+                elif a["name"] == "sum":
+                    base = f"sum({a['arg']}) __p{k}"
+                    outer = f"cast(sum(__p{k}) as {a['type']})"
+                elif a["name"] == "count":
+                    base = f"count({a['arg']}) __p{k}"
+                    outer = f"cast(sum(__p{k}) as bigint)"
+                else:  # min / max
+                    base = f"{a['name']}({a['arg']}) __p{k}"
+                    outer = f"{a['name']}(__p{k})"
+                partials[pk] = {"base": base, "outer": outer}
+            local_edits.append(
+                (a["start"], a["end"], partials[pk]["outer"])
+            )
+        base_cols = ", ".join(p["base"] for p in partials.values())
+        from_txt = text[sel.from_[0].start:sel.from_[-1].end]
+        w = (f" where {sel.where.text(text).strip()}"
+             if sel.where is not None else "")
+        ctes.append(
+            f"{cte} as (select {', '.join(keys)}, {base_cols}\n"
+            f" from {from_txt}{w}\n group by {', '.join(keys)})"
+        )
+        # swap the FROM (+WHERE) for the base CTE
+        fw_end = (sel.where.end if sel.where is not None
+                  else sel.from_[-1].end)
+        local_edits.append((sel.from_[0].start, fw_end, cte))
+        edits.extend(local_edits)
+
+    if not ctes:
+        return None
+    out = text
+    for s, e, r in sorted(edits, reverse=True):
+        out = out[:s] + r + out[e:]
+    cte_sql = ", ".join(ctes)
+    m = re.match(r"^\s*with\b", out, re.I)
+    if m:
+        out = out[:m.end()] + " " + cte_sql + "," + out[m.end():]
+    else:
+        out = f"with {cte_sql}\n{out}"
     return out

@@ -41,6 +41,22 @@ class ParseError(Exception):
     pass
 
 
+def _children(node: "Node") -> list["Node"]:
+    """Direct child nodes, descending through list and tuple fields
+    (Case.whens is a list of (cond, value) tuples)."""
+    kids: list[Node] = []
+    for f in vars(node).values():
+        if isinstance(f, Node):
+            kids.append(f)
+        elif isinstance(f, (list, tuple)):
+            for x in f:
+                if isinstance(x, Node):
+                    kids.append(x)
+                elif isinstance(x, tuple):
+                    kids.extend(y for y in x if isinstance(y, Node))
+    return kids
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -119,11 +135,7 @@ class Node:
         while stack:
             node = stack.pop()
             yield node
-            for f in vars(node).values():
-                if isinstance(f, Node):
-                    stack.append(f)
-                elif isinstance(f, list):
-                    stack.extend(x for x in f if isinstance(x, Node))
+            stack.extend(_children(node))
 
 
 # --- expressions ---
@@ -554,8 +566,12 @@ class _Parser:
             a = self.next()
             alias, end = a.val, a.end
         elif self.peek().kind in ("ident", "qid") and not self._alias_stop():
-            a = self.next()
-            alias, end = a.val.strip('"`'), a.end
+            # `lateral view ...` is a clause, not an alias
+            if not (self.peek().val == "lateral"
+                    and self.peek(1).kind == "ident"
+                    and self.peek(1).val == "view"):
+                a = self.next()
+                alias, end = a.val.strip('"`'), a.end
         ref: Node = TableRef(t.start, end, name, alias)
         # Spark's LATERAL VIEW (used by the engine's own q2 rewrite):
         # attach as an opaque derived marker so parses don't fail
@@ -955,6 +971,29 @@ def parse(text: str) -> Query:
 # ---------------------------------------------------------------------------
 # Shared analysis helpers the rewrite rules build on
 # ---------------------------------------------------------------------------
+
+
+_COMMENT_RE = re.compile(r"'(?:[^']|'')*'|(--[^\n]*|/\*.*?\*/)", re.S)
+
+
+def has_comment(src: str, start: int, end: int) -> bool:
+    """True when src[start:end] contains a SQL comment outside string
+    literals — a lifted span that re-embeds into generated SQL could
+    have its surrounding syntax swallowed by a trailing ``--``."""
+    return any(m.group(1) for m in _COMMENT_RE.finditer(src, start, end)
+               if m.start() < end and m.end() <= end)
+
+
+def parent_map(root: Node) -> dict[int, Node]:
+    """id(child) -> parent for every node under root."""
+    out: dict[int, Node] = {}
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        for k in _children(node):
+            out[id(k)] = node
+            stack.append(k)
+    return out
 
 
 def conjuncts(expr: Node | None) -> list[Node]:
