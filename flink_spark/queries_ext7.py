@@ -303,3 +303,71 @@ def opt_rule_self_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert rewritten is not None, "self-exists rule failed to fire"
     return spark.sql(rewritten)
+
+
+@query(
+    "opt_rule_rollup_preagg",
+    r"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           avg(l_extendedprice) AS avg_price,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_discount) AS min_disc,
+           grouping(l_returnflag) + grouping(l_linestatus) AS lvl,
+           rank() OVER (PARTITION BY grouping(l_returnflag)
+                                     + grouping(l_linestatus)
+                        ORDER BY sum(l_quantity) DESC) AS rk
+    FROM lineitem
+    WHERE l_quantity < 49
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY lvl DESC, l_returnflag, l_linestatus
+    """,
+)
+def opt_rule_rollup_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-level optimizer rule #5 (r11, VERDICT r10 task #5): the
+    pre-aggregate-before-ROLLUP rule (rewrite_rules.preagg_before_rollup
+    — the TPC-DS q67/q36/q70/q86/q22 hand-rewrite mechanism promoted to
+    a shape recognizer on the AST substrate; fires on the q22/q86
+    verbatim texts) firing on a query the rewrite tables never named.
+    ROLLUP plans through an Expand that duplicates EVERY input row once
+    per grouping set; grouping FIRST on (l_returnflag, l_linestatus)
+    runs the Expand over the handful of base groups instead of the
+    fact — at 100 TB, a dimension-bounded aggregate re-shuffle instead
+    of k fact re-shuffles. The entry covers the full decomposition
+    surface in one shape: sum and avg (sum/count split with result-type
+    restoration), count(*), min, GROUPING() passthrough, and an
+    aggregate inside a window spec (rank over sum). Oracle runs the
+    ORIGINAL text; test_plans.py pins Expand-child-is-aggregate.
+    Reference analog: DecomposeGroupingSetsRule + partial-agg pushdown
+    (FlinkStreamRuleSets.scala:280)."""
+    from flink_spark.catalog import Catalog
+    from flink_spark.rewrite_rules import preagg_before_rollup
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    li.createOrReplaceTempView("rp_lineitem")
+    sql = """
+    select l_returnflag, l_linestatus,
+           sum(l_quantity) as sum_qty,
+           avg(l_extendedprice) as avg_price,
+           cast(count(*) as bigint) as n_rows,
+           min(l_discount) as min_disc,
+           grouping(l_returnflag) + grouping(l_linestatus) as lvl,
+           rank() over (partition by grouping(l_returnflag)
+                                     + grouping(l_linestatus)
+                        order by sum(l_quantity) desc) as rk
+    from rp_lineitem
+    where l_quantity < 49
+    group by rollup(l_returnflag, l_linestatus)
+    order by lvl desc, l_returnflag, l_linestatus
+    """
+    cols = {"rp_lineitem": {c.lower() for c in li.columns}}
+    types = {"rp_lineitem": {f.name.lower(): f.dataType.simpleString()
+                             for f in li.schema.fields}}
+    rewritten = preagg_before_rollup(
+        sql, lambda t: cols.get(t),
+        lambda t, c: types.get(t, {}).get(c),
+    )
+    assert rewritten is not None, "rollup pre-agg rule failed to fire"
+    assert "__rollup_base_0" in rewritten
+    return spark.sql(rewritten)

@@ -416,6 +416,7 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         # every pytest run still oracle-checks all 103 either way.
         from flink_spark.rewrite_rules import (
             channel_exists_to_union_flags,
+            preagg_before_rollup,
             scalar_subqueries_to_conditional_agg,
             self_exists_distinct_to_groupwise,
             setop_chain_to_union_flags,
@@ -449,6 +450,16 @@ def _run_real(spark: SparkSession, sf_dir: str, qid: str) -> DataFrame:
         auto4 = self_exists_distinct_to_groupwise(text, _table_columns)
         if auto4 is not None:
             text = auto4
+        # r11: rule #5 (pre-agg before the ROLLUP Expand). Fires on the
+        # q22/q86 verbatim shapes — both hand-rewritten (the r9 family);
+        # q18 (the family's measured LOSS) and the derived-table rollups
+        # (q5/q77/q80) are declined by the flat-WHERE / bare-FROM gates,
+        # so none of the unrewritten 103 match (audited r11).
+        auto5 = preagg_before_rollup(
+            text, _table_columns, _table_column_type
+        )
+        if auto5 is not None:
+            text = auto5
     try:
         text = _materialize_ctes(spark, qid, text)
         df = spark.sql(text)

@@ -784,6 +784,81 @@ def test_self_exists_rule_plan_and_gates(spark):
              "where t1.k = t2.k and t1.w <> t2.w)) s", look) is not None
 
 
+def test_rollup_preagg_rule_plan_and_gates(spark):
+    """Rule #5 (r11, rewrite_rules.preagg_before_rollup): the demo must
+    plan the ROLLUP Expand over the PRE-AGGREGATED base — the plan's
+    Expand input subtree contains an aggregate (two HashAggregate
+    layers total: base group-by below the Expand, rollup re-agg above)
+    — and the recognizer's gates decline every unsafe variant."""
+    import re
+
+    from flink_spark.rewrite_rules import preagg_before_rollup as R
+
+    df = Q.QUERIES["opt_rule_rollup_preagg"](spark, SF_DIR)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"\bExpand\b", ep)
+    assert m, ep
+    # below the Expand there must be another aggregate (the base CTE's
+    # group-by) — i.e. Expand consumes |groups|, not raw fact rows
+    below = ep[m.end():]
+    assert re.search(r"HashAggregate|SortAggregate|ObjectHashAggregate",
+                     below), ep
+
+    sch = {"f": {"k1": "int", "k2": "string", "x": "decimal(7,2)",
+                 "y": "bigint", "z": "double"}}
+    look = lambda t: set(sch[t]) if t in sch else None  # noqa: E731
+    tlook = lambda t, c: sch.get(t, {}).get(c)  # noqa: E731
+
+    # fires: full decomposition surface, types restored
+    out = R("select k1, k2, sum(x) sx, avg(y) ay, count(*) c, min(z) mz"
+            " from f where y > 0 group by rollup(k1, k2)", look, tlook)
+    assert out is not None
+    assert "__rollup_base_0" in out
+    assert "cast(sum(__p0) as decimal(17,2))" in out  # sum(d(7,2)) -> d(17,2)
+    assert "cast(sum(__p1s)/sum(__p1c) as double)" in out  # avg(bigint)
+    assert "cast(sum(__p2) as bigint)" in out  # count
+    assert "min(__p3)" in out  # min needs no cast
+    assert "group by rollup(k1, k2)" in out  # outer rollup untouched
+
+    # declines (each breaks one soundness/profitability premise)
+    assert R("select k1, count(distinct y) from f group by rollup(k1)",
+             look, tlook) is None  # non-decomposable agg
+    assert R("select k1, sum(x) from f group by rollup(k1) having"
+             " sum(x) > 0", look, tlook) is None  # HAVING
+    assert R("select k1, sum(x) from f where k1 in (1,2)"
+             " group by rollup(k1)", look, tlook) is None  # non-flat WHERE
+    assert R("select k1, sum(x) from f where y > (select min(y) from f)"
+             " group by rollup(k1)", look, tlook) is None  # subquery WHERE
+    assert R("select k1, sum(x) from (select * from f) t"
+             " group by rollup(k1)", look, tlook) is None  # derived FROM
+    assert R("select k1, sum(x) from f group by k1",
+             look, tlook) is None  # no rollup
+    assert R("select k1, sum(x) from f group by rollup(k1)",
+             look, None) is None  # no types_of -> cannot restore types
+
+
+def test_rule5_fires_on_q22_q86_verbatim_none_live():
+    """Rule #5's 103-text audit: fires on the q22/q86 VERBATIM texts
+    (both hand-rewritten — the r9 family — so the auto path never
+    reaches them unless the hand rewrite is retired) and on NO
+    unrewritten text — q18 (the family's measured sf10 LOSS, r9) is
+    declined via its IN-list WHERE, q5/q77/q80 via derived-table
+    FROMs."""
+    import flink_spark.queries_tpcds_real as R
+    from flink_spark.rewrite_rules import preagg_before_rollup
+
+    fired = set()
+    for qid, (text, _n, _c) in R._TPCDS_REAL.items():
+        if preagg_before_rollup(
+            text, R._table_columns, R._table_column_type
+        ) is not None:
+            fired.add(qid)
+    assert fired == {"22", "86"}, fired
+    for qid in ("18", "5", "77", "80"):
+        assert qid not in fired
+
+
 @pytest.mark.parametrize("name", ["tpcds_real_q14a", "tpcds_real_q14b"])
 def test_q14_cross_items_uses_rule3_flags(spark, name):
     """r10: q14's cross_items INTERSECT chain is planned by rewrite
