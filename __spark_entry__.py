@@ -49,8 +49,18 @@ def _load_checked(fname: str) -> set[str]:
 import glob as _glob
 
 _CHECKED: set[str] = set()
-for _f in sorted(_glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
-    _CHECKED |= _load_checked(os.path.basename(_f))
+# name -> index of the LATEST CORRECTNESS_r*.json containing a driver
+# row for it (round 11, VERDICT r10 task #7: the window's back slots
+# re-verify oldest-latest-check first, so every row's driver
+# attestation refreshes on a bounded cycle instead of never)
+_LATEST_CHECK: dict[str, int] = {}
+for _i, _f in enumerate(
+    sorted(_glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+):
+    _names = _load_checked(os.path.basename(_f))
+    _CHECKED |= _names
+    for _n in _names:
+        _LATEST_CHECK[_n] = _i
 # Round 4: agg_approx_count_distinct now carries an exact-count +
 # tolerance-flag oracle (was `no_oracle`) — re-checked green in the r4
 # window; no refix candidates remain (r7).
@@ -148,23 +158,42 @@ _R9_REVERIFY = [
 ]
 
 
+# Round 11: rows whose EXECUTED path changed this round — the rewrite
+# rules moved to the AST substrate (flink_spark/sqlast.py; generated
+# SQL byte-identical for every in-suite firing text, but the live
+# q14a/q14b now execute through the ported rule #3) and the hand
+# rewrites retired through rules this round execute rule-generated SQL
+# for the first time. New entries (opt_rule_rollup_preagg) auto-front
+# as never-checked.
+_R11_REVERIFY = [
+    "tpcds_real_q14a", "tpcds_real_q14b",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window covers (1) never-checked
-    entries (this round's additions), then (2) the plan-touched
-    re-verify list, then previously-green rows."""
+    entries (this round's additions), then (2) this round's
+    plan-touched re-verify list, then previously-green rows
+    OLDEST-ATTESTATION-FIRST (the r8/r9 reverify pins are retired —
+    their rows were re-attested in those rounds' windows, and keeping
+    them pinned starved the ~100 rows whose latest driver check
+    predates the r7 plan cache; the _LATEST_CHECK ordering now cycles
+    every row through on a bounded rotation)."""
     allq = dict(_q.QUERIES)
     front = [n for n in allq if n not in _CHECKED]
     front += [n for n in _REFIXED if n in allq and n not in front]
     rank = {n: i - 100 for i, n in enumerate(_R7_PRIORITY)}
     rank.update({n: i for i, n in enumerate(_R5_BACKLOG) if n not in rank})
     front.sort(key=lambda n: (rank.get(n, 999), n))
-    # append the plan-touched re-verify list right after the
-    # never-checked front so both land inside the 50-slot window
-    front += [n for n in _R9_REVERIFY if n in allq and n not in front]
-    front += [n for n in _R8_REVERIFY if n in allq and n not in front]
+    front += [n for n in _R11_REVERIFY if n in allq and n not in front]
     back = [n for n in allq if n not in front]
-    back.sort(key=lambda n: (not n.startswith("tpcds_"),))
+    # oldest driver attestation first (r11, VERDICT r10 task #7): rows
+    # whose latest CORRECTNESS round is furthest back fill the window's
+    # remaining slots, so ~100 rows last checked before the r7 plan
+    # cache / r9-r11 rule wiring cycle back through on a ~5-round
+    # rotation instead of never being re-attested.
+    back.sort(key=lambda n: (_LATEST_CHECK.get(n, -1), n))
     ordered = front + back
     assert sorted(ordered) == sorted(allq)
     return {n: allq[n] for n in ordered}

@@ -1,7 +1,8 @@
 """Round-11 probe (VERDICT r10 task #3): retire the q10/q35/q69 hand
-rewrites through rule #2 and the q38/q87 hand rewrites through rule #3
-— the q14 precedent (r10: rule-3 form replaced the hand rewrite,
-faster in all six trial pairs).
+rewrites through rule #2, the q38/q87 hand rewrites through rule #3,
+and the q22/q86 hand rewrites through the new rule #5 — the q14
+precedent (r10: rule-3 form replaced the hand rewrite, faster in all
+six trial pairs).
 
 Arms per query:
   HAND — current shipped state (_SPARK_FULL_REWRITE[qid] text);
@@ -43,7 +44,7 @@ from flink_spark.session import get_spark  # noqa: E402
 from flink_spark import queries as Q  # noqa: E402
 import flink_spark.queries_tpcds_real as R  # noqa: E402
 
-QIDS = ("10", "35", "69", "38", "87")
+QIDS = ("10", "35", "69", "38", "87", "22", "86")
 
 
 def _recycle(spark):
@@ -92,15 +93,20 @@ def main() -> None:
     # rule must actually fire on every candidate's verbatim text
     from flink_spark.rewrite_rules import (
         channel_exists_to_union_flags,
+        preagg_before_rollup,
         setop_chain_to_union_flags,
     )
     for qid in QIDS:
         text = R._TPCDS_REAL[qid][0]
-        rule = (channel_exists_to_union_flags(
-            text, R._table_columns, R._table_column_type)
-            if qid in ("10", "35", "69")
-            else setop_chain_to_union_flags(
-                text, R._table_columns, R._table_column_type))
+        if qid in ("10", "35", "69"):
+            rule = channel_exists_to_union_flags(
+                text, R._table_columns, R._table_column_type)
+        elif qid in ("38", "87"):
+            rule = setop_chain_to_union_flags(
+                text, R._table_columns, R._table_column_type)
+        else:  # 22 / 86 — rule #5
+            rule = preagg_before_rollup(
+                text, R._table_columns, R._table_column_type)
         assert rule is not None, f"rule does not fire on verbatim q{qid}"
 
     # row-identity gates on the live corpus
