@@ -769,3 +769,193 @@ def semantic_dedup(
             .alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-shard IVF (r11): shard-local indexes + multi-probe + global
+# re-rank — the distributed ANN serving architecture. At 100 TB the
+# corpus lives in S placement shards (here: a deterministic hash of the
+# id; in production, the partition layout); each shard trains and owns
+# its OWN IVF index, a query fans out to every shard's index with
+# shard-local nprobe, each shard returns its local top-k, and a global
+# re-rank merges S·k candidates per query. No shard ever sees another
+# shard's vectors and the corpus is never shuffled — the only exchange
+# is the final O(partitions · |queries| · k) merge window.
+# ---------------------------------------------------------------------------
+
+
+def _shard_of(id_col: Column, shards: int) -> Column:
+    """Deterministic placement shard: SECOND md5 nibble of the id
+    (independent of the FIRST-nibble k-means seed in _seed_cell), mod
+    shards."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 2, 1), 16, 10)
+        .cast("int")
+        % shards
+    )
+
+
+def ivf_centroids_sharded(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    shards: int = 4,
+) -> DataFrame:
+    """(shard, cell, centroid) — each shard's own one-round k-means
+    M-step over md5-seeded cells, all shards trained in ONE pass
+    (grouping key (shard, cell, pos); map-side combinable — the
+    vectors themselves are never shuffled, only (shard, cell, pos)
+    partial sums)."""
+    per_dim = (
+        corpus.select(
+            _shard_of(F.col(id_col), shards).alias("shard"),
+            _seed_cell(F.col(id_col), nlist).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("shard", "cell", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+    )
+    return per_dim.groupBy("shard", "cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: F.round(s.cv, 6),
+        ).alias("centroid")
+    )
+
+
+_IVF_SHARD_MEMO: dict = {}
+_IVF_SHARD_PROBE_MEMO: dict = {}
+
+
+def ivf_topk_sharded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 4,
+    nprobe: int = 1,
+    shards: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k over SHARD-LOCAL IVF indexes with a
+    global re-rank.
+
+    Semantics: every query probes its ``nprobe`` nearest cells WITHIN
+    EACH shard (multi-probe fan-out — S·nprobe probed cells total), so
+    recall does not depend on which shard holds a neighbor; candidates
+    are ranked globally by (cosine desc, neighbor id asc), exactly the
+    brute-force tier's order.
+
+    Plan (asserted by test_plans.py): the whole search is ONE map-only
+    Arrow/GEMM pass over the corpus — each batch assigns rows to their
+    own shard's cells (scores against the OTHER shards' centroids are
+    masked out), scores only probed-(shard, cell) rows per query, and
+    emits its local top-k; the ONLY exchange is the final merge window.
+    Training (S·nlist tiny centroid rows) and the by-contract-small
+    query set are collected once and memoized per (session, corpus
+    plan, params) — the FAISS build-once/search-many contract, sharded."""
+    memo_key = (
+        id(corpus.sparkSession), corpus.semanticHash(),
+        id_col, vec_col, nlist, shards,
+    )
+    cents = _IVF_SHARD_MEMO.get(memo_key)
+    if cents is None:
+        rows = ivf_centroids_sharded(
+            corpus, id_col, vec_col, nlist, shards
+        ).collect()
+        cents = sorted(
+            (int(r["shard"]), int(r["cell"]), list(r["centroid"]))
+            for r in rows
+        )
+        _IVF_SHARD_MEMO[memo_key] = cents
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _It
+
+    c_shard = np.array([s for s, _, _ in cents])
+    c_cell = np.array([c for _, c, _ in cents])
+    cm = np.stack([np.asarray(v, dtype=np.float64) for _, _, v in cents])
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0.0] = 1.0
+    cmn = cm / cn[:, None]
+    n_cent = len(cents)
+
+    probe_key = (memo_key, queries.semanticHash(), nprobe)
+    memo = _IVF_SHARD_PROBE_MEMO.get(probe_key)
+    if memo is None:
+        qrows = queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ).collect()
+        q_ids = np.array([r.q_id for r in qrows])
+        qm = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0.0] = 1.0
+        qmn = qm / qn[:, None]
+        qc = qmn @ cmn.T  # queries × (S·nlist)
+        probe_sets = []
+        for qi in range(len(q_ids)):
+            probed: set[int] = set()
+            for s in range(int(c_shard.max()) + 1 if n_cent else 0):
+                in_shard = np.where(c_shard == s)[0]
+                if in_shard.size == 0:
+                    continue
+                order = np.lexsort(
+                    (c_cell[in_shard], -qc[qi, in_shard])
+                )[:nprobe]
+                probed.update(int(in_shard[j]) for j in order)
+            probe_sets.append(probed)
+        _IVF_SHARD_PROBE_MEMO[probe_key] = (q_ids, qmn, probe_sets)
+    else:
+        q_ids, qmn, probe_sets = memo
+
+    def search(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            row_shard = pdf["_shard"].to_numpy()
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            mn = m / norms[:, None]
+            # assign each row within ITS OWN shard's centroids: scores
+            # against foreign shards' centroids are masked to -inf
+            cs = mn @ cmn.T  # rows × n_cent
+            cs[row_shard[:, None] != c_shard[None, :]] = -np.inf
+            assigned = np.argmax(cs, axis=1)  # global centroid index
+            s = mn @ qmn.T  # rows × queries
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(assigned, list(probe_sets[qi])) & (
+                    ids != q_ids[qi]
+                )
+                cand_ids, cand_s = ids[mask], s[mask, qi]
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+            yield pd.DataFrame(
+                {"q_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
+            )
+
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    local = corpus.select(
+        id_col, vec_col,
+        _shard_of(F.col(id_col), shards).alias("_shard"),
+    ).mapInPandas(
+        search, f"q_id {id_t}, neighbor_id {id_t}, cosine_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )

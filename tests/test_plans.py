@@ -95,6 +95,7 @@ def test_filters_reach_parquet_scan(spark, name):
         "doc_neardup_pipeline",  # candidate-restricted verify
         "emb_ann_lsh",  # bucket equi-join
         "emb_ann_ivf",  # map-only GEMM search, no join at all
+        "emb_ann_ivf_sharded",  # shard-local search + merge, no join
         "doc_exact_dedup",
         "dedup_last_per_key",
         "emb_semantic_dedup",  # per-cluster pairs; centroids broadcast
@@ -103,6 +104,28 @@ def test_filters_reach_parquet_scan(spark, name):
 def test_scale_tiers_never_plan_cartesian(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sharded_ivf_no_corpus_shuffle(spark):
+    """Cross-shard IVF (r11): the whole search must be ONE map-only
+    pass over the corpus — no join anywhere, no exchange between the
+    scan and the MapInPandas search, and exactly one exchange total
+    (the final merge of k-bounded local candidates, pre-pruned by a
+    Partial WindowGroupLimit). At 100 TB this is the difference between
+    moving the corpus and moving |queries|·k candidate rows."""
+    import re
+
+    df = Q.QUERIES["emb_ann_ivf_sharded"](spark, SF_DIR)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    final = ep.split("== Initial Plan ==")[0]
+    assert "Join" not in final, final
+    assert len(re.findall(r"\bExchange\b", final)) == 1, final
+    # the exchange's input is already top-k-pruned per partition
+    assert re.search(r"WindowGroupLimit .* Partial", final), final
+    # nothing shuffles below the Arrow search
+    below = final[final.find("MapInPandas"):]
+    assert "Exchange" not in below, final
 
 
 @pytest.mark.parametrize(
