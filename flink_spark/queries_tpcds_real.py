@@ -1733,54 +1733,22 @@ select
           cd_dep_employed_count,
           cd_dep_college_count
  limit 100""",
-    "69": """with active as (
- select customer_sk
- from (
-   select ss_customer_sk customer_sk, 1 ch
-   from store_sales, date_dim
-   where ss_sold_date_sk = d_date_sk and d_year = 2001 and d_moy between 4 and 4+2
-   union all
-   select ws_bill_customer_sk, 2
-   from web_sales, date_dim
-   where ws_sold_date_sk = d_date_sk and d_year = 2001 and d_moy between 4 and 4+2
-   union all
-   select cs_ship_customer_sk, 3
-   from catalog_sales, date_dim
-   where cs_sold_date_sk = d_date_sk and d_year = 2001 and d_moy between 4 and 4+2
- ) u
- where customer_sk is not null
- group by customer_sk
- having max(case when ch = 1 then 1 end) = 1
-    and max(case when ch = 2 then 1 end) is null
-    and max(case when ch = 3 then 1 end) is null
-)
-select
-  cd_gender,
-  cd_marital_status,
-  cd_education_status,
-  count(*) cnt1,
-  cd_purchase_estimate,
-  count(*) cnt2,
-  cd_credit_rating,
-  count(*) cnt3
- from
-  customer c,customer_address ca,customer_demographics
- where
-  c.c_current_addr_sk = ca.ca_address_sk and
-  ca_state in ('KY','GA','NM') and
-  cd_demo_sk = c.c_current_cdemo_sk and
-  c.c_customer_sk in (select customer_sk from active)
- group by cd_gender,
-          cd_marital_status,
-          cd_education_status,
-          cd_purchase_estimate,
-          cd_credit_rating
- order by cd_gender,
-          cd_marital_status,
-          cd_education_status,
-          cd_purchase_estimate,
-          cd_credit_rating
- limit 100""",
+    # q69 hand rewrite RETIRED in r11 (VERDICT r10 task #3 — the q14
+    # precedent): with no entry here, pattern rule #2
+    # (rewrite_rules.channel_exists_to_union_flags) fires on the
+    # verbatim text and produces the same union-agg flag mechanism.
+    # Interleaved fresh-session A/B (tools/probe_r11_retire.py,
+    # sweep-cold, min-of-3, row-identity at fact volume first): rule
+    # form faster in 2/3 trials, min 0.845 vs 0.900 s. The SAME A/B
+    # kept the hand rewrites for q10 (hand min 0.700 vs rule 0.905)
+    # and q35 (0.787 vs 0.900, rule lost all 3 trials) — their
+    # hand forms also fold the customer_sk IS NOT NULL + HAVING
+    # combination the rule re-derives per channel, and q10/q35's
+    # richer dim filters plan better from the hand CTE; and for
+    # q38/q87 (rule min better by ~0.1 s but 1/3 trial wins — noise-
+    # band, keep shipped) and q22/q86 (rule #5 form within noise of
+    # the r9 hand form, hand min better: 0.282 vs 0.299, 0.395 vs
+    # 0.409). Losses documented in BASELINE.md round-11.
 
     # q38 / q87 (r8): INTERSECT / EXCEPT-chain over distinct
     # (last, first, date) tuples. Set ops and GROUP BY share null-safe

@@ -882,6 +882,18 @@ def test_rule5_fires_on_q22_q86_verbatim_none_live():
         assert qid not in fired
 
 
+def test_q69_uses_rule2_flags(spark):
+    """r11: q69's three existence channels are planned by rewrite rule
+    #2 (hand rewrite retired — probe_r11_retire.py measured the rule
+    form faster in 2/3 fresh-session trials, min 0.845 vs 0.900 s).
+    The plan must carry the three-channel flag aggregate (__f2 proves
+    all three fused into ONE union-agg pass) and the Union feeding it
+    — not per-channel semi/anti joins."""
+    plan = plan_of(spark, "tpcds_real_q69")
+    assert "__f2" in plan, plan[:2000]
+    assert "Union" in plan, plan[:2000]
+
+
 @pytest.mark.parametrize("name", ["tpcds_real_q14a", "tpcds_real_q14b"])
 def test_q14_cross_items_uses_rule3_flags(spark, name):
     """r10: q14's cross_items INTERSECT chain is planned by rewrite

@@ -71,7 +71,11 @@ def _set_arm(qid: str, rule: bool, saved: dict) -> None:
 
 def _rows(spark, qid):
     df = Q.QUERIES[f"tpcds_real_q{qid}"](spark, "x")
-    return sorted(map(tuple, df.toPandas().itertuples(index=False)))
+    rows = [
+        tuple("NULL" if v is None or v != v else str(v) for v in r)
+        for r in df.toPandas().itertuples(index=False)
+    ]
+    return sorted(rows)
 
 
 def _floor(spark, runs=5):
