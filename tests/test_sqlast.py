@@ -159,7 +159,9 @@ def test_all_tpcds_texts_parse_with_exact_spans():
             assert 0 <= node.start <= node.end <= len(text), (
                 label, type(node).__name__, node.start, node.end,
             )
-    assert n_texts >= 126 and n_nodes > 15000
+    # 103 verbatim + every live full-text hand rewrite (the floor moves
+    # down as hand rewrites retire through the rule library — q69 r11)
+    assert n_texts >= 125 and n_nodes > 15000
 
 
 def test_case_when_children_walked():
