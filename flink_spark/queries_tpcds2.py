@@ -79,14 +79,45 @@ ORDER BY brand, mon
 """
 
 
+# r11 optimization (guide §2.4 "remove shuffles outright"): Catalyst
+# inlines the deterministic CTE once per reference, so the self-join
+# spelling scans+aggregates the fact TWICE. The executed spelling pivots
+# on year instead — sum(CASE WHEN y=1996), count_if presence flags — one
+# fact pass, and the join edge disappears. Equivalence: an inner
+# self-join row (m1.y=1996, m2.y=1997 on (b, mo)) exists iff both year
+# groups exist, i.e. both count_if flags > 0; the conditional sums
+# aggregate exactly the rows of the corresponding (grain, year) group
+# in the same DECIMAL types. Row-identical at sf1, faster in 3/3
+# interleaved fresh-trial pairs (PROBE_r11_yoy_pivot.json: 0.92 → 0.77
+# min-of-3). The ORACLE still runs the self-join text (_Q2) verbatim.
+_Q2_SPARK = f"""
+WITH m AS (
+  SELECT p_brand AS b, CAST(month(o_orderdate) AS INT) AS mo,
+         sum(CASE WHEN year(o_orderdate) = 1996 THEN {_REV} END) AS r96,
+         count_if(year(o_orderdate) = 1996) AS n96,
+         sum(CASE WHEN year(o_orderdate) = 1997 THEN {_REV} END) AS r97,
+         count_if(year(o_orderdate) = 1997) AS n97
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY p_brand, month(o_orderdate))
+SELECT b AS brand, mo AS mon,
+       CAST(r96 AS DOUBLE) AS rev_1996,
+       CAST(r97 AS DOUBLE) AS rev_1997
+FROM m WHERE n96 > 0 AND n97 > 0
+ORDER BY brand, mon
+"""
+
+
 @query("tpcds_q2_shape", _Q2)
 def tpcds_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q2 shape: one (grain × period) aggregate self-joined on the
     time-aligned grain to put consecutive years side by side.
 
-    Plan: the fact shuffles once for the CTE; the self-join runs over the
-    agg's brand×month output (dimension-sized → broadcast)."""
-    return _sql(spark, sf_dir, _Q2)
+    Executes the year-pivot spelling (_Q2_SPARK, one fact pass); the
+    oracle runs the original self-join text."""
+    return _sql(spark, sf_dir, _Q2_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -122,16 +153,58 @@ LIMIT 100
 """
 
 
+# r11 optimization (guide §2.4): the 4-way self-join spelling inlines
+# `store` and `web` twice each — 2 orders scans + 2 lineitem⋈orders
+# joins + 3 customer-grain SMJ edges. The executed spelling pivots each
+# channel on year (one scan per channel) and replaces the self-join
+# edges with presence flags: an inner edge on ck with sN.y pinned holds
+# iff that (ck, year) group exists ⟺ count_if(year=N) > 0. The growth
+# predicate keeps the exact-DECIMAL cross-multiplication on the same
+# sums. Row-identical at sf1; faster in 3/3 interleaved trial pairs
+# (PROBE_r11_yoy_pivot.json: 1.51 → 0.97 min-of-3). Oracle unchanged.
+_Q11_SPARK = f"""
+WITH store AS (
+  SELECT o_custkey AS ck,
+         sum(CASE WHEN year(o_orderdate) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS t96,
+         count_if(year(o_orderdate) = 1996) AS n96,
+         sum(CASE WHEN year(o_orderdate) = 1997
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS t97,
+         count_if(year(o_orderdate) = 1997) AS n97
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey),
+web AS (
+  SELECT o_custkey AS ck,
+         sum(CASE WHEN year(o_orderdate) = 1996 THEN {_REV} END) AS w96,
+         count_if(year(o_orderdate) = 1996) AS wn96,
+         sum(CASE WHEN year(o_orderdate) = 1997 THEN {_REV} END) AS w97,
+         count_if(year(o_orderdate) = 1997) AS wn97
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'O' AND year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey)
+SELECT c_name,
+       CAST(t97 AS DOUBLE) AS store_1997,
+       CAST(w97 AS DOUBLE) AS web_1997
+FROM store JOIN web USING (ck) JOIN customer ON c_custkey = ck
+WHERE n96 > 0 AND n97 > 0 AND wn96 > 0 AND wn97 > 0
+  AND t96 > 0 AND w96 > 0
+  AND w97 * t96 > t97 * w96
+ORDER BY c_name
+LIMIT 100
+"""
+
+
 @query("tpcds_q11_shape", _Q11)
 def tpcds_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q11 shape: per-customer yearly totals for two channels,
-    4-way self-joined; keep customers whose web growth ratio beats their
-    store growth ratio. The ratio comparison is cross-multiplied
-    (``w97·s96 > s97·w96``) so it stays in exact DECIMAL arithmetic.
+    """TPC-DS q11 shape: per-customer yearly totals for two channels;
+    keep customers whose web growth ratio beats their store growth
+    ratio, cross-multiplied (``w97·s96 > s97·w96``) in exact DECIMAL.
 
-    Plan: each channel CTE shuffles its fact once on (custkey, year);
-    the 4 self-join edges + customer all operate at customer grain."""
-    return _sql(spark, sf_dir, _Q11)
+    Executes the year-pivot spelling (_Q11_SPARK — one scan per
+    channel, presence flags instead of self-join edges); the oracle
+    runs the original 4-way self-join text."""
+    return _sql(spark, sf_dir, _Q11_SPARK)
 
 
 _Q4 = f"""
@@ -172,12 +245,68 @@ LIMIT 100
 """
 
 
+# r11 optimization (guide §2.4): the 6-way self-join spelling pays
+# 4 lineitem⋈orders joins + 2 orders scans + 4 customer-grain SMJs
+# (34 Exchange entries, plans/r11/tpcds_q4_shape_before.txt). The
+# executed spelling pivots on year AND fuses web+cat into ONE
+# lineitem⋈orders pass (they differ only in the l_linestatus
+# predicate, so both channels are CASE branches of one aggregate).
+# Presence flags replace the six self-join edges as in q11. Row-
+# identical at sf1; faster in 3/3 interleaved trial pairs
+# (PROBE_r11_yoy_pivot.json: 1.93 → 1.14 min-of-3; in-bench 3.61 →
+# ~1.2). Oracle runs the original 6-way text verbatim.
+_Q4_SPARK = f"""
+WITH store AS (
+  SELECT o_custkey AS ck,
+         sum(CASE WHEN year(o_orderdate) = 1996
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS t96,
+         count_if(year(o_orderdate) = 1996) AS n96,
+         sum(CASE WHEN year(o_orderdate) = 1997
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS t97,
+         count_if(year(o_orderdate) = 1997) AS n97
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey),
+wc AS (
+  SELECT o_custkey AS ck,
+         sum(CASE WHEN l_linestatus = 'O' AND year(o_orderdate) = 1996
+                  THEN {_REV} END) AS w96,
+         count_if(l_linestatus = 'O' AND year(o_orderdate) = 1996) AS wn96,
+         sum(CASE WHEN l_linestatus = 'O' AND year(o_orderdate) = 1997
+                  THEN {_REV} END) AS w97,
+         count_if(l_linestatus = 'O' AND year(o_orderdate) = 1997) AS wn97,
+         sum(CASE WHEN l_linestatus = 'F' AND year(o_orderdate) = 1996
+                  THEN {_REV} END) AS c96,
+         count_if(l_linestatus = 'F' AND year(o_orderdate) = 1996) AS cn96,
+         sum(CASE WHEN l_linestatus = 'F' AND year(o_orderdate) = 1997
+                  THEN {_REV} END) AS c97,
+         count_if(l_linestatus = 'F' AND year(o_orderdate) = 1997) AS cn97
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus IN ('O', 'F') AND year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey)
+SELECT c_name,
+       CAST(w97 AS DOUBLE) AS web_1997,
+       CAST(c97 AS DOUBLE) AS cat_1997
+FROM store JOIN wc USING (ck) JOIN customer ON c_custkey = ck
+WHERE n96 > 0 AND n97 > 0
+  AND wn96 > 0 AND wn97 > 0 AND cn96 > 0 AND cn97 > 0
+  AND t96 > 0 AND w96 > 0 AND c96 > 0
+  AND w97 * t96 > t97 * w96
+  AND w97 * c96 > c97 * w96
+ORDER BY c_name
+LIMIT 100
+"""
+
+
 @query("tpcds_q4_shape", _Q4)
 def tpcds_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q4 shape: q11 extended to THREE channels (6-way self-join
-    plus customer) — web growth must beat BOTH store and catalog growth.
-    All ratio predicates cross-multiplied in DECIMAL."""
-    return _sql(spark, sf_dir, _Q4)
+    """TPC-DS q4 shape: q11 extended to THREE channels — web growth must
+    beat BOTH store and catalog growth, cross-multiplied in DECIMAL.
+
+    Executes the year-pivot spelling (_Q4_SPARK — one orders pass + one
+    shared lineitem⋈orders pass for web+cat); the oracle runs the
+    original 6-way self-join text."""
+    return _sql(spark, sf_dir, _Q4_SPARK)
 
 
 # ---------------------------------------------------------------------------
