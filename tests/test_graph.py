@@ -42,6 +42,30 @@ def test_self_loops_and_duplicate_edges_ignored(spark):
     assert got == {1: 1, 2: 1}
 
 
+def test_one_checkpoint_per_round(spark, monkeypatch):
+    """r11 optimization pin: a CC round materializes exactly ONE table
+    (the lagged-composition jump) — no per-round eager checkpoint, no
+    initial-checksum job. Counted via localCheckpoint calls: 1 eager
+    (the symmetrized edge table) + 1 lazy setup + 1 lazy per round."""
+    # Spark 4: concrete sessions build classic.DataFrame, which
+    # overrides localCheckpoint — patch the class that's dispatched.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"eager": 0, "lazy": 0}
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls["eager" if eager else "lazy"] += 1
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    # single edge: round 1 relabels, round 2 confirms -> 2 rounds
+    got = _cc(spark, [(1, 2)])
+    assert got == {1: 1, 2: 1}
+    assert calls["eager"] == 1, calls
+    assert calls["lazy"] == 1 + 2, calls  # labels setup + one per round
+
+
 def test_max_iterations_caps_rounds(spark):
     # With a single round the far end of a 5-hop chain cannot learn the
     # min yet even with one pointer jump (reach ≤ 3 hops) — documents
