@@ -281,19 +281,33 @@ CROSS JOIN
 """
 
 
+# r11 optimization (guide §2.4): the fixture's four bands cover the
+# whole 1-50 quantity domain, so the branch predicates are NOT
+# selective — four near-full scans of the same column. The executed
+# spelling is the single-pass conditional-count rollup the q88 plan
+# note already named (count_if per band, one scan, zero joins).
+# Row-identical; 3/3 trial wins, 0.527 → 0.212 s min-of-3
+# (PROBE_r11_pivot2.json). Oracle runs the 4-scan cross-join text.
+_Q88_SPARK = """
+SELECT count_if(l_quantity BETWEEN 1 AND 12) AS band_low,
+       count_if(l_quantity BETWEEN 13 AND 25) AS band_mid_low,
+       count_if(l_quantity BETWEEN 26 AND 38) AS band_mid_high,
+       count_if(l_quantity BETWEEN 39 AND 50) AS band_high
+FROM lineitem
+"""
+
+
 @query("tpcds_q88_shape", _Q88)
 def tpcds_q88_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q88 shape: N disjoint-range counts of the same fact table
-    cross-joined into one wide row (the original's 8 time-band store
-    scans). Each branch is a scan+partial-count with its own pushed
-    range predicate; the cross joins are single-row broadcasts.
+    in one wide row (the original's 8 time-band store scans).
 
-    Plan note (100 TB): Catalyst plans one scan per branch — the
-    TPC-DS-correct trade when the branches' predicates are selective and
-    pushed; with scan reuse desired instead, the single-pass spelling is
-    a conditional-agg rollup (SUM(CASE WHEN ...)), which q12's shape
-    already exercises."""
-    return _sql(spark, sf_dir, _Q88)
+    Executes the single-scan conditional-count spelling (_Q88_SPARK);
+    the oracle runs the original 4-scan cross-join text. At 100 TB one
+    pass over the quantity column replaces four — the original's
+    per-branch pushed predicates only win when the bands are selective,
+    and these cover the whole domain."""
+    return _sql(spark, sf_dir, _Q88_SPARK)
 
 
 _Q14 = f"""
@@ -317,17 +331,44 @@ LIMIT 100
 """
 
 
+# r11 optimization (guide §2.4 + the rule-#3 mechanism): the INTERSECT
+# spelling scans lineitem⋈orders twice (once per period branch). The
+# executed spelling computes both period-presence flags in ONE
+# aggregate over the union of the periods — exactly the union-agg-flag
+# decomposition rewrite rule #3 applies to the real q14a/q14b texts —
+# then HAVING keeps keys present in both. Row-identical; 3/3 trial
+# wins, 2.684 → 2.019 s min-of-3 (PROBE_r11_pivot2.json). Oracle runs
+# the INTERSECT text verbatim.
+_Q14_SPARK = f"""
+WITH both_years AS (
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey
+  HAVING count_if(o_orderdate < TIMESTAMP '1997-01-01') > 0
+     AND count_if(o_orderdate >= TIMESTAMP '1997-01-01') > 0)
+SELECT p_brand AS brand,
+       CAST(sum({_DEC_REVENUE}) AS DOUBLE) AS cross_year_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN both_years ON lineitem.l_partkey = both_years.l_partkey
+GROUP BY p_brand
+ORDER BY cross_year_revenue DESC, brand
+LIMIT 100
+"""
+
+
 @query("tpcds_q14_shape", _Q14)
 def tpcds_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q14 shape (cross-channel INTERSECT): the part keys sold in
-    BOTH periods (INTERSECT → left-semi join chain) feed a semi-filtered
-    revenue rollup of the fact table.
+    BOTH periods feed a semi-filtered revenue rollup of the fact table.
 
-    Plan: the INTERSECT deduplicates two derived key sets (aggregate on
-    l_partkey — small output), which then semi-joins the fact scan;
-    at 100 TB the key set stays far below the fact table, and the final
-    rollup shuffles once on p_brand."""
-    return _sql(spark, sf_dir, _Q14)
+    Executes the union-agg-flag spelling (_Q14_SPARK — one
+    lineitem⋈orders pass building both period flags); the oracle runs
+    the original INTERSECT text. The key set stays far below the fact
+    table at 100 TB and the final rollup shuffles once on p_brand."""
+    return _sql(spark, sf_dir, _Q14_SPARK)
 
 
 _Q67 = f"""

@@ -165,14 +165,60 @@ ORDER BY nation
 """
 
 
+# r11 optimization (guide §2.4, the PROBE_r11_yoy_pivot mechanism):
+# Catalyst inlines each channel CTE once per reference, so the
+# self-join spelling scans orders⋈customer twice and
+# lineitem⋈orders⋈customer twice. The executed spelling pivots each
+# channel on quarter — conditional sums + count_if presence flags
+# replacing the aligned self-join edges — and narrows the date range
+# to the two quarters the join actually keeps ([Jan, Jul) ≡ quarter ∈
+# {1, 2} for 1996 dates). Row-identical at sf1; 3/3 trial wins,
+# 1.011 → 0.732 s min-of-3 (PROBE_r11_pivot2.json). Oracle unchanged.
+_Q31_SPARK = f"""
+WITH store AS (
+  SELECT c_nationkey AS nk,
+         sum(CASE WHEN quarter(o_orderdate) = 1
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS t1,
+         count_if(quarter(o_orderdate) = 1) AS n1,
+         sum(CASE WHEN quarter(o_orderdate) = 2
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS t2,
+         count_if(quarter(o_orderdate) = 2) AS n2
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY c_nationkey),
+web AS (
+  SELECT c_nationkey AS nk,
+         sum(CASE WHEN quarter(o_orderdate) = 1 THEN {_REV} END) AS w1,
+         count_if(quarter(o_orderdate) = 1) AS wn1,
+         sum(CASE WHEN quarter(o_orderdate) = 2 THEN {_REV} END) AS w2,
+         count_if(quarter(o_orderdate) = 2) AS wn2
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+    AND l_linestatus = 'O'
+  GROUP BY c_nationkey)
+SELECT n_name AS nation,
+       CAST(w2 AS DOUBLE) / CAST(w1 AS DOUBLE) AS web_growth,
+       CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE) AS store_growth
+FROM store JOIN web USING (nk) JOIN nation ON n_nationkey = nk
+WHERE n1 > 0 AND n2 > 0 AND wn1 > 0 AND wn2 > 0
+  AND t1 > 0 AND w1 > 0
+  AND w2 * t1 > t2 * w1
+ORDER BY nation
+"""
+
+
 @query("tpcds_q31_shape", _Q31)
 def tpcds_q31_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q31 shape: quarter-over-quarter growth of two channels per
     nation, keeping nations where the web channel grew faster than the
-    store channel — channel CTEs self-joined on the aligned (nation,
-    quarter) grain. The filter is cross-multiplied exact; the emitted
-    growth ratios are one DOUBLE division of exact DECIMAL sums."""
-    return _sql(spark, sf_dir, _Q31)
+    store channel. The filter is cross-multiplied exact; the emitted
+    growth ratios are one DOUBLE division of exact DECIMAL sums.
+
+    Executes the quarter-pivot spelling (_Q31_SPARK — one pass per
+    channel); the oracle runs the original self-join text."""
+    return _sql(spark, sf_dir, _Q31_SPARK)
 
 
 # q35: Spark's optimizer (like the reference's decorrelation,
@@ -297,17 +343,49 @@ ORDER BY partkey
 """
 
 
+# r11 optimization (guide §2.4): the quarter self-join inlines `m`
+# twice — two identical lineitem scans + aggregates. The executed
+# spelling pivots on quarter (s/ss/n per quarter in ONE aggregate);
+# presence is subsumed by the n > 1 predicates. Row-identical at sf1;
+# 3/3 trial wins, 1.181 → 0.741 s min-of-3 (PROBE_r11_pivot2.json).
+_Q39_SPARK = f"""
+WITH m AS (
+  SELECT l_partkey AS pk,
+         sum(CASE WHEN quarter(l_shipdate) = 1 THEN {_QTY} END) AS s1,
+         sum(CASE WHEN quarter(l_shipdate) = 1 THEN {_QTY} * {_QTY} END) AS ss1,
+         count_if(quarter(l_shipdate) = 1) AS n1,
+         sum(CASE WHEN quarter(l_shipdate) = 2 THEN {_QTY} END) AS s2,
+         sum(CASE WHEN quarter(l_shipdate) = 2 THEN {_QTY} * {_QTY} END) AS ss2,
+         count_if(quarter(l_shipdate) = 2) AS n2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY l_partkey)
+SELECT pk AS partkey,
+       CAST(s1 AS DOUBLE) / n1 AS mean_q1,
+       CAST(s2 AS DOUBLE) / n2 AS mean_q2
+FROM m
+WHERE n1 > 1 AND n2 > 1
+  AND 4 * n1 * (n1 * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * (n1 - 1)
+  AND 4 * n2 * (n2 * CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      > CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) * (n2 - 1)
+ORDER BY partkey
+"""
+
+
 @query("tpcds_q39_shape", _Q39)
 def tpcds_q39_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q39 shape: parts whose quantity coefficient-of-variation
     exceeds 0.5 in BOTH of two consecutive quarters (the fixture's
     uniform quantities cap CoV near 0.74, and per-month item groups are
-    singletons at small SF) — one period-grain aggregate self-joined on
-    the item identity. CoV > ½ ⟺
+    singletons at small SF). CoV > ½ ⟺
     4·stdev² > mean² is cross-multiplied into ``4n(n·Σx² − (Σx)²) >
     (Σx)²(n−1)`` over exact integer-valued operands, so no sqrt or
-    float-boundary compare can flip a row between engines."""
-    return _sql(spark, sf_dir, _Q39)
+    float-boundary compare can flip a row between engines.
+
+    Executes the quarter-pivot spelling (_Q39_SPARK — one lineitem
+    pass); the oracle runs the original self-join text."""
+    return _sql(spark, sf_dir, _Q39_SPARK)
 
 
 _Q43 = f"""

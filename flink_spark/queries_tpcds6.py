@@ -105,14 +105,54 @@ LIMIT 100
 """
 
 
+# r11 optimization (guide §2.4): the 4-way self-join inlines `yearly`
+# four times — FOUR unfiltered lineitem⋈orders⋈customer joins. The
+# executed spelling pivots on (channel, year) in ONE pass with
+# count_if presence flags (IS DISTINCT FROM keeps the original CASE's
+# NULL→store mapping) and pre-filters to the two years the join pins.
+# Row-identical at sf1; 3/3 trial wins, 2.037 → 1.376 s min-of-3
+# (PROBE_r11_pivot2.json). Oracle runs the 4-way self-join text.
+_Q74_SPARK = f"""
+WITH yc AS (
+  SELECT c_name AS cust,
+         sum(CASE WHEN l_linestatus IS DISTINCT FROM 'O'
+                   AND year(o_orderdate) = 1996 THEN {_QTY} END) AS s96,
+         count_if(l_linestatus IS DISTINCT FROM 'O'
+                  AND year(o_orderdate) = 1996) AS sn96,
+         sum(CASE WHEN l_linestatus IS DISTINCT FROM 'O'
+                   AND year(o_orderdate) = 1997 THEN {_QTY} END) AS s97,
+         count_if(l_linestatus IS DISTINCT FROM 'O'
+                  AND year(o_orderdate) = 1997) AS sn97,
+         sum(CASE WHEN l_linestatus = 'O'
+                   AND year(o_orderdate) = 1996 THEN {_QTY} END) AS w96,
+         count_if(l_linestatus = 'O' AND year(o_orderdate) = 1996) AS wn96,
+         sum(CASE WHEN l_linestatus = 'O'
+                   AND year(o_orderdate) = 1997 THEN {_QTY} END) AS w97,
+         count_if(l_linestatus = 'O' AND year(o_orderdate) = 1997) AS wn97
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY c_name)
+SELECT cust
+FROM yc
+WHERE sn96 > 0 AND sn97 > 0 AND wn96 > 0 AND wn97 > 0
+  AND s96 > 0 AND w96 > 0
+  AND w97 * s96 > s97 * w96
+ORDER BY cust
+LIMIT 100
+"""
+
+
 @query("tpcds_q74_shape", _Q74)
 def tpcds_q74_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q74 shape: customers whose web quantity growth outpaced
-    their store growth year-over-year — q74 is q11/q4 with quantity and
-    a 4-way self-join of the yearly CTE (two channels x two years). The
-    growth comparison w2/w1 > s2/s1 is cross-multiplied in DECIMAL; the
-    self-joins run over the small per-customer agg."""
-    return _sql(spark, sf_dir, _Q74)
+    their store growth year-over-year — q74 is q11/q4 with quantity.
+    The growth comparison w2/w1 > s2/s1 is cross-multiplied in DECIMAL.
+
+    Executes the (channel, year)-pivot spelling (_Q74_SPARK — one fact
+    pass); the oracle runs the original 4-way self-join text."""
+    return _sql(spark, sf_dir, _Q74_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -731,11 +771,37 @@ ORDER BY partkey
 """
 
 
+# r11 optimization (guide §2.4): quarter-pivot the twice-inlined `m`
+# CTE — one lineitem pass (PROBE_r11_pivot2.json: 1.124 → 0.638 s
+# min-of-3, 3/3 wins, row-identical). Oracle runs the self-join text.
+_Q39B_SPARK = f"""
+WITH m AS (
+  SELECT l_partkey AS pk,
+         sum(CASE WHEN quarter(l_shipdate) = 1 THEN {_QTY} END) AS s1,
+         sum(CASE WHEN quarter(l_shipdate) = 1 THEN {_QTY} * {_QTY} END) AS ss1,
+         count_if(quarter(l_shipdate) = 1) AS n1,
+         sum(CASE WHEN quarter(l_shipdate) = 2 THEN {_QTY} END) AS s2,
+         count_if(quarter(l_shipdate) = 2) AS n2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY l_partkey)
+SELECT pk AS partkey,
+       CAST(s1 AS DOUBLE) / n1 AS mean_q1,
+       CAST(s2 AS DOUBLE) / n2 AS mean_q2
+FROM m
+WHERE n1 > 1 AND n2 > 1
+  AND 4 * n1 * (n1 * CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * (n1 - 1)
+  AND s2 * n1 < s1 * n2
+ORDER BY partkey
+"""
+
+
 @query("tpcds_q39b_shape", _Q39B)
 def tpcds_q39b_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q39b shape: q39a keeps items volatile in BOTH periods;
     q39b tightens the first-period test and adds a direction — volatile
     in the first quarter AND declining mean into the second (the mean
-    comparison cross-multiplied over exact DECIMAL sums). Same
-    single-aggregate self-join spine as q39a."""
-    return _sql(spark, sf_dir, _Q39B)
+    comparison cross-multiplied over exact DECIMAL sums). Executes the
+    quarter-pivot spelling (_Q39B_SPARK); oracle runs the original."""
+    return _sql(spark, sf_dir, _Q39B_SPARK)
