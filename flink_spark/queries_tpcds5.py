@@ -386,13 +386,39 @@ LIMIT 100
 """
 
 
+# r11 optimization (guide §2.4, the PROBE_r11_yoy_pivot mechanism):
+# the year self-join inlines `weekly` twice — two lineitem⋈supplier
+# scans+aggregates. Year pivot with count_if presence flags runs one.
+# Row-set-identical at sf1; 3/3 trial wins, 1.742 → 1.071 s min-of-3
+# (PROBE_r11_pivot4.json). Oracle runs the self-join text.
+_Q59_SPARK = """
+WITH weekly AS (
+  SELECT s_name AS store, month(l_shipdate) AS mo,
+         sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS s97,
+         count_if(year(l_shipdate) = 1997) AS n97,
+         sum(CASE WHEN year(l_shipdate) = 1996 THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS s96,
+         count_if(year(l_shipdate) = 1996) AS n96
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE year(l_shipdate) IN (1996, 1997)
+  GROUP BY s_name, month(l_shipdate))
+SELECT store, mo,
+       CAST(s97 AS DOUBLE) AS sales_this_year,
+       CAST(s96 AS DOUBLE) AS sales_last_year,
+       CAST(s97 AS DOUBLE) / CAST(s96 AS DOUBLE) AS yoy_ratio
+FROM weekly
+WHERE n97 > 0 AND n96 > 0 AND s96 > 0
+ORDER BY store, mo
+LIMIT 100
+"""
+
+
 @query("tpcds_q59_shape", _Q59)
 def tpcds_q59_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q59 shape: store revenue per period this year joined to the
     same period last year with the ratio — q59's wss self-join keyed on
     (store, week seq - 52) becomes (store, month) across year replicas.
     The self-join input is the small agg, not the fact."""
-    return _sql(spark, sf_dir, _Q59)
+    return _sql(spark, sf_dir, _Q59_SPARK)
 
 
 # ---------------------------------------------------------------------------

@@ -359,13 +359,49 @@ LIMIT 100
 """
 
 
+# r11 optimization (guide §2.4): the three return-class branches each
+# scanned lineitem⋈orders and re-evaluated the mutual date subquery.
+# One returnflag pivot with count_if presence flags (the 3-way inner
+# join holds iff all three classes have rows for the part) runs one
+# scan and one date-set evaluation. Row-set-identical at sf1; 3/3
+# trial wins, 2.008 → 1.017 s min-of-3 (PROBE_r11_pivot4.json).
+_Q83_SPARK = """
+WITH dates AS (
+  SELECT DISTINCT o_orderdate AS d FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1997-02-01'),
+flags AS (
+  SELECT l_partkey AS pk,
+         sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS rq,
+         count_if(l_returnflag = 'R') AS nr,
+         sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS aq,
+         count_if(l_returnflag = 'A') AS na,
+         sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS nq,
+         count_if(l_returnflag = 'N') AS nn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag IN ('R', 'A', 'N')
+    AND o_orderdate IN (SELECT d FROM dates)
+  GROUP BY l_partkey)
+SELECT p_brand AS brand,
+       CAST(sum(rq) AS DOUBLE) AS r_qty,
+       CAST(sum(aq) AS DOUBLE) AS a_qty,
+       CAST(sum(nq) AS DOUBLE) AS n_qty
+FROM flags JOIN part ON p_partkey = pk
+WHERE nr > 0 AND na > 0 AND nn > 0
+GROUP BY p_brand
+ORDER BY brand
+LIMIT 100
+"""
+
+
 @query("tpcds_q83_shape", _Q83)
 def tpcds_q83_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q83 shape: per-item quantities across the three return
     classes restricted to a shared date set — q83's sr/cr/wr triple with
     its date_dim IN-subquery (the mutual month). The date set semi-joins
     each branch; the three branch aggs meet in two small joins."""
-    return _sql(spark, sf_dir, _Q83)
+    return _sql(spark, sf_dir, _Q83_SPARK)
 
 
 # ---------------------------------------------------------------------------
@@ -679,6 +715,46 @@ LIMIT 100
 """
 
 
+# r11 optimization (guide §2.4 + the rule-#3 mechanism): the INTERSECT
+# (2 lineitem⋈orders scans) was additionally re-inlined into BOTH
+# period rollups — ~6 fact scans total. Two passes now: one union-agg
+# flag pass for the both-years key set (HAVING both period count_ifs),
+# one year-pivot rollup over the semi-filtered fact. Row-set-identical
+# at sf1; 3/3 trial wins, 2.626 → 1.362 s min-of-3
+# (PROBE_r11_pivot4.json). Oracle runs the INTERSECT text verbatim.
+_Q14B_SPARK = """
+WITH both_years AS (
+  SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey
+  HAVING count_if(o_orderdate < TIMESTAMP '1997-01-01') > 0
+     AND count_if(o_orderdate >= TIMESTAMP '1997-01-01') > 0),
+yr AS (
+  SELECT p_brand AS brand,
+         sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS r97,
+         count_if(o_orderdate >= TIMESTAMP '1997-01-01') AS n97,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS r96,
+         count_if(o_orderdate < TIMESTAMP '1997-01-01') AS n96
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN both_years b ON lineitem.l_partkey = b.l_partkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY p_brand)
+SELECT brand,
+       CAST(r97 AS DOUBLE) AS this_year_sales,
+       CAST(r96 AS DOUBLE) AS last_year_sales
+FROM yr
+WHERE n97 > 0 AND n96 > 0
+ORDER BY brand
+LIMIT 100
+"""
+
+
 @query("tpcds_q14b_shape", _Q14B)
 def tpcds_q14b_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q14b shape: where q14a rolls the cross-channel
@@ -687,7 +763,7 @@ def tpcds_q14b_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     both_years key set semi-filters two period aggregates joined side
     by side. The CTE is evaluated once per branch; both branches share
     the broadcast key set."""
-    return _sql(spark, sf_dir, _Q14B)
+    return _sql(spark, sf_dir, _Q14B_SPARK)
 
 
 _Q23B = f"""
