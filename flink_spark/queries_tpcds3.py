@@ -497,12 +497,38 @@ LIMIT 100
 """
 
 
+# r11 optimization (guide §2.4): `sp` was inlined twice (once for the
+# per-supplier totals CTE, once for the detail rows) — two lineitem
+# scans + aggregates. The executed spelling derives the totals with a
+# window over the single sp aggregate (sum/count OVER (PARTITION BY
+# sk) — exact DECIMAL, same row set), the same decorrelation q30
+# already uses. Row-set-identical at sf1; 3/3 trial wins, 3.766 →
+# 2.358 s min-of-3 (PROBE_r11_q65.json). Oracle runs the 2-CTE text.
+_Q65_SPARK = f"""
+WITH sp AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk, sum({_REV}) AS r
+  FROM lineitem GROUP BY l_suppkey, l_partkey),
+w AS (
+  SELECT sk, pk, r,
+         sum(r) OVER (PARTITION BY sk) AS tot,
+         count(*) OVER (PARTITION BY sk) AS n
+  FROM sp)
+SELECT s_name AS supp, p_name AS part_name, CAST(r AS DOUBLE) AS revenue
+FROM w
+JOIN supplier ON s_suppkey = sk
+JOIN part ON p_partkey = pk
+WHERE r * n * 10 <= tot * 3
+ORDER BY supp, part_name, revenue, pk
+LIMIT 100
+"""
+
+
 @query("tpcds_q65_shape", _Q65)
 def tpcds_q65_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q65 shape: (supplier, part) pairs whose revenue sits at or
     under 0.3× the supplier's average item revenue — an aggregate joined
     against its own re-aggregation, threshold cross-multiplied exact."""
-    return _sql(spark, sf_dir, _Q65)
+    return _sql(spark, sf_dir, _Q65_SPARK)
 
 
 _Q69 = """
