@@ -173,6 +173,24 @@ _R11_REVERIFY = [
 ]
 
 
+# Round 12 (VERDICT r11 task #1): the 15 single-pass rewrites shipped
+# in round 11 (year/quarter/channel pivots, INTERSECT flattening, q65
+# window decorrelation) plus the connected-components change behind
+# doc_dup_groups all changed their EXECUTED SQL/plan after the r11
+# driver window was sampled — they carry only builder-side sf1
+# row-identity attestations. Pin them into this round's window so
+# CORRECTNESS_r12.json hashes each against DuckDB (the oracle still
+# runs the ORIGINAL query text for every one of them).
+_R12_REVERIFY = [
+    "tpcds_q2_shape", "tpcds_q11_shape", "tpcds_q4_shape",
+    "tpcds_q31_shape", "tpcds_q39_shape", "tpcds_q39b_shape",
+    "tpcds_q74_shape", "tpcds_q88_shape", "tpcds_q14_shape",
+    "tpcds_q60_shape", "tpcds_q75_shape", "tpcds_q59_shape",
+    "tpcds_q83_shape", "tpcds_q14b_shape", "tpcds_q65_shape",
+    "doc_dup_groups",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window covers (1) never-checked
@@ -189,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rank = {n: i - 100 for i, n in enumerate(_R7_PRIORITY)}
     rank.update({n: i for i, n in enumerate(_R5_BACKLOG) if n not in rank})
     front.sort(key=lambda n: (rank.get(n, 999), n))
+    front += [n for n in _R12_REVERIFY if n in allq and n not in front]
     front += [n for n in _R11_REVERIFY if n in allq and n not in front]
     back = [n for n in allq if n not in front]
     # oldest driver attestation first (r11, VERDICT r10 task #7): rows
