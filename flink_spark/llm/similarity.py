@@ -305,10 +305,6 @@ def quantize_int8(
     )
 
 
-_IVF_CENTROID_MEMO: dict[tuple, list] = {}
-_IVF_PROBE_MEMO: dict[tuple, tuple] = {}
-
-
 def _seed_cell(id_col: Column, nlist: int) -> Column:
     """Deterministic training seed: first md5 nibble of the id, mod nlist."""
     return (
@@ -441,24 +437,18 @@ def ivf_topk(
     local-topk/merge shape as brute_force_topk_np. Embeddings are never
     shuffled and no join is planned at all.
 
-    Training is memoized per (session, corpus plan, params) — an IVF
-    index is built once and searched many times (the FAISS contract);
-    re-deriving identical centroids on every search would re-scan the
-    corpus for nothing."""
-    memo_key = (
-        id(corpus.sparkSession),
-        corpus.semanticHash(),
-        id_col,
-        vec_col,
-        nlist,
+    Training runs inside EVERY call (r12, VERDICT r11 task #6): a real
+    IVF deployment builds once and searches many times (the FAISS
+    contract), but this engine's bench/oracle contract requires every
+    invocation to compute from the parquet inputs, so the r11-era
+    per-(session, corpus) centroid/query memo was removed — a declared
+    query path may not carry state across timed runs. The training cost
+    is two map-side-combinable (cell, pos) aggregations, never a vector
+    shuffle, so the delta is small at any scale."""
+    cent_rows = ivf_centroids(corpus, id_col, vec_col, nlist).collect()
+    cents = sorted(
+        (int(r["cell"]), list(r["centroid"])) for r in cent_rows
     )
-    cents = _IVF_CENTROID_MEMO.get(memo_key)
-    if cents is None:
-        cent_rows = ivf_centroids(corpus, id_col, vec_col, nlist).collect()
-        cents = sorted(
-            (int(r["cell"]), list(r["centroid"])) for r in cent_rows
-        )
-        _IVF_CENTROID_MEMO[memo_key] = cents
 
     import numpy as np
     import pandas as pd
@@ -472,29 +462,21 @@ def ivf_topk(
 
     # probe cells per query, computed at plan-build time (the query set
     # is small by contract — it is broadcast in every other tier too):
-    # rank cells by cosine desc with a lowest-cell tie-break. Memoized
-    # with the centroids: searching the same index with the same query
-    # set repeatedly (the FAISS usage contract) must not re-collect the
-    # query table — the collect is a whole extra Spark job per search.
-    probe_key = (memo_key, queries.semanticHash(), nprobe)
-    memo = _IVF_PROBE_MEMO.get(probe_key)
-    if memo is None:
-        qrows = queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-        ).collect()
-        q_ids = np.array([r.q_id for r in qrows])
-        qm = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
-        qn = np.linalg.norm(qm, axis=1)
-        qn[qn == 0.0] = 1.0
-        qmn = qm / qn[:, None]
-        qcell_cos = qmn @ cmn.T  # queries × nlist
-        probe_sets = []
-        for qi in range(len(q_ids)):
-            order = np.lexsort((cell_ids, -qcell_cos[qi]))[:nprobe]
-            probe_sets.append(set(int(cell_ids[j]) for j in order))
-        _IVF_PROBE_MEMO[probe_key] = (q_ids, qmn, probe_sets)
-    else:
-        q_ids, qmn, probe_sets = memo
+    # rank cells by cosine desc with a lowest-cell tie-break. Collected
+    # fresh per call for the same no-cross-run-state reason as training.
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    q_ids = np.array([r.q_id for r in qrows])
+    qm = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    qmn = qm / qn[:, None]
+    qcell_cos = qmn @ cmn.T  # queries × nlist
+    probe_sets = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cell_ids, -qcell_cos[qi]))[:nprobe]
+        probe_sets.append(set(int(cell_ids[j]) for j in order))
 
     def search(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
@@ -824,10 +806,6 @@ def ivf_centroids_sharded(
     )
 
 
-_IVF_SHARD_MEMO: dict = {}
-_IVF_SHARD_PROBE_MEMO: dict = {}
-
-
 def ivf_topk_sharded(
     corpus: DataFrame,
     queries: DataFrame,
@@ -853,22 +831,17 @@ def ivf_topk_sharded(
     masked out), scores only probed-(shard, cell) rows per query, and
     emits its local top-k; the ONLY exchange is the final merge window.
     Training (S·nlist tiny centroid rows) and the by-contract-small
-    query set are collected once and memoized per (session, corpus
-    plan, params) — the FAISS build-once/search-many contract, sharded."""
-    memo_key = (
-        id(corpus.sparkSession), corpus.semanticHash(),
-        id_col, vec_col, nlist, shards,
+    query set are collected inside EVERY call (r12, VERDICT r11 task
+    #6): the bench/oracle contract requires each invocation to compute
+    from the parquet inputs, so the per-(session, corpus) memo was
+    removed — see ivf_topk."""
+    rows = ivf_centroids_sharded(
+        corpus, id_col, vec_col, nlist, shards
+    ).collect()
+    cents = sorted(
+        (int(r["shard"]), int(r["cell"]), list(r["centroid"]))
+        for r in rows
     )
-    cents = _IVF_SHARD_MEMO.get(memo_key)
-    if cents is None:
-        rows = ivf_centroids_sharded(
-            corpus, id_col, vec_col, nlist, shards
-        ).collect()
-        cents = sorted(
-            (int(r["shard"]), int(r["cell"]), list(r["centroid"]))
-            for r in rows
-        )
-        _IVF_SHARD_MEMO[memo_key] = cents
 
     import numpy as np
     import pandas as pd
@@ -882,33 +855,27 @@ def ivf_topk_sharded(
     cmn = cm / cn[:, None]
     n_cent = len(cents)
 
-    probe_key = (memo_key, queries.semanticHash(), nprobe)
-    memo = _IVF_SHARD_PROBE_MEMO.get(probe_key)
-    if memo is None:
-        qrows = queries.select(
-            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-        ).collect()
-        q_ids = np.array([r.q_id for r in qrows])
-        qm = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
-        qn = np.linalg.norm(qm, axis=1)
-        qn[qn == 0.0] = 1.0
-        qmn = qm / qn[:, None]
-        qc = qmn @ cmn.T  # queries × (S·nlist)
-        probe_sets = []
-        for qi in range(len(q_ids)):
-            probed: set[int] = set()
-            for s in range(int(c_shard.max()) + 1 if n_cent else 0):
-                in_shard = np.where(c_shard == s)[0]
-                if in_shard.size == 0:
-                    continue
-                order = np.lexsort(
-                    (c_cell[in_shard], -qc[qi, in_shard])
-                )[:nprobe]
-                probed.update(int(in_shard[j]) for j in order)
-            probe_sets.append(probed)
-        _IVF_SHARD_PROBE_MEMO[probe_key] = (q_ids, qmn, probe_sets)
-    else:
-        q_ids, qmn, probe_sets = memo
+    qrows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    q_ids = np.array([r.q_id for r in qrows])
+    qm = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0.0] = 1.0
+    qmn = qm / qn[:, None]
+    qc = qmn @ cmn.T  # queries × (S·nlist)
+    probe_sets = []
+    for qi in range(len(q_ids)):
+        probed: set[int] = set()
+        for s in range(int(c_shard.max()) + 1 if n_cent else 0):
+            in_shard = np.where(c_shard == s)[0]
+            if in_shard.size == 0:
+                continue
+            order = np.lexsort(
+                (c_cell[in_shard], -qc[qi, in_shard])
+            )[:nprobe]
+            probed.update(int(in_shard[j]) for j in order)
+        probe_sets.append(probed)
 
     def search(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
