@@ -14,8 +14,47 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="flink_spark_tests", shuffle_partitions=8)
+    s = get_spark(
+        app_name="flink_spark_tests",
+        shuffle_partitions=8,
+        # r12 (VERDICT r11 task #2 — make the full suite fit the driver's
+        # verify window): a list-backed createDataFrame fans local rows
+        # into defaultParallelism (= 32 here) Python partitions, and the
+        # tests' pervasive `.coalesce(1).write` then evaluates all 32
+        # through the Python worker SEQUENTIALLY in one task (~170 ms
+        # per partition attach ≈ 5 s per tiny fixture write — measured).
+        # Two slices keep the same code paths at fixture scale.
+        extra_conf={"spark.default.parallelism": "2"},
+    )
     yield s
+
+
+@pytest.fixture(autouse=True)
+def _isolate_state_store_provider(request):
+    """transformWithState operators switch the session to the RocksDB
+    state-store provider and (correctly) never switch it back — but in a
+    session-scoped suite that makes every LATER streaming test pay
+    RocksDB's per-batch provider init/snapshot for state the HDFS-backed
+    default serves fine (the 174 s vs 52 s in-suite/isolated gap of
+    test_stream_count_trigger_purges_closed_windows, r12). Restore the
+    provider conf after each test so only tests that need RocksDB use it."""
+    if "spark" not in request.fixturenames:
+        yield
+        return
+    s = request.getfixturevalue("spark")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = s.conf.get(key)
+    except Exception:
+        prev = None
+    yield
+    try:
+        if prev is None:
+            s.conf.unset(key)
+        else:
+            s.conf.set(key, prev)
+    except Exception:
+        pass
 
 
 @pytest.fixture(scope="session")

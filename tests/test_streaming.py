@@ -18,6 +18,22 @@ def _sorted_rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _stamp_new_files(indir: str, seen: set[str], seq: int) -> set[str]:
+    """Give the parquet files written since `seen` a deterministic,
+    strictly increasing mtime (FileStreamSource orders files by
+    (modification time, path)) — replaces the 1.05 s sleep-per-batch
+    that used wall-clock spacing for the same ordering (r12, suite-time
+    budget)."""
+    import glob
+    import os
+
+    base = 1_700_000_000  # fixed epoch; only the ordering matters
+    cur = set(glob.glob(os.path.join(indir, "*.parquet")))
+    for f in cur - seen:
+        os.utime(f, (base + seq, base + seq))
+    return cur
+
+
 def test_stream_tumble_agg_matches_batch(spark):
     ev = SC.stream_table(spark, SF_DIR, "events")
     agg = SC.tumble_agg(
@@ -135,7 +151,6 @@ def _micro_batched_events(spark, tmpdir, n_batches=3):
     micro-batches — the operator-harness analogue of pushing elements
     + watermarks (OneInputStreamOperatorTestHarness)."""
     import os
-    import time
 
     ev = (
         Catalog(spark, SF_DIR).events
@@ -150,6 +165,7 @@ def _micro_batched_events(spark, tmpdir, n_batches=3):
     rows = ev.orderBy("ts").collect()
     cut = len(rows) // n_batches + 1
     schema = ev.schema
+    seen: set[str] = set()
     for i in range(n_batches):
         chunk = rows[i * cut : (i + 1) * cut]
         if not chunk:
@@ -157,7 +173,7 @@ def _micro_batched_events(spark, tmpdir, n_batches=3):
         spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
             "append"
         ).parquet(os.path.join(tmpdir, "in"))
-        time.sleep(1.05)  # distinct mtimes → deterministic replay order
+        seen = _stamp_new_files(os.path.join(tmpdir, "in"), seen, i)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -277,13 +293,13 @@ def _feed_batches(spark, tmpdir, batches, schema):
     """Write each batch as its own parquet file; maxFilesPerTrigger=1
     replays them as separate micro-batches in write order."""
     import os
-    import time
 
-    for chunk in batches:
+    seen: set[str] = set()
+    for i, chunk in enumerate(batches):
         spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
             "append"
         ).parquet(os.path.join(tmpdir, "in"))
-        time.sleep(1.05)
+        seen = _stamp_new_files(os.path.join(tmpdir, "in"), seen, i)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
