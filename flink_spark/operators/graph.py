@@ -66,22 +66,41 @@ def connected_components(
     the reference example, whose vertex set is the edge endpoints
     (ConnectedComponentsData.java). Self-loops contribute no
     connectivity and are dropped with the undirect step.
+
+    ``max_iterations`` note (ADVICE r11): the lagged pointer jump
+    composes each round with the PREVIOUS round's labels, so per-round
+    reach is 2r+1 hops (vs 2r+2 for fresh composition) and the
+    stationary-checksum stop detects the fixpoint one round after it is
+    reached. Callers sizing a tight ``max_iterations`` should budget
+    ceil(log2(diameter)) + 2 rounds; hitting the cap early returns a
+    partial labeling with a RuntimeWarning.
     """
-    undirected = (
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-        .union(edges.select(F.col(dst), F.col(src)))
-        .where(F.col("e_src") != F.col("e_dst"))
-        .distinct()
+    # Symmetrized edges + self-loop per vertex, built in ONE pass over
+    # the edge plan (r12, guide §2.4): each surviving edge (a,b), a≠b,
+    # explodes into (a,b),(b,a),(a,a),(b,b) before one shared distinct.
+    # The former union-of-unions spelling evaluated the edge plan — here
+    # often an expensive LSH pair join+aggregate — through four union
+    # branches when the eager checkpoint materialized it (A/B at the sf1
+    # LSH graph: 3.047 → 2.385 s min-of-3, 3/3 trial wins, labels
+    # identical — PROBE_r12_cc_sym.json). The self-loop means the
+    # per-round neighbor-min includes the vertex's own label through the
+    # same edge join — no per-round union(labels, nbr) needed (which
+    # both costs an extra branch and trips Spark's
+    # UnionBase.rewriteConstraints on checkpointed coalesce-bearing
+    # children).
+    a, b = F.col(src), F.col(dst)
+    sym_rows = F.array(
+        F.struct(a.alias("e_src"), b.alias("e_dst")),
+        F.struct(b.alias("e_src"), a.alias("e_dst")),
+        F.struct(a.alias("e_src"), a.alias("e_dst")),
+        F.struct(b.alias("e_src"), b.alias("e_dst")),
     )
-    # Self-loop per vertex: the per-round neighbor-min then includes the
-    # vertex's own label through the same edge join — no per-round
-    # union(labels, nbr) needed (which both costs an extra branch and
-    # trips Spark's UnionBase.rewriteConstraints on checkpointed
-    # coalesce-bearing children).
     sym = (
-        undirected.union(
-            undirected.select("e_src", "e_src").distinct()
-        ).localCheckpoint(eager=True)  # reused every round; cut the upstream plan
+        edges.where(a != b)
+        .select(F.explode(sym_rows).alias("e"))
+        .select("e.e_src", "e.e_dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round; cut the upstream plan
     )
     labels = (
         sym.select(F.col("e_src").alias("node"))
