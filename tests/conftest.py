@@ -12,6 +12,32 @@ from flink_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+_ACTIVE_SESSION: dict = {}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drain_session_state():
+    """r12 (VERDICT r11 task #2): the suite's later streaming tests ran
+    up to 10× slower in-suite than isolated (124 s vs ~10 s). The
+    session accumulates storage blocks across ~960 tests — 6 persist()
+    sites and 20 localCheckpoint() sites in the engine create cached
+    RDD/DF blocks that only a Python gc + ContextCleaner round-trip
+    reclaims. Drop them at every module boundary: clearCache() for
+    persisted DataFrames, gc.collect() so py4j finalizers release
+    checkpointed RDDs for the ContextCleaner."""
+    yield
+    s = _ACTIVE_SESSION.get("spark")
+    if s is None:
+        return
+    try:
+        s.catalog.clearCache()
+    except Exception:
+        pass
+    import gc
+
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(
@@ -26,6 +52,7 @@ def spark():
         # Two slices keep the same code paths at fixture scale.
         extra_conf={"spark.default.parallelism": "2"},
     )
+    _ACTIVE_SESSION["spark"] = s
     yield s
 
 
