@@ -314,6 +314,93 @@ def _seed_cell(id_col: Column, nlist: int) -> Column:
     )
 
 
+def _round_half_up6(x: float) -> float:
+    """Mirror Spark's round(double, 6): HALF_UP on the shortest decimal
+    repr of the double (scala BigDecimal.decimal == Double.toString),
+    which Python's repr() also produces."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _train_centroids_np(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    shards: int | None = None,
+) -> list:
+    """One-round k-means M-step as ONE Arrow pass over the corpus
+    (guide §4: the explode/agg spelling paid a nlist×d-row
+    materialization plus two shuffles for what is a per-task running
+    sum). Each task accumulates (cell → count, Σvec) partials in numpy
+    and emits nlist rows; the driver combines the by-construction-small
+    partial set (tasks × nlist × (d+2) values) and rounds exactly as
+    Spark's round(_, 6) would. Cells/shards stay the md5-seeded JVM
+    expressions shared with the oracle SQL.
+
+    Returns sorted [(cell, centroid)] or, with ``shards``,
+    [(shard, cell, centroid)] — exactly what collecting
+    ivf_centroids(_sharded) yields, and the output is identical because
+    both spellings average the same value set and round to 6 decimals
+    (attested by PROBE_r12_ivf_train.json and the oracle tests)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _It
+
+    n_keys = nlist * (shards or 1)
+    cols = [
+        _seed_cell(F.col(id_col), nlist).alias("_cell"),
+        F.col(vec_col).alias("_v"),
+    ]
+    if shards:
+        cols.insert(0, _shard_of(F.col(id_col), shards).alias("_shard"))
+    src = corpus.select(*cols)
+
+    def partials(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        sums = None
+        cnts = np.zeros(n_keys, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            if sums is None:
+                sums = np.zeros((n_keys, m.shape[1]), dtype=np.float64)
+            idx = pdf["_cell"].to_numpy().astype(np.int64)
+            if shards:
+                idx = pdf["_shard"].to_numpy().astype(np.int64) * nlist + idx
+            np.add.at(sums, idx, m)
+            cnts += np.bincount(idx, minlength=n_keys)
+        if sums is None:
+            return
+        present = np.nonzero(cnts)[0]
+        yield pd.DataFrame(
+            {
+                "k": present,
+                "cnt": cnts[present],
+                "s": [sums[i].tolist() for i in present],
+            }
+        )
+
+    rows = src.mapInPandas(partials, "k long, cnt long, s array<double>").collect()
+    if not rows:
+        return []
+    dim = len(rows[0]["s"])
+    tot = np.zeros((n_keys, dim), dtype=np.float64)
+    cnt = np.zeros(n_keys, dtype=np.int64)
+    for r in rows:  # collect order = partition order: deterministic
+        tot[r["k"]] += np.asarray(r["s"], dtype=np.float64)
+        cnt[r["k"]] += r["cnt"]
+    out = []
+    for k in np.nonzero(cnt)[0]:
+        centroid = [_round_half_up6(v) for v in tot[k] / cnt[k]]
+        if shards:
+            out.append((int(k) // nlist, int(k) % nlist, centroid))
+        else:
+            out.append((int(k), centroid))
+    return sorted(out)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -444,11 +531,10 @@ def ivf_topk(
     per-(session, corpus) centroid/query memo was removed — a declared
     query path may not carry state across timed runs. The training cost
     is two map-side-combinable (cell, pos) aggregations, never a vector
-    shuffle, so the delta is small at any scale."""
-    cent_rows = ivf_centroids(corpus, id_col, vec_col, nlist).collect()
-    cents = sorted(
-        (int(r["cell"]), list(r["centroid"])) for r in cent_rows
-    )
+    shuffle, so the delta is small at any scale — and since r12 the
+    M-step is a single Arrow partial-sum pass (_train_centroids_np),
+    the same one-scan shape as the search itself."""
+    cents = _train_centroids_np(corpus, id_col, vec_col, nlist)
 
     import numpy as np
     import pandas as pd
@@ -834,14 +920,9 @@ def ivf_topk_sharded(
     query set are collected inside EVERY call (r12, VERDICT r11 task
     #6): the bench/oracle contract requires each invocation to compute
     from the parquet inputs, so the per-(session, corpus) memo was
-    removed — see ivf_topk."""
-    rows = ivf_centroids_sharded(
-        corpus, id_col, vec_col, nlist, shards
-    ).collect()
-    cents = sorted(
-        (int(r["shard"]), int(r["cell"]), list(r["centroid"]))
-        for r in rows
-    )
+    removed — see ivf_topk (whose r12 one-Arrow-pass M-step this
+    shares, with (shard, cell) keys)."""
+    cents = _train_centroids_np(corpus, id_col, vec_col, nlist, shards=shards)
 
     import numpy as np
     import pandas as pd
