@@ -188,6 +188,8 @@ _R12_REVERIFY = [
     "tpcds_q60_shape", "tpcds_q75_shape", "tpcds_q59_shape",
     "tpcds_q83_shape", "tpcds_q14b_shape", "tpcds_q65_shape",
     "doc_dup_groups",
+    # r12 executed-path changes: one-Arrow-pass IVF centroid training
+    "emb_ann_ivf", "emb_ann_ivf_sharded",
 ]
 
 
